@@ -1,0 +1,60 @@
+"""Benchmark harness — driver contract (one JSON line to stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing wraps the full action (plan + execute + collect); the
+Spark session start-up is excluded. The deeper scaling protocol
+(local[8] vs local[32] index-build throughput, BASELINE.md) lives in
+jobs/build_index.py + jobs/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    from fastmorph_spark import registry
+    from fastmorph_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+                      app_name="fastmorph-bench")
+    # warm the JVM + Python workers once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(registry.queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Engine-wide pinned constants (SURVEY.md §4 determinism rules).
+
+Every path — Spark expression BM25, the WAND kernel, the pure-Python
+oracle, and the DuckDB SQL oracle — MUST use exactly these values and
+formulas, or rank-identity (BASELINE.json north_rule) dies.
+"""
+
+# Canonical tokenizer: lowercase, keep [a-z0-9_] runs, drop everything else.
+# Chosen to be code-aware (identifiers survive) and expressible identically
+# in pandas (`str.findall`), Spark SQL (`split`+`filter`) and DuckDB
+# (`regexp_split_to_array` + `list_filter`).
+TOKEN_PATTERN = r"[a-z0-9_]+"
+TOKEN_SPLIT_PATTERN = r"[^a-z0-9_]+"
+
+# BM25 constants (Robertson/Sparck-Jones; the "+1" idf variant used by
+# Lucene so idf is always positive).
+#   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+#   s(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Deterministic tie-break for top-k: (score DESC, doc_id ASC).
+# Scores are float64 end-to-end.
+
+# Physical index layout.
+BLOCK_SIZE = 128          # docs per posting block (Block-Max WAND granularity)
+N_TERM_BUCKETS = 64       # hash(term) % N_TERM_BUCKETS file-layout partitions
+HOT_TERM_DF_FRACTION = 0.05   # df > frac * N  ==> term is "hot", gets salted
+DEFAULT_SALTS = 8         # sub-shards for hot terms during build
+
+# Result-hash robustness: queries that surface float scores round to this
+# many decimals in BOTH the Spark and the oracle SQL path, so the driver's
+# order-insensitive value-hash is immune to <=1e-9 summation-order noise.
+SCORE_DECIMALS = 6

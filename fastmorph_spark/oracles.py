@@ -1,0 +1,131 @@
+"""DuckDB ANSI-SQL oracle builders (driver contract, __spark_entry__.py).
+
+Each function renders a self-contained SQL string that DuckDB 1.0 can run
+over the pre-registered fixture views (documents, lineitem, ...). The SQL
+mirrors the engine's pinned semantics EXACTLY (constants, tokenizer,
+tie-breaks — fastmorph_spark.constants); float-bearing outputs are rounded
+to SCORE_DECIMALS in both engines so the driver's order-insensitive
+value-hash is immune to summation-order noise.
+
+DuckDB type discipline (schema must match Spark):
+- count(*)/sum over BIGINT are cast ::BIGINT (DuckDB sum -> HUGEINT);
+- row_number() is BIGINT in DuckDB, so Spark ranks are cast to long.
+"""
+
+from __future__ import annotations
+
+from fastmorph_spark.constants import BM25_B, BM25_K1, SCORE_DECIMALS
+from fastmorph_spark.tokenize import tokenize_py
+
+# DuckDB fragment: text column -> list of tokens (identical to tokenize_py).
+TOK = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
+
+
+def _qterms_values(query_text: str) -> str:
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return "SELECT NULL::VARCHAR AS term WHERE false"
+    inner = ", ".join("('" + t + "')" for t in terms)
+    return f"SELECT * FROM (VALUES {inner}) AS qt(term)"
+
+
+def _docs_cte(lang: str | None) -> str:
+    where = f" WHERE lang = '{lang}'" if lang else ""
+    return f"SELECT doc_id, text FROM documents{where}"
+
+
+def _corpus_ctes(lang: str | None = None) -> str:
+    """Shared CTE chain: docs -> tok -> tf -> dl -> gs (global stats)."""
+    tok = TOK.format(col="text")
+    return f"""
+docs AS ({_docs_cte(lang)}),
+tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS dl
+  FROM docs d LEFT JOIN tf ON d.doc_id = tf.doc_id GROUP BY d.doc_id
+),
+gs AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+)"""
+
+
+def bm25_topk_sql(query_text: str, k: int = 10, lang: str | None = None) -> str:
+    """Mirror of search.bm25.bm25_topk_expression(round_score=True)."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH {_corpus_ctes(lang)},
+q AS ({_qterms_values(query_text)}),
+m AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * m.tf * ({k1} + 1.0)
+           / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl))
+         )::DOUBLE AS score
+  FROM m
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN gs
+  GROUP BY m.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       round(score, {SCORE_DECIMALS}) AS score
+FROM s
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def doc_stats_sql(lang: str | None = None) -> str:
+    return f"""
+WITH {_corpus_ctes(lang)}
+SELECT n_docs, round(avgdl, {SCORE_DECIMALS}) AS avgdl FROM gs
+"""
+
+
+def dictionary_sql(n: int = 100, lang: str | None = None) -> str:
+    """Top-n dictionary rows by (df DESC, term ASC): term, df, cf."""
+    return f"""
+WITH {_corpus_ctes(lang)}
+SELECT term,
+       count(*)::BIGINT AS df,
+       sum(tf)::BIGINT AS cf
+FROM tf
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {n}
+"""
+
+
+def doc_lengths_sql() -> str:
+    """Per-doc length + sha256 invariant (P3, BASELINE.json input_hint)."""
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT d.doc_id, dl.dl AS doc_len, sha256(d.text) AS content_sha256
+FROM docs d JOIN dl ON d.doc_id = dl.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def match_counts_sql(query_text: str, lang: str | None = None) -> str:
+    """A6 — 'found N': per-term df plus OR/AND doc counts for one query."""
+    return f"""
+WITH {_corpus_ctes(lang)},
+q AS ({_qterms_values(query_text)}),
+m AS (SELECT tf.* FROM tf JOIN q USING (term)),
+nq AS (SELECT count(*)::BIGINT AS n_terms FROM q)
+SELECT
+  (SELECT count(DISTINCT doc_id) FROM m)::BIGINT AS docs_or,
+  (SELECT count(*) FROM (
+     SELECT doc_id FROM m GROUP BY doc_id
+     HAVING count(DISTINCT term) = (SELECT n_terms FROM nq)
+  ))::BIGINT AS docs_and
+"""

@@ -1,0 +1,100 @@
+"""M0 — BM25 scoring as pure DataFrame expressions (T6/A1-A3/A5/O1).
+
+This is the index-free path: tokenize -> tf agg -> doc stats -> score ->
+top-k, entirely in Catalyst-optimizable operators (the only Python is the
+Arrow-vectorized tokenizer). It is both the flagship `entry()` query and
+the semantic yardstick every faster path (M1 logical index, M3 WAND) must
+match rank-identically.
+
+Pinned semantics (must mirror tests/oracle_bm25.py and the DuckDB SQL):
+- query terms are DEDUPLICATED (set semantics);
+- the BM25 universe is the (optionally lang-filtered) document set:
+  N = count(docs), dl = token count (0 for empty docs), avgdl = mean dl;
+- idf = ln(1 + (N - df + 0.5)/(df + 0.5)); k1 = 1.2, b = 0.75; float64;
+- tie-break (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import BM25_B, BM25_K1, SCORE_DECIMALS
+from fastmorph_spark.tokenize import tokenize_py, tokens_with_positions
+
+
+def bm25_score_col(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Column) -> Column:
+    """The one canonical BM25 formula, as a float64 column expression."""
+    idf = F.log(F.lit(1.0) + (n_docs.cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    tf_d = tf.cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl.cast("double") / avgdl)
+    return idf * tf_d * F.lit(BM25_K1 + 1.0) / denom
+
+
+def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """(term_freqs, doc_lens, global_stats) over a document set.
+
+    - term_freqs: (doc_id, term, tf)           [A1 partial+final hash agg]
+    - doc_lens:   (doc_id, dl) for ALL docs    [A3; dl=0 for empty docs]
+    - global_stats: 1-row (n_docs, avgdl)      [A3]
+
+    Catalyst plans the groupBys as partial (map-side) + final aggregation
+    automatically; at 100 TB the only Python crossing is the tokenizer.
+    """
+    toks = tokens_with_positions(documents, text_col=text_col, id_cols=(id_col,))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl_nonempty = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    doc_lens = (
+        documents.select(id_col)
+        .join(dl_nonempty, id_col, "left")
+        .select(id_col, F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+    )
+    global_stats = doc_lens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return tf, doc_lens, global_stats
+
+
+def bm25_topk_expression(
+    documents: DataFrame,
+    query_text: str,
+    k: int = 10,
+    lang: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_score: bool = False,
+) -> DataFrame:
+    """Top-k docs for an OR (disjunctive) BM25 query, index-free.
+
+    Returns (rank, doc_id, score). Plan shape at scale: the tf table is
+    filtered to the (tiny) query-term set BEFORE any join, both per-term
+    df aggs and the 1-row global stats broadcast, and orderBy+limit fuses
+    into TakeOrderedAndProject — no global sort materializes.
+    """
+    qterms = sorted(set(tokenize_py(query_text)))
+    docs = documents.filter(F.col("lang") == lang) if lang else documents
+    tf, doc_lens, global_stats = corpus_stats(docs, text_col=text_col, id_col=id_col)
+
+    if not qterms:
+        matched = tf.filter(F.lit(False))
+    else:
+        matched = tf.filter(F.col("term").isin(qterms))
+    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(doc_lens, id_col)
+        .crossJoin(F.broadcast(global_stats))
+        .withColumn(
+            "term_score",
+            bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    if round_score:
+        topk = topk.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w_rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+    return topk.select(w_rank.alias("rank"), F.col(id_col).alias("doc_id"), "score")

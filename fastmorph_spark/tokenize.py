@@ -1,0 +1,75 @@
+"""T1 — canonical tokenizer, in three mutually rank-identical forms.
+
+1. ``tokenize_udf``      — Arrow-vectorized pandas UDF (the mandated hot
+                           path: "vectorized Arrow/pandas UDF tokenization",
+                           BASELINE.json north_star; no per-row Python —
+                           pandas ``str.findall`` is the vectorized idiom).
+2. ``tokenize_expr``     — pure Catalyst column expression twin (whole-stage
+                           codegen, zero Python); used where staying JVM-side
+                           wins and by plan-parity tests.
+3. ``DUCKDB_TOKENIZE``   — the identical DuckDB SQL fragment for oracles.
+
+Tokenizer identity across the three paths is the #1 oracle-mismatch risk
+(SURVEY.md §7 "hard parts") — tests/test_tokenize.py pins all three to the
+same outputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from fastmorph_spark.constants import TOKEN_PATTERN, TOKEN_SPLIT_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Single-string tokenizer — shared by the pure-Python oracle."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenizer: Series[str] -> Series[list[str]].
+
+    ``str.findall(TOKEN_PATTERN)`` on the lowercased series == split on
+    TOKEN_SPLIT_PATTERN with empties dropped, with no empty-string edge
+    cases. Runs on Arrow batches inside the Python worker.
+    """
+    return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+
+
+def tokenize_expr(col: Column | str) -> Column:
+    """Catalyst-only twin of tokenize_udf (WholeStageCodegen, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_PATTERN),
+        lambda x: x != F.lit(""),
+    )
+
+
+# DuckDB fragment producing the same list<varchar>; {col} is the text column.
+DUCKDB_TOKENIZE = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
+)
+
+
+def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True):
+    """content -> one row per (doc, pos, term). Position = 0-based token index.
+
+    The posexplode index IS the position payload (SURVEY.md T2) — no
+    separate position bookkeeping needed.
+    """
+    tok = tokenize_udf(F.col(text_col)) if use_udf else tokenize_expr(text_col)
+    return (
+        df.select(*id_cols, tok.alias("_tokens"))
+        .select(*id_cols, F.posexplode("_tokens").alias("pos", "term"))
+    )

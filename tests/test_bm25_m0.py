@@ -1,0 +1,69 @@
+"""M0 gate: expression-BM25 is rank-identical to the pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fastmorph_spark.search.bm25 import bm25_topk_expression
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+from tests.oracle_bm25 import OracleIndex, load_documents
+
+QUERIES = [
+    "fast hash join",
+    "table",
+    "zzz_not_in_corpus",
+    "the",                       # hot term
+    "merge sort scan key order", # many terms
+    "fast fast fast",            # dup terms (set semantics)
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(load_documents(SF0001))
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identical_topk(spark, oracle, q):
+    docs = read_documents(spark, SF0001)
+    got = bm25_topk_expression(docs, q, k=10).collect()
+    exp = oracle.topk(q, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert math.isclose(r["score"], s, rel_tol=1e-9), (r, s)
+    assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+
+
+def test_smoke_expectation(spark):
+    """Pinned expectation from SURVEY.md §5.1 (independent DuckDB+Python
+    verification this session): top-3 for 'fast hash join' on sf0.001."""
+    docs = read_documents(spark, SF0001)
+    got = bm25_topk_expression(docs, "fast hash join", k=3).collect()
+    assert [r["doc_id"] for r in got] == [406, 22, 491]
+    for r, s in zip(got, [1.331924, 1.295801, 1.286012]):
+        assert math.isclose(r["score"], s, abs_tol=5e-7), (r["doc_id"], r["score"], s)
+
+
+def test_lang_filter_matches_oracle(spark):
+    """Subcorpus filter (P2): stats universe = the filtered docs."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id", "text", "lang"])
+    sub = {d: x for d, x, g in zip(*[t[c].to_pylist() for c in ("doc_id", "text", "lang")]) if g == "en"}
+    oracle = OracleIndex(sub)
+    docs = read_documents(spark, SF0001)
+    got = bm25_topk_expression(docs, "table index scan", k=10, lang="en").collect()
+    exp = oracle.topk("table index scan", 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+
+
+def test_partitioning_invariance(spark):
+    """shuffle.partitions / input layout must not change results
+    (SURVEY.md §4 determinism rules)."""
+    docs = read_documents(spark, SF0001)
+    a = bm25_topk_expression(docs, "fast hash join", k=10).collect()
+    b = bm25_topk_expression(docs.repartition(17), "fast hash join", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
