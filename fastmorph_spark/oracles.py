@@ -115,6 +115,109 @@ ORDER BY d.doc_id
 """
 
 
+def _positions_cte(lang: str | None = None) -> str:
+    """docs -> per-token (doc_id, term, pos) with 0-based positions.
+    Parallel unnests zip in DuckDB (verified)."""
+    tok = TOK.format(col="text")
+    return f"""
+docs AS ({_docs_cte(lang)}),
+tokarr AS (SELECT doc_id, {tok} AS toks FROM docs),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+)"""
+
+
+def and_search_sql(query_text: str) -> str:
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return "SELECT NULL::BIGINT AS doc_id WHERE false"
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_positions_cte()}
+SELECT doc_id FROM pos WHERE term IN ({inlist})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+ORDER BY doc_id
+"""
+
+
+def phrase_search_sql(phrase: str) -> str:
+    terms = tokenize_py(phrase)
+    if not terms:
+        return "SELECT NULL::BIGINT AS doc_id WHERE false"
+    joins = "\n".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+        for i, t in enumerate(terms[1:], 1)
+    )
+    return f"""
+WITH {_positions_cte()}
+SELECT DISTINCT p0.doc_id AS doc_id FROM pos p0
+{joins}
+WHERE p0.term = '{terms[0]}'
+ORDER BY p0.doc_id
+"""
+
+
+def proximity_search_sql(t1: str, t2: str, dist_from: int, dist_to: int) -> str:
+    return f"""
+WITH {_positions_cte()}
+SELECT DISTINCT a.doc_id AS doc_id FROM pos a
+JOIN pos b ON b.doc_id = a.doc_id AND b.term = '{t2}'
+          AND b.pos - a.pos BETWEEN {dist_from} AND {dist_to}
+WHERE a.term = '{t1}'
+ORDER BY a.doc_id
+"""
+
+
+def wildcard_terms_sql(pattern: str) -> str:
+    assert "%" not in pattern and "_like_" not in pattern
+    like = pattern.lower().replace("*", "%").replace("?", "_")
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE term LIKE '{like}'
+GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+def wildcard_docs_sql(pattern: str) -> str:
+    like = pattern.lower().replace("*", "%").replace("?", "_")
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE '{like}' ORDER BY doc_id
+"""
+
+
+def pagination_sql(query_text: str, skip: int, until: int, lang: str | None = None) -> str:
+    """Ranks (skip, until] of the scored result — same scoring CTEs as
+    bm25_topk_sql."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH {_corpus_ctes(lang)},
+q AS ({_qterms_values(query_text)}),
+m AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * m.tf * ({k1} + 1.0)
+           / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl))
+         )::DOUBLE AS score
+  FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN gs
+  GROUP BY m.doc_id
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, round(score, {SCORE_DECIMALS}) AS score
+  FROM s
+)
+SELECT rank, doc_id, score FROM r
+WHERE rank > {skip} AND rank <= {until}
+ORDER BY rank
+"""
+
+
 def match_counts_sql(query_text: str, lang: str | None = None) -> str:
     """A6 — 'found N': per-term df plus OR/AND doc counts for one query."""
     return f"""

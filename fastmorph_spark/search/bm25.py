@@ -23,6 +23,28 @@ from fastmorph_spark.constants import BM25_B, BM25_K1, SCORE_DECIMALS
 from fastmorph_spark.tokenize import tokenize_py, tokens_with_positions
 
 
+def sum_term_scores(scored: DataFrame, id_col: str = "doc_id",
+                    score_col: str = "term_score") -> DataFrame:
+    """Per-doc score = fold of term scores in SORTED TERM ORDER.
+
+    A plain F.sum over shuffled float64 rows is last-bit nondeterministic
+    (addition isn't associative); folding a term-sorted array makes every
+    path — expression BM25, index-backed, WAND kernel, Python oracle —
+    bit-identical run to run (SURVEY.md §4 determinism rules). Per doc the
+    array holds at most |query| elements, so cost is negligible.
+    """
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", score_col))),
+                F.lit(0.0),
+                lambda acc, x: acc + x[score_col],
+            ).alias("score")
+        )
+    )
+
+
 def bm25_score_col(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Column) -> Column:
     """The one canonical BM25 formula, as a float64 column expression."""
     idf = F.log(F.lit(1.0) + (n_docs.cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5)))
@@ -90,11 +112,12 @@ def bm25_topk_expression(
             "term_score",
             bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")),
         )
-        .groupBy(id_col)
-        .agg(F.sum("term_score").alias("score"))
     )
+    scored = sum_term_scores(scored, id_col)
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-    if round_score:
-        topk = topk.withColumn("score", F.round("score", SCORE_DECIMALS))
+    # rank over the UNROUNDED score (oracle parity); round only for output
     w_rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))
-    return topk.select(w_rank.alias("rank"), F.col(id_col).alias("doc_id"), "score")
+    out = topk.select(w_rank.alias("rank"), F.col(id_col).alias("doc_id"), "score")
+    if round_score:
+        out = out.withColumn("score", F.round("score", SCORE_DECIMALS))
+    return out

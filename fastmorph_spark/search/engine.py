@@ -1,0 +1,178 @@
+"""M1 — index-backed query operators with fastmorph's query semantics.
+
+fastmorph answers token-slot pattern queries: word/lemma/wildcard slots,
+distance ranges between slots, subcorpus filter, paginated results with
+total counts [PK-high, SURVEY.md §1.1]. Re-expressed Spark-first:
+
+- AND search        = posting-list intersection (J3) via groupBy-having
+- phrase search     = positions self-predicate via higher-order functions (J4)
+- proximity search  = slot distance window on position arrays (J4)
+- wildcard search   = dictionary-first candidate match (P4), the same
+                      shape as the reference's candidate-bitset pass
+- pagination        = ranking window (O4/W1)
+- BM25 top-k        = dictionary-broadcast join + score agg over postings
+
+All operators take the LOGICAL index tables (postings/dictionary/doc_lens)
+— the packed/WAND path (M2/M3) is a drop-in physical alternative that must
+stay rank-identical.
+
+Scale notes: query-term sets are tiny -> every dictionary/term join is a
+broadcast; postings are filtered to query terms BEFORE any shuffle, so a
+query touches only the matching term partitions (with the M2 layout,
+only the matching term_bucket files are read at all).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.search.bm25 import bm25_score_col, sum_term_scores
+from fastmorph_spark.tokenize import tokenize_py
+
+
+def _filter_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
+    if not terms:
+        return postings.filter(F.lit(False))
+    return postings.filter(F.col("term").isin(terms))
+
+
+def search_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    doc_lens: DataFrame,
+    stats: DataFrame,
+    query_text: str,
+    k: int = 10,
+    round_score: bool = False,
+) -> DataFrame:
+    """Index-backed BM25 OR top-k; rank-identical to
+    bm25.bm25_topk_expression (tested)."""
+    qterms = sorted(set(tokenize_py(query_text)))
+    matched = _filter_terms(postings, qterms)
+    scored = (
+        matched.join(F.broadcast(dictionary.filter(F.col("term").isin(qterms)).select("term", "df")), "term")
+        .join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+    scored = sum_term_scores(scored)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank over the UNROUNDED score (oracle parity); round only for output
+    rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    out = topk.select(rank.cast("long").alias("rank"), "doc_id", "score")
+    if round_score:
+        out = out.withColumn("score", F.round("score", SCORE_DECIMALS))
+    return out
+
+
+def and_search(postings: DataFrame, query_text: str) -> DataFrame:
+    """J3 — doc_ids containing ALL query terms (sorted). The groupBy-having
+    form beats an n-way self-join: one shuffle on doc_id regardless of the
+    number of terms, partial-aggregated map-side."""
+    qterms = sorted(set(tokenize_py(query_text)))
+    if not qterms:
+        return postings.select("doc_id").filter(F.lit(False))
+    return (
+        _filter_terms(postings, qterms)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(qterms))
+        .select("doc_id")
+    )
+
+
+def _positions_map(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Per doc containing ALL `terms`: map term -> positions array."""
+    uniq = sorted(set(terms))
+    return (
+        _filter_terms(postings, uniq)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias("pm"),
+            F.count("*").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id", "pm")
+    )
+
+
+def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
+    """J4 — docs containing the exact token sequence (adjacent positions).
+
+    Candidate docs (all terms present) are found by one agg; the sequence
+    test is a Catalyst higher-order-function predicate over the position
+    arrays — no Python, no extra shuffle. fastmorph's analog: nested
+    position loops with distance==1 [PK-med]."""
+    terms = tokenize_py(phrase)
+    if not terms:
+        return postings.select("doc_id").filter(F.lit(False))
+    cand = _positions_map(postings, terms)
+    pm = F.col("pm")
+    pred = F.exists(
+        pm[terms[0]],
+        lambda p: reduce(
+            lambda a, b: a & b,
+            [F.array_contains(pm[t], p + i) for i, t in enumerate(terms[1:], 1)],
+            F.lit(True),
+        ),
+    )
+    return cand.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+def proximity_search(
+    postings: DataFrame, t1: str, t2: str, dist_from: int, dist_to: int
+) -> DataFrame:
+    """J4 — fastmorph slot-distance semantics [PK-high]: docs where some
+    occurrence of t2 is at pos(t1)+d for d in [dist_from, dist_to]."""
+    cand = _positions_map(postings, [t1, t2])
+    pm = F.col("pm")
+    pred = F.exists(
+        pm[t1],
+        lambda p: F.exists(
+            pm[t2], lambda q: (q - p >= dist_from) & (q - p <= dist_to)
+        ),
+    )
+    return cand.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+def wildcard_pattern_to_like(pattern: str) -> str:
+    """fastmorph wildcard slots use * (any run) and ? (one char) [PK-high]."""
+    return pattern.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+
+
+def wildcard_terms(dictionary: DataFrame, pattern: str) -> DataFrame:
+    """P4 — dictionary-first wildcard match: (term, df, cf) for terms
+    matching the pattern, ordered (df DESC, term ASC). The dictionary is
+    ~|vocab| rows — scanning it first, then semi-joining postings, mirrors
+    the reference's candidate-bitset pass and avoids touching the corpus."""
+    like = wildcard_pattern_to_like(pattern.lower())
+    return dictionary.filter(F.col("term").like(like)).orderBy(F.desc("df"), F.asc("term"))
+
+
+def wildcard_docs(postings: DataFrame, dictionary: DataFrame, pattern: str) -> DataFrame:
+    """Distinct docs containing ANY term matching the wildcard."""
+    terms = wildcard_terms(dictionary, pattern).select("term")
+    return (
+        postings.join(F.broadcast(terms), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def paginate(ranked: DataFrame, skip: int, until: int) -> DataFrame:
+    """O4 — fastmorph-style result window [PK-high]: ranks (skip, until]
+    of a scored result. `ranked` must carry (doc_id, score)."""
+    rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return (
+        ranked.withColumn("rank", rank.cast("long"))
+        .filter((F.col("rank") > skip) & (F.col("rank") <= until))
+        .select("rank", "doc_id", "score")
+    )
