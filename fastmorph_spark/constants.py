@@ -25,8 +25,14 @@ BM25_B = 0.75
 # Physical index layout.
 BLOCK_SIZE = 128          # docs per posting block (Block-Max WAND granularity)
 N_TERM_BUCKETS = 64       # hash(term) % N_TERM_BUCKETS file-layout partitions
-HOT_TERM_DF_FRACTION = 0.05   # df > frac * N  ==> term is "hot", gets salted
-DEFAULT_SALTS = 8         # sub-shards for hot terms during build
+DOC_SHARD_SIZE = 1 << 20  # docs per doc-shard (the salt). Contiguous doc_id
+                          # ranges: build groups are (term, doc_shard), so a
+                          # hot term (df ~= N) splits across N/DOC_SHARD_SIZE
+                          # reducers instead of one — skew handled by
+                          # construction — and "merging" salted sub-lists is
+                          # pure concatenation in shard order (blocks are
+                          # self-contained). Query-time WAND runs per shard
+                          # (document-partitioned index) and merges top-k.
 
 # Result-hash robustness: queries that surface float scores round to this
 # many decimals in BOTH the Spark and the oracle SQL path, so the driver's

@@ -1,0 +1,109 @@
+"""S3 — index sink/scan: the on-disk physical index.
+
+Layout ({path}/...):
+  docs/        doc registry (doc_id, repo?, path?, commit?, lang?,
+               content_sha256, doc_len)
+  doc_lens/    (doc_id, dl)
+  dictionary/  (term, df, cf, max_score)
+  stats/       (n_docs, avgdl) — single row
+  postings/    packed blocks, partitionBy(term_bucket) -> query-time
+               FILE pruning on term hash; parquet min/max on `term`
+               row-group-prunes within files; the `positions` column is
+               only read by phrase/proximity queries (column pruning)
+
+The reference keeps everything in RAM with no persistence [PK-med,
+SURVEY.md §2.1 S3]; persistence + partition pruning is the Spark-native
+replacement for its startup bulk load.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import BLOCK_SIZE, DOC_SHARD_SIZE
+from fastmorph_spark.index.build import (
+    build_dictionary,
+    build_doc_lens,
+    build_docs,
+    build_postings,
+    global_stats,
+)
+from fastmorph_spark.index.pack import dictionary_with_max_score, pack_postings
+
+
+@dataclass
+class Index:
+    docs: DataFrame
+    doc_lens: DataFrame
+    dictionary: DataFrame
+    stats: DataFrame
+    postings: DataFrame  # packed blocks
+
+    @property
+    def n_docs(self) -> int:
+        return self.stats.collect()[0]["n_docs"]
+
+
+def build_index_frames(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_shard_size: int = DOC_SHARD_SIZE,
+    block_size: int = BLOCK_SIZE,
+) -> Index:
+    """Corpus -> all index DataFrames (lazy, unwritten)."""
+    docs = build_docs(documents, id_col=id_col)
+    postings = build_postings(documents, text_col=text_col, id_col=id_col)
+    doc_lens = build_doc_lens(documents, postings, id_col=id_col)
+    dictionary = build_dictionary(postings)
+    stats = global_stats(doc_lens)
+    packed = pack_postings(postings, doc_lens, dictionary, stats, doc_shard_size, block_size)
+    dict_final = dictionary_with_max_score(dictionary, packed)
+    return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats, postings=packed)
+
+
+def write_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_shard_size: int = DOC_SHARD_SIZE,
+    block_size: int = BLOCK_SIZE,
+    mode: str = "overwrite",
+) -> dict:
+    """Build + persist the index; returns build counters.
+
+    The packed postings are cached before the two consumers (postings
+    write + dictionary max_score) so packing runs once.
+    """
+    idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size)
+    idx.postings.persist()
+    try:
+        idx.postings.write.partitionBy("term_bucket").mode(mode).parquet(f"{out_path}/postings")
+        idx.dictionary.write.mode(mode).parquet(f"{out_path}/dictionary")
+        idx.docs.write.mode(mode).parquet(f"{out_path}/docs")
+        idx.doc_lens.write.mode(mode).parquet(f"{out_path}/doc_lens")
+        idx.stats.write.mode(mode).parquet(f"{out_path}/stats")
+        counters = idx.postings.agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n_docs").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("positions"))).alias("payload_bytes"),
+        ).collect()[0].asDict()
+    finally:
+        idx.postings.unpersist()
+    return counters
+
+
+def read_index(spark: SparkSession, path: str) -> Index:
+    return Index(
+        docs=spark.read.parquet(f"{path}/docs"),
+        doc_lens=spark.read.parquet(f"{path}/doc_lens"),
+        dictionary=spark.read.parquet(f"{path}/dictionary"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        postings=spark.read.parquet(f"{path}/postings"),
+    )

@@ -105,6 +105,18 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                               FLAGSHIP_QUERY, k=10, round_score=True)
 
 
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through the FULL physical path: pack (delta+varbyte
+    blocks, doc-shard salting) -> Block-Max WAND kernel. Must hash-match
+    the same oracle as the expression path."""
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.search.wand import search_wand
+
+    docs = read_documents(spark, sf_dir)
+    idx = build_index_frames(docs, doc_shard_size=1000, block_size=64)
+    return search_wand(idx, FLAGSHIP_QUERY, k=10, round_score=True)
+
+
 def q_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, postings, *_ = _index_tables(spark, sf_dir)
     return engine.and_search(postings, FLAGSHIP_QUERY)
@@ -166,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "match_counts": q_match_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "and_search": q_and_search,
         "phrase_search": q_phrase_search,
         "phrase3_search": q_phrase3_search,
@@ -185,6 +198,7 @@ def oracle_sqls() -> dict[str, str]:
         "doc_lengths": oracles.doc_lengths_sql(),
         "match_counts": oracles.match_counts_sql(FLAGSHIP_QUERY),
         "bm25_topk_indexed": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_topk_wand": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "and_search": oracles.and_search_sql(FLAGSHIP_QUERY),
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),
         "phrase3_search": oracles.phrase_search_sql(PHRASE3_QUERY),
