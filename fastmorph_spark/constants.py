@@ -25,6 +25,10 @@ BM25_B = 0.75
 # Physical index layout.
 BLOCK_SIZE = 128          # docs per posting block (Block-Max WAND granularity)
 N_TERM_BUCKETS = 64       # hash(term) % N_TERM_BUCKETS file-layout partitions
+N_PACK_BUCKETS = 64       # term-hash buckets for pack-time groups: packing
+                          # groups are (pack_bucket, doc_shard), coarse
+                          # enough to amortize Arrow per-group overhead,
+                          # fine enough for parallelism + bounded memory
 DOC_SHARD_SIZE = 1 << 20  # docs per doc-shard (the salt). Contiguous doc_id
                           # ranges: build groups are (term, doc_shard), so a
                           # hot term (df ~= N) splits across N/DOC_SHARD_SIZE

@@ -60,8 +60,8 @@ def build_index_frames(
     doc_lens = build_doc_lens(documents, postings, id_col=id_col)
     dictionary = build_dictionary(postings)
     stats = global_stats(doc_lens)
-    packed = pack_postings(postings, doc_lens, dictionary, stats, doc_shard_size, block_size)
-    dict_final = dictionary_with_max_score(dictionary, packed)
+    packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size)
+    dict_final = dictionary_with_max_score(dictionary, packed, stats)
     return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats, postings=packed)
 
 
@@ -92,7 +92,7 @@ def write_index(
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
-            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("positions"))).alias("payload_bytes"),
+            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")) + F.sum(F.length("positions"))).alias("payload_bytes"),
         ).collect()[0].asDict()
     finally:
         idx.postings.unpersist()

@@ -1,0 +1,207 @@
+"""M4 — S4/J6: resumable index builds with per-partition lineage+counters.
+
+BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics ... counters (terms, postings, bytes) recorded per
+partition".
+
+Protocol (two-phase; see SURVEY.md §3.2):
+
+Phase 0 (tokenize-once, checkpointed as partition_id = -1): the corpus is
+tokenized and aggregated to logical postings EXACTLY ONCE, written
+partitioned by `batch` (= contiguous doc-id range). All corpus-global
+artifacts (docs registry, doc_lens, dictionary df/cf, stats) derive from
+that materialization. These must be pinned before any partition packs,
+because impact normalization depends on the FINAL avgdl (SURVEY.md §7
+hard parts). On resume, a recorded phase-0 with a matching lineage
+signature is reused — no re-tokenization.
+
+Phase 1 (per-partition checkpoints): each batch reads ONLY its
+postings_logical/batch=K slice (partition-pruned), joins the range-pruned
+doc_lens slice, packs via the salted (term, doc_shard) repartition, writes
+postings/batch=K/term_bucket=J/, then appends ONE manifest row. A crash
+between data write and manifest append is safe: an unrecorded batch re-runs
+and overwrites its directory (content is deterministic).
+
+Resume = left_anti join of batch ids against manifest rows with
+status='done' AND the same lineage signature. AQE cannot disturb this:
+the checkpoint key is the deterministic doc-id range, not
+spark_partition_id().
+
+Finalize (idempotent): dictionary max_score from packed block metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import BLOCK_SIZE, DOC_SHARD_SIZE
+from fastmorph_spark.index.build import (
+    build_dictionary,
+    build_docs,
+    build_postings,
+    global_stats,
+)
+from fastmorph_spark.index.pack import dictionary_with_max_score, pack_postings
+
+MANIFEST_SCHEMA = (
+    "partition_id int, status string, n_terms long, n_postings long, "
+    "n_blocks long, bytes_written long, input_snapshot string, "
+    "attempt int, wall_ms long, finished_at string"
+)
+
+
+def _snapshot(input_path: str, doc_shard_size: int, block_size: int, n_batches: int) -> str:
+    """Lineage signature: a resumed run must match the original input and
+    layout parameters exactly, or completed work is not reusable."""
+    return json.dumps(
+        {"input": input_path, "doc_shard_size": doc_shard_size,
+         "block_size": block_size, "n_batches": n_batches},
+        sort_keys=True,
+    )
+
+
+def read_manifest(spark: SparkSession, out_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(f"{out_path}/manifest")
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def _append_manifest(spark: SparkSession, out_path: str, row: tuple) -> None:
+    spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+        f"{out_path}/manifest"
+    )
+
+
+def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
+    rows = (
+        read_manifest(spark, out_path)
+        .filter((F.col("status").isin("done", "phase0_done")) & (F.col("input_snapshot") == snapshot))
+        .select("partition_id")
+        .collect()
+    )
+    return {r["partition_id"] for r in rows}
+
+
+def pending_batches(spark: SparkSession, out_path: str, n_batches: int, snapshot: str) -> list[int]:
+    """J6 — all batches ∖ done batches (matching lineage)."""
+    done = _done_ids(spark, out_path, snapshot)
+    return [b for b in range(n_batches) if b not in done]
+
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_path: str,
+    input_path: str = "",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_batches: int = 8,
+    doc_shard_size: int = DOC_SHARD_SIZE,
+    block_size: int = BLOCK_SIZE,
+    max_batches_this_run: int | None = None,
+    attempt: int = 1,
+) -> dict:
+    """Resumable build. Returns {'batches_run': [...], 'complete': bool,
+    'counters': {...}}.
+
+    `max_batches_this_run` exists for kill/resume testing: process only
+    that many pending batches, then stop (simulating a crash AFTER some
+    checkpoints landed).
+    """
+    snapshot = _snapshot(input_path, doc_shard_size, block_size, n_batches)
+
+    # ---------------- phase 0: tokenize once, pin global artifacts
+    if -1 not in _done_ids(spark, out_path, snapshot):
+        t0 = time.perf_counter()
+        max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
+        batch_width = (max_doc // n_batches) + 1
+        postings = build_postings(documents, text_col=text_col, id_col=id_col) \
+            .withColumn("batch", (F.col("doc_id") / F.lit(batch_width)).cast("int"))
+        postings.write.partitionBy("batch").mode("overwrite").parquet(
+            f"{out_path}/postings_logical"
+        )
+        pm = spark.read.parquet(f"{out_path}/postings_logical")
+        dl_agg = pm.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        doc_lens = (
+            documents.select(F.col(id_col).alias("doc_id"))
+            .join(dl_agg, "doc_id", "left")
+            .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+        )
+        doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+        build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
+        dl_read = spark.read.parquet(f"{out_path}/doc_lens")
+        global_stats(dl_read).write.mode("overwrite").parquet(f"{out_path}/stats")
+        build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
+        # record phase 0 with its own counters + the batch width in lineage
+        n_post = pm.count()
+        n_terms = spark.read.parquet(f"{out_path}/dictionary_base").count()
+        _append_manifest(spark, out_path, (
+            -1, "phase0_done", n_terms, n_post, 0, 0,
+            snapshot, attempt, int((time.perf_counter() - t0) * 1000), _now(),
+        ))
+
+    doc_lens = spark.read.parquet(f"{out_path}/doc_lens")
+    stats = spark.read.parquet(f"{out_path}/stats")
+
+    # ---------------- phase 1: per-batch pack with checkpoints
+    todo = pending_batches(spark, out_path, n_batches, snapshot)
+    if max_batches_this_run is not None:
+        todo = todo[:max_batches_this_run]
+
+    ran: list[int] = []
+    for b in todo:
+        t0 = time.perf_counter()
+        batch_postings = spark.read.parquet(f"{out_path}/postings_logical") \
+            .filter(F.col("batch") == b).drop("batch")
+        packed = pack_postings(batch_postings, doc_lens, stats, doc_shard_size, block_size)
+        packed.persist()
+        try:
+            packed.write.partitionBy("term_bucket").mode("overwrite").parquet(
+                f"{out_path}/postings/batch={b}"
+            )
+            c = packed.agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+                F.count("*").alias("n_blocks"),
+                F.coalesce(
+                    F.sum(F.length("doc_gaps") + F.length("tfs") + F.length("dls") + F.length("positions")),
+                    F.lit(0),
+                ).alias("bytes_written"),
+            ).collect()[0]
+        finally:
+            packed.unpersist()
+        _append_manifest(spark, out_path, (
+            b, "done", c["n_terms"], c["n_postings"], c["n_blocks"],
+            c["bytes_written"], snapshot, attempt,
+            int((time.perf_counter() - t0) * 1000), _now(),
+        ))
+        ran.append(b)
+
+    # ---------------- finalize (idempotent): dictionary with upper bounds
+    remaining = pending_batches(spark, out_path, n_batches, snapshot)
+    if not remaining:
+        packed_all = spark.read.parquet(f"{out_path}/postings")
+        dict_base = spark.read.parquet(f"{out_path}/dictionary_base")
+        dictionary_with_max_score(dict_base, packed_all, stats).write.mode("overwrite").parquet(
+            f"{out_path}/dictionary"
+        )
+
+    m = read_manifest(spark, out_path).filter(
+        (F.col("input_snapshot") == snapshot) & (F.col("status") == "done")
+    )
+    counters = m.agg(
+        F.sum("n_postings").alias("n_postings"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.sum("bytes_written").alias("payload_bytes"),
+        F.count("*").alias("batches_done"),
+    ).collect()[0].asDict()
+    return {"batches_run": ran, "complete": not remaining, "counters": counters}

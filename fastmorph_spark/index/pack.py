@@ -19,13 +19,22 @@ Design (see constants.DOC_SHARD_SIZE): the salt is the DOC-ID RANGE SHARD.
 
 Block schema (one row per block, SURVEY.md §1.3 postings_packed):
   term, doc_shard, block_seq, n_docs, first_doc, max_doc,
-  block_max_score, doc_gaps(bin), tfs(bin), dls(bin), positions(bin),
+  block_max_impact, doc_gaps(bin), tfs(bin), dls(bin), positions(bin),
   term_bucket
 
 `dls` (per-posting doc lengths, varbyte) makes blocks self-contained for
 exact BM25 at query time — no doc_lens join inside the WAND kernel. It is
 the exactness-preserving analog of the quantized impact scores real
 engines precompute; ~1 byte/posting.
+
+`block_max_impact` is the IDF-FREE part of BM25:
+    impact(tf, dl) = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    score(t, d)    = idf(t) * impact(tf, dl)
+Since idf is constant per term, max(score) = idf * max(impact) — so the
+packer needs only the 1-row global stats broadcast and NO dictionary
+join (a full postings⋈dictionary shuffle at 10^12 scale would dominate
+the build). The WAND kernel multiplies by idf from the (tiny, per-query)
+dictionary lookup.
 """
 
 from __future__ import annotations
@@ -49,6 +58,7 @@ from fastmorph_spark.constants import (
     BM25_B,
     BM25_K1,
     DOC_SHARD_SIZE,
+    N_PACK_BUCKETS,
     N_TERM_BUCKETS,
 )
 from fastmorph_spark.index.varbyte import encode_positions, vb_encode
@@ -60,7 +70,7 @@ PACKED_SCHEMA = StructType([
     StructField("n_docs", IntegerType()),
     StructField("first_doc", LongType()),
     StructField("max_doc", LongType()),
-    StructField("block_max_score", DoubleType()),
+    StructField("block_max_impact", DoubleType()),
     StructField("doc_gaps", BinaryType()),
     StructField("tfs", BinaryType()),
     StructField("dls", BinaryType()),
@@ -68,46 +78,58 @@ PACKED_SCHEMA = StructType([
 ])
 
 
-def _bm25_np(tf: np.ndarray, df: float, n_docs: float, dl: np.ndarray, avgdl: float) -> np.ndarray:
-    """Float64 twin of search.bm25.bm25_score_col (same op order)."""
-    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+def _impact_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """IDF-free BM25 impact; idf * impact reproduces bm25_score_col's
+    float64 result only if multiplied BEFORE anything else — the kernel
+    does idf*(tf*(k1+1)) first, see wand._score_np for the exact op order."""
     tf = tf.astype(np.float64)
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
-    return idf * tf * (BM25_K1 + 1.0) / denom
+    return tf * (BM25_K1 + 1.0) / denom
 
 
 def _make_pack_fn(block_size: int):
     def _pack_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        """One (term, doc_shard) group -> block rows. Bounded memory: a
-        group holds at most doc_shard_size docs regardless of term hotness."""
-        term, doc_shard = key
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        """One (pack_bucket, doc_shard) group -> block rows for MANY terms.
+
+        Coarse groups amortize the per-group Arrow/pandas overhead that
+        dominates with per-term groups (measured 15-20s/batch -> sub-second
+        for the same data). Memory stays bounded: a group holds
+        ~postings(shard)/N_PACK_BUCKETS rows; term hotness is already
+        spread across shards.
+        """
+        _, doc_shard = key
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        df_t = float(pdf["df"].iloc[0])
-        n_docs = float(pdf["n_docs"].iloc[0])
         avgdl = float(pdf["avgdl"].iloc[0])
         positions = pdf["positions"].to_numpy()
-        scores = _bm25_np(tfs, df_t, n_docs, dls, avgdl)
+        impacts = _impact_np(tfs, dls, avgdl)
+
+        # contiguous term runs after the sort
+        starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+        ends = np.concatenate((starts[1:], [terms.size]))
 
         rows = []
-        for seq, lo in enumerate(range(0, doc_ids.size, block_size)):
-            hi = min(lo + block_size, doc_ids.size)
-            d = doc_ids[lo:hi]
-            rows.append({
-                "term": term,
-                "doc_shard": int(doc_shard),
-                "block_seq": seq,
-                "n_docs": int(hi - lo),
-                "first_doc": int(d[0]),
-                "max_doc": int(d[-1]),
-                "block_max_score": float(scores[lo:hi].max()),
-                "doc_gaps": vb_encode(np.concatenate((d[:1], np.diff(d))).astype(np.uint64)),
-                "tfs": vb_encode(tfs[lo:hi].astype(np.uint64)),
-                "dls": vb_encode(dls[lo:hi].astype(np.uint64)),
-                "positions": encode_positions([np.asarray(p, dtype=np.uint64) for p in positions[lo:hi]]),
-            })
+        for rs, re_ in zip(starts, ends):
+            term = terms[rs]
+            for seq, lo in enumerate(range(rs, re_, block_size)):
+                hi = min(lo + block_size, re_)
+                d = doc_ids[lo:hi]
+                rows.append((
+                    term,
+                    int(doc_shard),
+                    seq,
+                    int(hi - lo),
+                    int(d[0]),
+                    int(d[-1]),
+                    float(impacts[lo:hi].max()),
+                    vb_encode(np.concatenate((d[:1], np.diff(d))).astype(np.uint64)),
+                    vb_encode(tfs[lo:hi].astype(np.uint64)),
+                    vb_encode(dls[lo:hi].astype(np.uint64)),
+                    encode_positions([np.asarray(p, dtype=np.uint64) for p in positions[lo:hi]]),
+                ))
         return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
     return _pack_group
@@ -115,26 +137,27 @@ def _make_pack_fn(block_size: int):
 
 def pack_postings(
     postings: DataFrame,
-    doc_lens: DataFrame,
-    dictionary: DataFrame,
+    doc_lens: DataFrame | None,
     stats: DataFrame,
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
     """Logical postings -> packed blocks.
 
-    Plan at scale: postings⋈doc_lens is the only big join (both keyed on
-    doc_id); dictionary df and the 1-row stats broadcast; then ONE shuffle
-    on (term, doc_shard) — the salted repartition — into the Arrow packer.
+    Plan at scale: postings⋈doc_lens (both keyed on doc_id) is the ONLY
+    join — pass doc_lens=None if postings already carry a `dl` column
+    (the resumable build materializes it once); the 1-row stats broadcast;
+    then ONE shuffle on (term, doc_shard) — the salted repartition — into
+    the Arrow packer. No dictionary join: block maxima are idf-free.
     """
+    enriched = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
     enriched = (
-        postings
-        .join(doc_lens, "doc_id")
-        .join(F.broadcast(dictionary.select("term", "df")), "term")
-        .crossJoin(F.broadcast(stats))
+        enriched
+        .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn("doc_shard", (F.col("doc_id") / F.lit(doc_shard_size)).cast("int"))
+        .withColumn("pack_bucket", F.pmod(F.xxhash64("term"), F.lit(N_PACK_BUCKETS)).cast("int"))
     )
-    packed = enriched.groupBy("term", "doc_shard").applyInPandas(
+    packed = enriched.groupBy("pack_bucket", "doc_shard").applyInPandas(
         _make_pack_fn(block_size), PACKED_SCHEMA
     )
     return packed.withColumn(
@@ -142,10 +165,19 @@ def pack_postings(
     )
 
 
-def dictionary_with_max_score(dictionary: DataFrame, packed: DataFrame) -> DataFrame:
-    """Attach WAND upper bounds: max_score(term) = max over blocks.
-    Free: derived from block metadata, no extra corpus pass."""
-    ub = packed.groupBy("term").agg(F.max("block_max_score").alias("max_score"))
-    return dictionary.join(ub, "term", "left").select(
-        "term", "df", "cf", F.coalesce("max_score", F.lit(0.0)).alias("max_score")
+def dictionary_with_max_score(dictionary: DataFrame, packed: DataFrame, stats: DataFrame) -> DataFrame:
+    """Attach WAND upper bounds: max_score(term) = idf(term) * max impact
+    over blocks. Free: derived from block metadata, no extra corpus pass."""
+    ub = packed.groupBy("term").agg(F.max("block_max_impact").alias("max_impact"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        dictionary.join(ub, "term", "left")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term", "df", "cf",
+            (idf * F.coalesce("max_impact", F.lit(0.0))).alias("max_score"),
+            F.coalesce("max_impact", F.lit(0.0)).alias("max_impact"),
+        )
     )

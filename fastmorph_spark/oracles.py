@@ -66,8 +66,8 @@ s AS (
   SELECT m.doc_id,
          sum(
            ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-           * m.tf * ({k1} + 1.0)
-           / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
          )::DOUBLE AS score
   FROM m
   JOIN dft USING (term)
@@ -201,8 +201,8 @@ s AS (
   SELECT m.doc_id,
          sum(
            ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-           * m.tf * ({k1} + 1.0)
-           / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
          )::DOUBLE AS score
   FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN gs
   GROUP BY m.doc_id

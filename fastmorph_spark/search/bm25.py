@@ -46,11 +46,17 @@ def sum_term_scores(scored: DataFrame, id_col: str = "doc_id",
 
 
 def bm25_score_col(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Column) -> Column:
-    """The one canonical BM25 formula, as a float64 column expression."""
+    """The one canonical BM25 formula, as a float64 column expression.
+
+    Pinned parenthesization: score = idf * (tf*(k1+1) / denom) — the
+    idf-free factor ("impact") is what the packed index stores as its
+    block maxima, so EVERY path (expression, SQL oracle, Python oracle,
+    WAND kernel) must multiply idf LAST for bit-identical float64.
+    """
     idf = F.log(F.lit(1.0) + (n_docs.cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5)))
     tf_d = tf.cast("double")
     denom = tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl.cast("double") / avgdl)
-    return idf * tf_d * F.lit(BM25_K1 + 1.0) / denom
+    return idf * (tf_d * F.lit(BM25_K1 + 1.0) / denom)
 
 
 def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"):

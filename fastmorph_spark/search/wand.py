@@ -51,8 +51,9 @@ TOPK_SCHEMA = StructType([
 
 
 def _score_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    # pinned parenthesization idf * (impact) — see bm25_score_col docstring
     tf = tf.astype(np.float64)
-    return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+    return idf * (tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)))
 
 
 def _topk_merge(cand_docs: np.ndarray, cand_scores: np.ndarray, k: int,
@@ -78,7 +79,9 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
         t_ids = pdf["term"].map(t_index).to_numpy(dtype=np.int64)
         firsts = pdf["first_doc"].to_numpy(dtype=np.int64)
         maxes = pdf["max_doc"].to_numpy(dtype=np.int64)
-        bmax = pdf["block_max_score"].to_numpy(dtype=np.float64)
+        idf_arr = np.array([term_meta[t][0] for t in terms], dtype=np.float64)
+        # block max SCORE = idf(term) * stored idf-free block max impact
+        bmax = idf_arr[t_ids] * pdf["block_max_impact"].to_numpy(dtype=np.float64)
         gaps_col = pdf["doc_gaps"].to_numpy()
         tfs_col = pdf["tfs"].to_numpy()
         dls_col = pdf["dls"].to_numpy()
@@ -198,7 +201,7 @@ def search_wand(
     blocks = index.postings.filter(
         F.col("term_bucket").isin(_term_buckets(list(term_meta)))
         & F.col("term").isin(list(term_meta))
-    ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_score",
+    ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_impact",
              "doc_gaps", "tfs", "dls")
 
     kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune)

@@ -1,0 +1,107 @@
+"""spark-submit entry point: build the inverted index over a corpus.
+
+Usage (BASELINE.md measurement protocol):
+  spark-submit --master local[8]  --py-files dist/fts.zip jobs/build_index.py \
+      --in synth:200000 --out /tmp/idx8 --report BENCH/run_n.json
+  spark-submit --master local[32] --py-files dist/fts.zip jobs/build_index.py \
+      --in /path/to/corpus_parquet --out /tmp/idx32
+
+--in accepts:
+  synth:N           deterministic skewed synthetic corpus, N docs (FIXTURES.md §3)
+  docs:<sf_dir>     driver documents fixture directory
+  <path|table>      contract corpus (repo,path,commit,lang,content) via read_corpus
+
+Throughput = n_docs / wall_seconds of the build only (excludes session
+startup), reported to --report as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="inp", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--shard-size", type=int, default=None)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse completed batches from a prior run (default: fresh overwrite)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from fastmorph_spark.constants import DOC_SHARD_SIZE
+    from fastmorph_spark.index.manifest import build_index_resumable
+    from fastmorph_spark.sources import read_corpus, read_documents, synth_corpus
+
+    spark = SparkSession.builder.appName("fastmorph-build-index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.inp.startswith("synth:"):
+        n = int(args.inp.split(":", 1)[1])
+        corpus = synth_corpus(spark, n)
+        text_col, id_col = "content", "doc_id"
+    elif args.inp.startswith("docs:"):
+        corpus = read_documents(spark, args.inp.split(":", 1)[1])
+        text_col, id_col = "text", "doc_id"
+    else:
+        from fastmorph_spark.sources import with_doc_ids
+
+        corpus = with_doc_ids(read_corpus(spark, args.inp))
+        text_col, id_col = "content", "doc_id"
+
+    if args.inp.startswith("synth:"):
+        # materialize generation once so the measured build excludes it
+        gen_path = f"{args.out}_corpus"
+        corpus.write.mode("overwrite").parquet(gen_path)
+        corpus = spark.read.parquet(gen_path)
+
+    if not args.resume:
+        # fresh run: clear any prior checkpoints at this path
+        import shutil
+
+        shutil.rmtree(args.out, ignore_errors=True)
+
+    n_docs = corpus.count()
+    shard = args.shard_size or min(DOC_SHARD_SIZE, max(1024, n_docs // 64))
+
+    t0 = time.perf_counter()
+    result = build_index_resumable(
+        spark, corpus, args.out, input_path=args.inp,
+        text_col=text_col, id_col=id_col,
+        n_batches=args.batches, doc_shard_size=shard, block_size=args.block_size,
+    )
+    wall = time.perf_counter() - t0
+
+    cores = spark.sparkContext.defaultParallelism
+    report = {
+        "input": args.inp,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "cores": cores,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "batches_run": result["batches_run"],
+        "complete": result["complete"],
+        "counters": {k: (int(v) if v is not None else 0) for k, v in result["counters"].items()},
+    }
+    print(json.dumps(report))
+    if args.report:
+        os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

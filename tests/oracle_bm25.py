@@ -52,7 +52,9 @@ class OracleIndex:
             if tf == 0:
                 continue
             dl = self.dl[doc_id]
-            s += self.idf(t) * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            # pinned parenthesization: idf * (impact) — must match every
+            # engine path bit-for-bit (see bm25_score_col docstring)
+            s += self.idf(t) * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
         return s
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:

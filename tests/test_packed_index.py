@@ -112,6 +112,7 @@ def _kernel_vs_bruteforce(n_docs: int, vocab: int, seed: int, k: int = 10):
     q = " ".join(qterms)
 
     # pack blocks by hand (block size 4 to force many segments)
+    from fastmorph_spark.index.pack import _impact_np
     from fastmorph_spark.index.varbyte import vb_encode
 
     rows = []
@@ -122,15 +123,12 @@ def _kernel_vs_bruteforce(n_docs: int, vocab: int, seed: int, k: int = 10):
         ds = np.array(sorted(plist), dtype=np.int64)
         tfs = np.array([len(plist[d]) for d in ds], dtype=np.int64)
         dls = np.array([oracle.dl[d] for d in ds], dtype=np.int64)
-        idf = oracle.idf(t)
-        from fastmorph_spark.search.wand import _score_np
-
-        scores = _score_np(tfs, dls, idf, oracle.avgdl)
+        impacts = _impact_np(tfs, dls, oracle.avgdl)
         for lo in range(0, ds.size, 4):
             hi = min(lo + 4, ds.size)
             rows.append({
                 "term": t, "first_doc": int(ds[lo]), "max_doc": int(ds[hi - 1]),
-                "block_max_score": float(scores[lo:hi].max()),
+                "block_max_impact": float(impacts[lo:hi].max()),
                 "doc_gaps": vb_encode(np.concatenate((ds[lo:lo+1], np.diff(ds[lo:hi]))).astype(np.uint64)),
                 "tfs": vb_encode(tfs[lo:hi].astype(np.uint64)),
                 "dls": vb_encode(dls[lo:hi].astype(np.uint64)),
