@@ -83,7 +83,10 @@ def write_index(
     idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size)
     idx.postings.persist()
     try:
-        idx.postings.write.partitionBy("term_bucket").mode(mode).parquet(f"{out_path}/postings")
+        from fastmorph_spark.constants import N_TERM_BUCKETS
+
+        idx.postings.repartition(N_TERM_BUCKETS, "term_bucket") \
+            .write.partitionBy("term_bucket").mode(mode).parquet(f"{out_path}/postings")
         idx.dictionary.write.mode(mode).parquet(f"{out_path}/dictionary")
         idx.docs.write.mode(mode).parquet(f"{out_path}/docs")
         idx.doc_lens.write.mode(mode).parquet(f"{out_path}/doc_lens")

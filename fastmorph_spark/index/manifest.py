@@ -141,11 +141,10 @@ def build_index_resumable(
         dl_read = spark.read.parquet(f"{out_path}/doc_lens")
         global_stats(dl_read).write.mode("overwrite").parquet(f"{out_path}/stats")
         build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
-        # record phase 0 with its own counters + the batch width in lineage
-        n_post = pm.count()
-        n_terms = spark.read.parquet(f"{out_path}/dictionary_base").count()
+        # record phase 0 (term/posting totals are aggregated from the
+        # per-batch counters later — no extra count jobs here)
         _append_manifest(spark, out_path, (
-            -1, "phase0_done", n_terms, n_post, 0, 0,
+            -1, "phase0_done", 0, 0, 0, 0,
             snapshot, attempt, int((time.perf_counter() - t0) * 1000), _now(),
         ))
 
@@ -165,9 +164,15 @@ def build_index_resumable(
         packed = pack_postings(batch_postings, doc_lens, stats, doc_shard_size, block_size)
         packed.persist()
         try:
-            packed.write.partitionBy("term_bucket").mode("overwrite").parquet(
-                f"{out_path}/postings/batch={b}"
-            )
+            # co-locate each term_bucket in one task before partitionBy:
+            # otherwise every reduce task writes a file into every bucket
+            # dir (tasks × buckets tiny files)
+            from fastmorph_spark.constants import N_TERM_BUCKETS
+
+            packed.repartition(N_TERM_BUCKETS, "term_bucket") \
+                .write.partitionBy("term_bucket").mode("overwrite").parquet(
+                    f"{out_path}/postings/batch={b}"
+                )
             c = packed.agg(
                 F.countDistinct("term").alias("n_terms"),
                 F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),

@@ -1,0 +1,230 @@
+"""Deduplication operators over the documents corpus.
+
+Four families, each Spark-first and oracle-checkable:
+
+- exact_duplicates:   sha256 hash-groupBy (one shuffle, map-side partial)
+- ngram_jaccard_pairs: n-gram shingle sets -> inverted shingle join ->
+                      per-pair intersection counts -> Jaccard (the join
+                      enumerates only CO-SHINGLED pairs, never the n²)
+- minhash_lsh_pairs:  MinHash signatures banded into LSH buckets; bucket
+                      join proposes candidates, exact Jaccard verifies.
+                      Hash family = md5(i || '_' || shingle) — engine-
+                      agnostic (identical strings in Spark and DuckDB),
+                      deterministic, no RNG.
+- simhash64:          64-bit SimHash fingerprint per doc from md5 bits of
+                      shingles (near-dup = small Hamming distance).
+
+Scale notes: every operator is shuffle-bounded by the shingle/bucket
+join, never by pairwise comparison; hot shingles (stop-phrases) can be
+df-capped before the join (shingle_df_cap) exactly like hot terms in the
+index build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastmorph_spark.tokenize import tokenize_expr
+
+
+def _shingles(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokenize_expr(text_col)
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    out = out.withColumn("n_tok", F.size("t")).filter(F.col("n_tok") >= n)
+    idx = F.sequence(F.lit(0), F.col("n_tok") - n)
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+    )
+    return out.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (content_sha256, dup_count, doc_ids).
+    doc_ids sorted ascending for determinism."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_df_cap: int | None = None,
+) -> DataFrame:
+    """Doc pairs (a < b) with n-gram Jaccard >= threshold.
+
+    Inverted-shingle self-join: pairs sharing >=1 shingle get their
+    intersection counted in one aggregation; set sizes come from a
+    broadcast-joined per-doc count. No n² comparison; a pair is compared
+    once per SHARED shingle (the aggregation dedupes).
+    """
+    sh = _shingles(df, n, text_col, id_col)
+    if shingle_df_cap is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > shingle_df_cap).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || '_' || shingle). String-min MinHash: deterministic, identical
+    in any engine with md5, no RNG, no integer-hash mismatch risk."""
+    sh = _shingles(df, n, text_col, id_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with EXACT Jaccard.
+
+    bands of rows r = num_hashes/bands; a pair lands in a bucket iff one
+    band's rows all match (P ≈ 1-(1-j^r)^bands). Exact verification keeps
+    the output deterministic and threshold-exact — LSH only prunes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("|", *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify: intersection of shingle sets for candidates only
+    sh = _shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long in
+                   # Spark AND DuckDB (engine-agnostic oracle arithmetic)
+
+
+def simhash(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash: long) — 60-bit SimHash over n-gram shingles.
+
+    Bit b of md5(shingle) votes +1/-1; the fingerprint sets bit b iff the
+    vote sum is positive. Pure column expressions (conv + shiftright), no
+    UDF, codegen'd end to end. Near-duplicates differ in few bits
+    (Hamming distance)."""
+    sh = _shingles(df, n, text_col, id_col)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    sh = sh.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    total = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        total = total + F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", total.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 8, n: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs (a < b) whose SimHashes differ in <= max_hamming bits.
+
+    Candidate generation: split the fingerprint into (max_hamming+1)
+    bit-bands — a pair within the Hamming radius must agree exactly on at
+    least one band (pigeonhole), so the band-equality self-join proposes
+    all true pairs; bit_count verifies exactly. No n² scan."""
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands + (1 if SIMHASH_BITS % bands else 0)
+    sh = simhash(df, n, text_col, id_col)
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            (F.shiftright(F.col("simhash"), i * width) % F.lit(2 ** width)).alias("key"),
+        )
+        for i in range(bands)
+    ])
+    bk = sh.select("doc_id", "simhash", F.explode(band_cols).alias("b")) \
+        .select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming.cast("int")) \
+        .filter(F.col("hamming") <= max_hamming) \
+        .select("doc_a", "doc_b", "hamming")

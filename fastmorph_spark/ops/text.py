@@ -1,0 +1,104 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (whole-stage codegen;
+zero Python on the hot path) and all DuckDB-expressible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.tokenize import tokenize_expr
+
+# tiny deterministic stopword lists per language (heuristic lang-ID);
+# shared verbatim with the DuckDB oracle (oracles_ops.py)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "les"),
+    "es": ("el", "la", "de", "y", "un", "una", "es", "los"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu", "den"),
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars_engine): whitespace/regex
+    token counting + distinct count per doc."""
+    toks = tokenize_expr(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_engine"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score:
+    - mean token length, alpha ratio (alnum chars / chars),
+    - stopword ratio (en list), distinct-token ratio,
+    - composite: 0.25*each, clamped ratios. Deterministic arithmetic."""
+    toks = tokenize_expr(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9_]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_len = F.when(n_tok > 0, alpha_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok).otherwise(F.lit(0.0))
+    mean_len_norm = F.least(mean_len / F.lit(8.0), F.lit(1.0))
+    comp = (mean_len_norm + alpha_ratio + stop_ratio + distinct_ratio) / F.lit(4.0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(mean_len, SCORE_DECIMALS).alias("mean_token_len"),
+        F.round(alpha_ratio, SCORE_DECIMALS).alias("alpha_ratio"),
+        F.round(stop_ratio, SCORE_DECIMALS).alias("stopword_ratio"),
+        F.round(distinct_ratio, SCORE_DECIMALS).alias("distinct_ratio"),
+        F.round(comp, SCORE_DECIMALS).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: per language, count tokens in its list;
+    argmax with deterministic tie-break (higher count, then language code
+    ascending); 'und' when no votes."""
+    toks = tokenize_expr(text_col)
+    langs = sorted(LANG_STOPWORDS)
+
+    def _votes(lang: str):
+        stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        # single-arg lambda only: pyspark treats a 2-param lambda (incl.
+        # default args) as (element, index) and passes a Column as index
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(f"v_{lang}")
+
+    votes = [_votes(lang) for lang in langs]
+    d = df.select(F.col(id_col).alias("doc_id"), *votes)
+    # argmax via struct max: (votes, negated-lang-rank) — lang asc on ties
+    packed = F.array(*[
+        F.struct(F.col(f"v_{lang}").alias("v"), F.lit(-i).alias("nr"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(packed)
+    return d.select(
+        "doc_id",
+        F.when(best["v"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["v"].cast("long").alias("votes"),
+    )
+
+
+def fingerprint(df: DataFrame, n: int = 5, keep: int = 4,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style document fingerprint: the `keep` lexicographically
+    smallest md5 hashes of word n-gram shingles, joined with '|'. Robust
+    to local edits; equal fingerprints => near-identical docs."""
+    toks = tokenize_expr(text_col)
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    d = d.withColumn("n_tok", F.size("t"))
+    idx = F.sequence(F.lit(0), F.greatest(F.col("n_tok") - n, F.lit(0)))
+    hashes = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))))
+    smallest = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    return d.filter(F.col("n_tok") >= n).select(
+        "doc_id", F.concat_ws("|", smallest).alias("fingerprint")
+    )

@@ -1,0 +1,252 @@
+"""DuckDB oracle SQL for the training-data operators (ops/*).
+
+Mirrors fastmorph_spark.ops semantics exactly: same tokenizer fragment,
+same md5-based hash families, same rounding, same tie-breaks.
+"""
+
+from __future__ import annotations
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.oracles import TOK
+from fastmorph_spark.ops.text import LANG_STOPWORDS
+
+R = SCORE_DECIMALS
+
+_TOKS = TOK.format(col="text")
+
+
+def _shingles_cte(n: int) -> str:
+    """docs -> (doc_id, shingle) distinct word n-grams."""
+    return f"""
+docs AS (SELECT doc_id, text FROM documents),
+tokarr AS (SELECT doc_id, {_TOKS} AS t FROM docs),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(len(t) - {n} + 1), i -> array_to_string(t[i+1:i+{n}], ' '))
+  )) AS shingle
+  FROM tokarr WHERE len(t) >= {n}
+)"""
+
+
+def exact_duplicates_sql() -> str:
+    return """
+SELECT sha256(text) AS content_sha256,
+       count(*)::BIGINT AS dup_count,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM documents
+GROUP BY sha256(text)
+HAVING count(*) > 1
+"""
+
+
+def token_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len({_TOKS})::BIGINT AS n_tokens,
+       len(list_distinct({_TOKS}))::BIGINT AS n_distinct,
+       length(text)::BIGINT AS n_chars_engine
+FROM documents
+"""
+
+
+def quality_score_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {_TOKS} AS t,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g'))::DOUBLE AS alpha_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t)::DOUBLE AS n_tok,
+         alpha_chars, n_chars,
+         len(list_filter(t, x -> list_contains([{stop}], x)))::DOUBLE AS n_stop,
+         len(list_distinct(t))::DOUBLE AS n_dist
+  FROM base
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok > 0 THEN alpha_chars / n_tok ELSE 0.0 END, {R}) AS mean_token_len,
+       round(CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END, {R}) AS alpha_ratio,
+       round(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END, {R}) AS stopword_ratio,
+       round(CASE WHEN n_tok > 0 THEN n_dist / n_tok ELSE 0.0 END, {R}) AS distinct_ratio,
+       round((least(CASE WHEN n_tok > 0 THEN alpha_chars / n_tok ELSE 0.0 END / 8.0, 1.0)
+              + CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END
+              + CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END
+              + CASE WHEN n_tok > 0 THEN n_dist / n_tok ELSE 0.0 END) / 4.0, {R}) AS quality
+FROM feat
+"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    vote_cols = []
+    for lang in langs:
+        stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        vote_cols.append(
+            f"len(list_filter(t, x -> list_contains([{stop}], x)))::BIGINT AS v_{lang}"
+        )
+    votes_sql = ",\n         ".join(vote_cols)
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, v_{lang} AS v FROM votes" for lang in langs
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+votes AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM base
+),
+long_v AS ({unions}),
+ranked AS (
+  SELECT doc_id, lang, v,
+         row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, lang ASC) AS rn
+  FROM long_v
+)
+SELECT doc_id,
+       CASE WHEN v > 0 THEN lang ELSE 'und' END AS lang_pred,
+       v AS votes
+FROM ranked WHERE rn = 1
+"""
+
+
+def fingerprint_sql(n: int = 5, keep: int = 4) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tokarr AS (SELECT doc_id, {_TOKS} AS t FROM docs),
+h AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(len(t) - {n} + 1),
+                          i -> md5(array_to_string(t[i+1:i+{n}], ' ')))
+         )) AS hs
+  FROM tokarr WHERE len(t) >= {n}
+)
+SELECT doc_id, array_to_string(hs[1:{keep}], '|') AS fingerprint FROM h
+"""
+
+
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH {_shingles_cte(n)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), {R}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""
+
+
+def minhash_lsh_pairs_sql(n: int = 3, num_hashes: int = 16, bands: int = 4,
+                          threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    min_cols = ",\n         ".join(
+        f"min(md5('{i}_' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=bi)
+        + " || '|' || ".join(f"h{bi * r + j}" for j in range(r))
+        + " AS key FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+WITH {_shingles_cte(n)},
+sigs AS (
+  SELECT doc_id,
+         {min_cols}
+  FROM sh GROUP BY doc_id
+),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), {R}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""
+
+
+def simhash_sql(n: int = 2, bits: int = 60) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    total = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH {_shingles_cte(n)},
+hh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id, ({total})::BIGINT AS simhash FROM votes
+"""
+
+
+def simhash_neardup_sql(n: int = 2, max_hamming: int = 8) -> str:
+    """Brute-force pairs within the Hamming radius — the banded Spark path
+    is exhaustive by the pigeonhole argument, so results must be equal."""
+    inner = simhash_sql(n).strip()
+    return f"""
+WITH sims AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def cosine_neardup_sql(threshold: float) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), {R}) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+"""
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    qs = ", ".join(repr(float(x)) for x in query_vec)
+    return f"""
+WITH q AS (SELECT [{qs}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+       vec_id, round(cos, {R}) AS cos
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""

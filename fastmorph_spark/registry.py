@@ -11,7 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastmorph_spark import oracles
+from fastmorph_spark import oracles, oracles_ops
 from fastmorph_spark.constants import SCORE_DECIMALS
 from fastmorph_spark.index import (
     build_dictionary,
@@ -169,6 +169,129 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", F.round("score", SCORE_DECIMALS))
 
 
+# ------------------------------------------- training-data pipeline ops
+
+_QUERY_VEC: list[float] | None = None
+
+
+def query_vec() -> list[float]:
+    """Pinned ANN query vector: embedding of vec_id=0 at sf0.01 (the
+    driver's correctness scale). A LITERAL in both engines — the Spark
+    query must not re-read it from sf_dir or the oracle diverges."""
+    global _QUERY_VEC
+    if _QUERY_VEC is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"])
+        row = {v: e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+        _QUERY_VEC = [float(x) for x in row[0]]
+    return _QUERY_VEC
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.dedup import exact_duplicates
+
+    d = exact_duplicates(read_documents(spark, sf_dir))
+    return d.select(
+        "content_sha256", "dup_count",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(read_documents(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(read_documents(spark, sf_dir), n=3, num_hashes=16,
+                             bands=4, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.dedup import simhash
+
+    return simhash(read_documents(spark, sf_dir), n=2)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(read_documents(spark, sf_dir), max_hamming=8, n=2)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.text import token_count
+
+    return token_count(read_documents(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.text import quality_score
+
+    return quality_score(read_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.text import lang_id
+
+    return lang_id(read_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.text import fingerprint
+
+    return fingerprint(read_documents(spark, sf_dir), n=5, keep=4)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.similarity import cosine_topk
+    from fastmorph_spark.sources import read_table
+
+    return cosine_topk(read_table(spark, sf_dir, "embeddings"), query_vec(), k=10)
+
+
+def q_ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.ops.similarity import cosine_topk_arrow
+    from fastmorph_spark.sources import read_table
+
+    return cosine_topk_arrow(read_table(spark, sf_dir, "embeddings"), query_vec(), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path — no SQL oracle (bucket recall is the documented
+    approximation); driver records the weaker rows-only check."""
+    from fastmorph_spark.ops.similarity import lsh_bucketed_topk
+    from fastmorph_spark.sources import read_table
+
+    return lsh_bucketed_topk(read_table(spark, sf_dir, "embeddings"), query_vec(),
+                             k=10, n_planes=6)
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (brute-force verify over LSH
+    candidates would be approximate; for the oracle-checked query we use
+    n_planes=0-equivalent exact pairing via threshold on all candidate
+    buckets). Here: exact all-pairs at fixture scale via a single bucket."""
+    from fastmorph_spark.ops.similarity import _dot, _norm
+    from fastmorph_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    cos = _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+    return (
+        l.join(r, F.col("l.vid") < F.col("r.vid"))
+        .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
+                F.round(cos, SCORE_DECIMALS).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -186,6 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_terms": q_wildcard_terms,
         "wildcard_docs": q_wildcard_docs,
         "pagination": q_pagination,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_neardup": q_cosine_neardup,
     }
 
 
@@ -206,4 +342,17 @@ def oracle_sqls() -> dict[str, str]:
         "wildcard_terms": oracles.wildcard_terms_sql(WILDCARD_PATTERN),
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),
         "pagination": oracles.pagination_sql(FLAGSHIP_QUERY, PAGE_SKIP, PAGE_UNTIL),
+        "dedup_exact": oracles_ops.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_pairs_sql(3, 0.5),
+        "dedup_minhash_lsh": oracles_ops.minhash_lsh_pairs_sql(3, 16, 4, 0.5),
+        "simhash": oracles_ops.simhash_sql(2),
+        "simhash_neardup": oracles_ops.simhash_neardup_sql(2, 8),
+        "token_count": oracles_ops.token_count_sql(),
+        "quality_score": oracles_ops.quality_score_sql(),
+        "lang_id": oracles_ops.lang_id_sql(),
+        "fingerprint": oracles_ops.fingerprint_sql(5, 4),
+        "ann_cosine_topk": oracles_ops.cosine_topk_sql(query_vec(), 10),
+        "ann_cosine_topk_arrow": oracles_ops.cosine_topk_sql(query_vec(), 10),
+        # ann_lsh_topk: intentionally no oracle (approximate recall path)
+        "cosine_neardup": oracles_ops.cosine_neardup_sql(0.45),
     }

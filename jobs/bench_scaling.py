@@ -1,0 +1,110 @@
+"""M5 — the two-cluster-size scaling evidence (BASELINE.md protocol).
+
+A real multi-executor cluster is unavailable in this sandbox; per the
+driver's instruction the N->4N executor criterion is evidenced by running
+the SAME spark-submit index-build job on the SAME pre-generated corpus at
+two parallelism levels (local[8] vs local[32]), reporting throughput at
+both plus eff = (thr_32 / thr_8) / 4.
+
+Usage:
+  python jobs/bench_scaling.py --docs 100000 --runs 2 --out BENCH
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(master: str, shuffle_parts: int, corpus: str, out: str, report: str,
+                  batches: int) -> dict:
+    cmd = [
+        "spark-submit", "--master", master,
+        "--driver-memory", "8g",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", os.path.join(REPO, "dist/fts.zip"),
+        os.path.join(REPO, "jobs/build_index.py"),
+        "--in", corpus, "--out", out, "--report", report,
+        "--batches", str(batches),
+    ]
+    subprocess.run(cmd, check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(report) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--runs", type=int, default=2, help="measured runs per level (after 1 discard)")
+    ap.add_argument("--batches", type=int, default=1)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    n_lo, n_hi = (int(x) for x in args.levels.split(","))
+
+    work = tempfile.mkdtemp(prefix="fm_bench_")
+
+    # ---- generate the corpus ONCE (identical bytes for both levels)
+    gen = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys; sys.path.insert(0, {REPO!r})
+from fastmorph_spark.session import get_spark
+from fastmorph_spark.sources import synth_corpus
+spark = get_spark(master="local[{n_hi}]", shuffle_partitions=64, app_name="gen")
+synth_corpus(spark, {args.docs}).repartition(64).write.mode("overwrite").parquet({work!r} + "/corpus")
+print(spark.read.parquet({work!r} + "/corpus").count())
+"""],
+        check=True, capture_output=True, text=True, cwd=REPO,
+    )
+    assert gen.stdout.strip().splitlines()[-1] == str(args.docs)
+
+    results: dict[str, list[dict]] = {}
+    for cores, parts in ((n_lo, 2 * n_lo * 4), (n_hi, 2 * n_hi * 4)):
+        level = f"local[{cores}]"
+        runs = []
+        for i in range(args.runs + 1):  # first run discarded (warm cache)
+            rep = _spark_submit(
+                level, parts, f"{work}/corpus",
+                f"{work}/idx_{cores}_{i}", f"{work}/rep_{cores}_{i}.json",
+                args.batches,
+            )
+            runs.append(rep)
+        results[str(cores)] = runs[1:]
+        # keep one representative raw report per level
+        tag = "n" if cores == n_lo else "4n"
+        with open(os.path.join(args.out, f"run_{tag}.json"), "w") as f:
+            json.dump(runs[1:], f, indent=2)
+
+    thr_lo = statistics.median(r["docs_per_sec"] for r in results[str(n_lo)])
+    thr_hi = statistics.median(r["docs_per_sec"] for r in results[str(n_hi)])
+    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    summary = {
+        "n_docs": args.docs,
+        "levels": {str(n_lo): thr_lo, str(n_hi): thr_hi},
+        "wall_sec": {
+            str(n_lo): statistics.median(r["wall_sec"] for r in results[str(n_lo)]),
+            str(n_hi): statistics.median(r["wall_sec"] for r in results[str(n_hi)]),
+        },
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "runs_per_level": args.runs,
+        "batches": args.batches,
+    }
+    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

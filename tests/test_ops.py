@@ -1,0 +1,172 @@
+"""Training-data ops: dedup / similarity / text analysis / multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastmorph_spark.ops import dedup, multimodal, similarity, text
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Fixture corpus + synthesized exact dups + a near-dup (one token
+    changed) — deterministic."""
+    base = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [10001, 10002, 10003],
+            "text": [None, None, None],
+        }).astype({"doc_id": "int64"}),
+        "doc_id long, text string",
+    )
+    r = base.orderBy("doc_id").limit(2).collect()
+    t0, t1 = r[0]["text"], r[1]["text"]
+    near = t1.replace(t1.split()[0], "zzznear", 1)
+    extra = spark.createDataFrame(
+        [(10001, t0), (10002, t0), (10003, near)], "doc_id long, text string"
+    )
+    return base.unionByName(extra), r[0]["doc_id"], r[1]["doc_id"]
+
+
+def test_exact_duplicates(spark, docs_with_dups):
+    df, d0, _ = docs_with_dups
+    groups = {tuple(r["doc_ids"]): r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
+    assert (d0, 10001, 10002) in groups
+    assert groups[(d0, 10001, 10002)] == 3
+
+
+def test_ngram_jaccard_finds_neardup(spark, docs_with_dups):
+    df, d0, d1 = docs_with_dups
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    # exact dups: jaccard 1.0
+    assert pairs[(d0, 10001)] == 1.0
+    assert pairs[(10001, 10002)] == 1.0
+    # near-dup (one token changed) is found with high-but-<1 jaccard
+    assert (d1, 10003) in pairs and 0.5 <= pairs[(d1, 10003)] < 1.0
+
+
+def test_minhash_lsh_recall_on_neardups(spark, docs_with_dups):
+    """LSH candidates must cover every pair the exhaustive jaccard finds
+    at the threshold (banding params chosen for recall at tau=0.5)."""
+    df, *_ = docs_with_dups
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(df, 3, 0.5).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(df, 3, 16, 4, 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_hamming_small_for_neardup(spark, docs_with_dups):
+    df, d0, d1 = docs_with_dups
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, n=2).collect()}
+    assert sh[d0] == sh[10001] == sh[10002]  # identical docs -> identical simhash
+    ham = bin(sh[d1] ^ sh[10003]).count("1")
+    assert ham <= 12  # near-dup -> small Hamming distance
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_neardup_pairs(df, max_hamming=12, n=2).collect()}
+    assert pairs[(d0, 10001)] == 0
+    assert (d1, 10003) in pairs
+
+
+def test_simhash_banding_is_exhaustive(spark, docs_with_dups):
+    """Banded candidate generation == brute force (pigeonhole)."""
+    df, *_ = docs_with_dups
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, n=2).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 8
+    }
+    banded = {(r["doc_a"], r["doc_b"]): r["hamming"]
+              for r in dedup.simhash_neardup_pairs(df, max_hamming=8, n=2).collect()}
+    assert banded == brute
+
+
+def test_cosine_topk_exact_vs_arrow(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    a = similarity.cosine_topk(emb, [float(x) for x in q], k=10).collect()
+    b = similarity.cosine_topk_arrow(emb, [float(x) for x in q], k=10).collect()
+    assert [(r["rank"], r["vec_id"], r["cos"]) for r in a] == \
+           [(r["rank"], r["vec_id"], r["cos"]) for r in b]
+    assert a[0]["vec_id"] == 3 and abs(a[0]["cos"] - 1.0) < 1e-6  # self-match first
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = m[list(ids).index(7)]
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    exp = list(ids[order])
+    got = [r["vec_id"] for r in similarity.cosine_topk(emb, list(q), k=10).collect()]
+    assert got == exp
+
+
+def test_lsh_bucketed_topk_self_recall(spark):
+    """The query vector's own bucket must contain the query vector —
+    top-1 of the bucketed search vs itself is exact."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    got = similarity.lsh_bucketed_topk(emb, q, k=5, n_planes=6).collect()
+    assert got and got[0]["vec_id"] == 11
+
+
+def test_text_ops_basic(spark):
+    df = spark.createDataFrame(
+        [(0, "The the THE cat."), (1, ""), (2, "le la de et un une est les oui")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_distinct"]) for r in text.token_count(df).collect()}
+    assert tc[0] == (4, 2) and tc[1] == (0, 0)
+    li = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert li[0] == "en" and li[1] == "und" and li[2] == "fr"
+    qs = {r["doc_id"]: r["quality"] for r in text.quality_score(df).collect()}
+    assert qs[1] == 0.0 and 0 < qs[0] <= 1.0
+
+
+def test_fingerprint_stability(spark):
+    """Fingerprint survives a tail edit (winnowing keeps smallest hashes)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    df = spark.createDataFrame(
+        [(0, base + " tailword"), (1, base + " othertail"), (2, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprint"].split("|")) for r in text.fingerprint(df, n=5, keep=4).collect()}
+    # a local tail edit keeps most of the smallest shingle hashes
+    assert len(fp[0] & fp[1]) >= 3
+    # unrelated docs share nothing
+    assert not (fp[0] & fp[2])
+    # identical input -> identical fingerprint (determinism)
+    again = {r["doc_id"]: set(r["fingerprint"].split("|")) for r in text.fingerprint(df, n=5, keep=4).collect()}
+    assert again == fp
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media, decode="fake", dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feat"]) == 16 and all(0.0 <= x <= 1.0 for x in r["feat"])
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    # deterministic: same media id -> same features
+    again = multimodal.extract_features(media, decode="fake", dim=16).collect()
+    assert sorted((r["media_id"], tuple(r["feat"])) for r in feats) == \
+           sorted((r["media_id"], tuple(r["feat"])) for r in again)
+    # real decode is an explicit stub
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+    # frame sampling plan: JVM-only, right cardinality
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    one = media.filter("kind = 'video'").first()
+    n = plan.filter(F.col("media_id") == one["media_id"]).count()
+    assert n == len(range(0, max(one["duration_ms"] - 1, 0) + 1, 500))
