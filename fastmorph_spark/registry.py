@@ -292,6 +292,115 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- relational / window / JSON fixture coverage
+# (SURVEY.md §2.4 A7, §2.5, §2.7 W4, §2.3 T7 — exercised on the TPC-H-ish
+# driver fixtures so the generic operator surface is oracle-checked too)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation over lineitem (partial+final hash agg)."""
+    from fastmorph_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), SCORE_DECIMALS).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer ⋈ orders ⋈ lineitem) + agg + deterministic
+    top-10; the customer side is broadcast-sized."""
+    from fastmorph_spark.sources import read_table
+
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (W1): top-3 customers by acctbal per nation."""
+    from pyspark.sql import Window
+
+    from fastmorph_spark.sources import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows over the events stream fixture (W4): lag + moving
+    average over the last 3 events per user."""
+    from pyspark.sql import Window
+
+    from fastmorph_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.round(F.avg("value").over(w3), SCORE_DECIMALS).alias("avg3"),
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar ops (T7): extract props.k, aggregate by event_type."""
+    from fastmorph_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("value"), SCORE_DECIMALS).alias("avg_value"),
+        )
+    )
+
+
+def q_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (A7): doc counts by (lang, source) with subtotals."""
+    docs = read_documents(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
+    )
+
+
+def q_corpus_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (O5): en-docs ∪ fr-docs minus docs containing 'dup'."""
+    docs = read_documents(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    fr = docs.filter(F.col("lang") == "fr").select("doc_id")
+    has_dup = docs.filter(F.col("text").rlike(r"(^|[^a-z0-9_])dup([^a-z0-9_]|$)")).select("doc_id")
+    return en.unionByName(fr).exceptAll(has_dup).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -322,6 +431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_neardup": q_cosine_neardup,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_window": q_events_window,
+        "events_json": q_events_json,
+        "rollup_lang_source": q_rollup_lang_source,
+        "corpus_setops": q_corpus_setops,
     }
 
 
@@ -355,4 +471,66 @@ def oracle_sqls() -> dict[str, str]:
         "ann_cosine_topk_arrow": oracles_ops.cosine_topk_sql(query_vec(), 10),
         # ann_lsh_topk: intentionally no oracle (approximate recall path)
         "cosine_neardup": oracles_ops.cosine_neardup_sql(0.45),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders": """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "top_customers_per_nation": """
+WITH r AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, rnk, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM r WHERE rnk <= 3
+""",
+        "events_window": """
+SELECT event_id, user_id,
+       lag(value, 1) OVER w AS prev_value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "events_json": """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY event_type
+""",
+        "rollup_lang_source": """
+SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+""",
+        "corpus_setops": r"""
+WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+fr AS (SELECT doc_id FROM documents WHERE lang = 'fr'),
+has_dup AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(text, '(^|[^a-z0-9_])dup([^a-z0-9_]|$)')
+)
+SELECT doc_id FROM (
+  SELECT doc_id FROM en UNION ALL SELECT doc_id FROM fr
+) EXCEPT ALL SELECT doc_id FROM has_dup
+ORDER BY doc_id
+""",
     }
