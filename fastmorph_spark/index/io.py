@@ -41,10 +41,17 @@ class Index:
     dictionary: DataFrame
     stats: DataFrame
     postings: DataFrame  # packed blocks
+    _stats_row: dict | None = None
+
+    def stats_row(self) -> dict:
+        """(n_docs, avgdl) memoized — one driver round-trip per Index."""
+        if self._stats_row is None:
+            self._stats_row = self.stats.collect()[0].asDict()
+        return self._stats_row
 
     @property
     def n_docs(self) -> int:
-        return self.stats.collect()[0]["n_docs"]
+        return int(self.stats_row()["n_docs"])
 
 
 def build_index_frames(

@@ -179,5 +179,9 @@ def dictionary_with_max_score(dictionary: DataFrame, packed: DataFrame, stats: D
             "term", "df", "cf",
             (idf * F.coalesce("max_impact", F.lit(0.0))).alias("max_score"),
             F.coalesce("max_impact", F.lit(0.0)).alias("max_impact"),
+            # denormalized partition key: the query path learns which
+            # term_bucket files to prune from the SAME dictionary lookup
+            # (saves a driver round-trip per query)
+            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("term_bucket"),
         )
     )

@@ -1,0 +1,86 @@
+"""S5 — the reference query set: loading, dispatch, golden outputs.
+
+fixtures/queries.json IS the reference query set (the reference checkout
+is empty — SURVEY.md §0); tests/oracle_bm25.py defines truth for it.
+
+Dispatch:
+  bm25 (no lang filter)  -> Block-Max WAND over the packed index
+  bm25 + filter_lang     -> expression BM25 (the packed impacts bake in
+                            corpus-global avgdl; the pinned subcorpus
+                            semantics recompute stats over the filtered
+                            set, so the filtered path stays index-free —
+                            a per-lang index is the scale answer and the
+                            layout supports it via a lang partition)
+  and / phrase / prox:d / wildcard -> engine operators on logical postings
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from fastmorph_spark.index.io import Index
+from fastmorph_spark.search import engine
+from fastmorph_spark.search.bm25 import bm25_topk_expression
+from fastmorph_spark.search.wand import search_wand
+from fastmorph_spark.tokenize import tokenize_py
+
+
+def load_query_set(path: str = "fixtures/queries.json") -> list[dict]:
+    with open(path) as f:
+        return json.load(f)["queries"]
+
+
+def run_query(
+    spec: dict,
+    documents: DataFrame,
+    index: Index | None = None,
+    postings: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Execute one query spec; returns the result DataFrame."""
+    mode = spec["mode"]
+    q = spec["query"]
+    k = spec.get("k") or 10
+    lang = spec.get("filter_lang")
+    if mode == "bm25":
+        if lang is None and index is not None:
+            return search_wand(index, q, k=k)
+        return bm25_topk_expression(documents, q, k=k, lang=lang)
+    if mode == "and":
+        return engine.and_search(postings, q)
+    if mode == "phrase":
+        return engine.phrase_search(postings, q)
+    if mode.startswith("prox:"):
+        d = int(mode.split(":", 1)[1])
+        terms = tokenize_py(q)
+        return engine.proximity_search(postings, terms[0], terms[1], 1, d)
+    if mode == "wildcard":
+        return engine.wildcard_terms(dictionary, q)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def run_query_oracle(spec: dict, oracle) -> list:
+    """Pure-Python oracle twin of run_query (rows in engine order)."""
+    mode = spec["mode"]
+    q = spec["query"]
+    k = spec.get("k") or 10
+    lang = spec.get("filter_lang")
+    if mode == "bm25":
+        o = oracle if lang is None else oracle.filtered(lang)
+        return [(d, s) for d, s in o.topk(q, k)]
+    if mode == "and":
+        return oracle.and_docs(q)
+    if mode == "phrase":
+        return oracle.phrase_docs(q)
+    if mode.startswith("prox:"):
+        d = int(mode.split(":", 1)[1])
+        terms = tokenize_py(q)
+        return oracle.proximity_docs(terms[0], terms[1], 1, d)
+    if mode == "wildcard":
+        import re
+
+        pat = re.compile(q.lower().replace("?", "[a-z0-9_]").replace("*", "[a-z0-9_]*") + "$")
+        return sorted(t for t in oracle.postings if pat.match(t))
+    raise ValueError(f"unknown mode {mode!r}")

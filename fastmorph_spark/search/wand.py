@@ -186,7 +186,7 @@ def search_wand(
     drows = index.dictionary.filter(F.col("term").isin(qterms)).collect()
     if not drows:
         return empty
-    srow = index.stats.collect()[0]
+    srow = index.stats_row()
     n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
     term_meta = {
         r["term"]: (
@@ -195,11 +195,17 @@ def search_wand(
         )
         for r in drows
     }
+    # term_bucket rides along in the dictionary (denormalized at build) so
+    # block-scan pruning needs no extra driver round-trip
+    if "term_bucket" in index.dictionary.columns:
+        buckets = sorted({int(r["term_bucket"]) for r in drows})
+    else:
+        buckets = _term_buckets(list(term_meta))
 
     # J2: pruned block scan — partition (term_bucket) + predicate (term) +
     # column pruning (no positions column read)
     blocks = index.postings.filter(
-        F.col("term_bucket").isin(_term_buckets(list(term_meta)))
+        F.col("term_bucket").isin(buckets)
         & F.col("term").isin(list(term_meta))
     ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_impact",
              "doc_gaps", "tfs", "dls")

@@ -31,6 +31,12 @@ def _spark_submit(master: str, shuffle_parts: int, corpus: str, out: str, report
         "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # CPU-heavy-per-byte workload on a small-file corpus: shrink split
+        # and advisory sizes so every stage fans out to all cores (the
+        # 128MB defaults serialize a 50-300MB corpus onto 1-4 tasks)
+        "--conf", "spark.sql.files.maxPartitionBytes=2m",
+        "--conf", "spark.sql.files.openCostInBytes=0",
+        "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=2m",
         "--py-files", os.path.join(REPO, "dist/fts.zip"),
         os.path.join(REPO, "jobs/build_index.py"),
         "--in", corpus, "--out", out, "--report", report,
@@ -69,22 +75,23 @@ print(spark.read.parquet({work!r} + "/corpus").count())
     )
     assert gen.stdout.strip().splitlines()[-1] == str(args.docs)
 
-    results: dict[str, list[dict]] = {}
-    for cores, parts in ((n_lo, 2 * n_lo * 4), (n_hi, 2 * n_hi * 4)):
-        level = f"local[{cores}]"
-        runs = []
-        for i in range(args.runs + 1):  # first run discarded (warm cache)
+    # INTERLEAVED rounds (N, 4N, N, 4N, ...): the sandbox host is shared
+    # and its spare capacity drifts over minutes — interleaving puts both
+    # levels under the same conditions; medians absorb the residue.
+    results: dict[str, list[dict]] = {str(n_lo): [], str(n_hi): []}
+    for i in range(args.runs + 1):  # round 0 discarded (cache/JIT warm)
+        for cores in (n_lo, n_hi):
+            parts = 8 * cores
             rep = _spark_submit(
-                level, parts, f"{work}/corpus",
+                f"local[{cores}]", parts, f"{work}/corpus",
                 f"{work}/idx_{cores}_{i}", f"{work}/rep_{cores}_{i}.json",
                 args.batches,
             )
-            runs.append(rep)
-        results[str(cores)] = runs[1:]
-        # keep one representative raw report per level
-        tag = "n" if cores == n_lo else "4n"
+            if i > 0:
+                results[str(cores)].append(rep)
+    for cores, tag in ((n_lo, "n"), (n_hi, "4n")):
         with open(os.path.join(args.out, f"run_{tag}.json"), "w") as f:
-            json.dump(runs[1:], f, indent=2)
+            json.dump(results[str(cores)], f, indent=2)
 
     thr_lo = statistics.median(r["docs_per_sec"] for r in results[str(n_lo)])
     thr_hi = statistics.median(r["docs_per_sec"] for r in results[str(n_hi)])

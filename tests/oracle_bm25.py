@@ -28,7 +28,18 @@ def tokenize(text: str) -> list[str]:
 class OracleIndex:
     """Exhaustive in-memory index over (doc_id -> text) pairs."""
 
-    def __init__(self, docs: dict[int, str]):
+    def __init__(self, docs: dict[int, str], langs: dict[int, str] | None = None):
+        self.langs = langs or {}
+        self._docs_src = dict(docs)
+        self._init(docs)
+
+    def filtered(self, lang: str) -> "OracleIndex":
+        """Sub-index over the lang-filtered corpus (stats universe = the
+        filtered docs — pinned subcorpus semantics)."""
+        sub = {d: t for d, t in self._docs_src.items() if self.langs.get(d) == lang}
+        return OracleIndex(sub, {d: lang for d in sub})
+
+    def _init(self, docs: dict[int, str]):
         self.doc_ids = sorted(docs)
         self.tokens = {d: tokenize(t) for d, t in docs.items()}
         self.dl = {d: len(ts) for d, ts in self.tokens.items()}
@@ -108,6 +119,18 @@ def load_documents(sf_dir: str) -> dict[int, str]:
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def load_oracle(sf_dir: str) -> OracleIndex:
+    """OracleIndex with lang metadata (for filter_lang query specs)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    return OracleIndex(
+        dict(zip(ids, t["text"].to_pylist())),
+        dict(zip(ids, t["lang"].to_pylist())),
+    )
 
 
 if __name__ == "__main__":

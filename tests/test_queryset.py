@@ -1,0 +1,70 @@
+"""The rank-identity harness (BASELINE.md: 100% top-k rank-identical BM25
+match rate on the reference query set): golden outputs re-derive
+bit-for-bit from the oracle, and the engine matches them on every query."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from fastmorph_spark.index import build_dictionary, build_postings
+from fastmorph_spark.index.io import build_index_frames
+from fastmorph_spark.search.queryset import load_query_set, run_query, run_query_oracle
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+from tests.oracle_bm25 import load_oracle
+
+QUERIES = load_query_set("fixtures/queries.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open("fixtures/golden_topk.json") as f:
+        return json.load(f)["sf0.001"]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return load_oracle(SF0001)
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs = read_documents(spark, SF0001)
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16)
+    idx.postings = idx.postings.cache()
+    idx.dictionary = idx.dictionary.cache()
+    postings = build_postings(docs).cache()
+    dictionary = build_dictionary(postings).cache()
+    return docs, idx, postings, dictionary
+
+
+def test_golden_rederives_bit_for_bit(golden, oracle):
+    """Committed golden file == fresh oracle run (float repr equality)."""
+    for spec in QUERIES:
+        got = run_query_oracle(spec, oracle)
+        exp = golden[spec["qid"]]
+        if spec["mode"] == "bm25":
+            assert [(g["rank"], g["doc_id"], g["score"]) for g in exp] == \
+                   [(i + 1, d, repr(s)) for i, (d, s) in enumerate(got)], spec["qid"]
+        else:
+            assert exp == got, spec["qid"]
+
+
+@pytest.mark.parametrize("spec", QUERIES, ids=[s["qid"] for s in QUERIES])
+def test_engine_matches_golden(spark, ctx, golden, spec):
+    """100% rank-identical match rate — every query, the driver metric."""
+    docs, idx, postings, dictionary = ctx
+    df = run_query(spec, docs, index=idx, postings=postings, dictionary=dictionary)
+    rows = df.collect()
+    exp = golden[spec["qid"]]
+    if spec["mode"] == "bm25":
+        assert [r["doc_id"] for r in rows] == [g["doc_id"] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["score"], float(g["score"]), rel_tol=1e-9), spec["qid"]
+    elif spec["mode"] == "wildcard":
+        assert sorted(r["term"] for r in rows) == sorted(exp), spec["qid"]
+    else:
+        assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
