@@ -120,16 +120,30 @@ def build_index_resumable(
     snapshot = _snapshot(input_path, doc_shard_size, block_size, n_batches)
 
     # ---------------- phase 0: tokenize once, pin global artifacts
+    import os
+    import sys
+
+    profile = os.environ.get("FM_PROFILE") == "1"
+
+    def _p(tag: str, t: float) -> None:
+        if profile:
+            print(f"FM_PROFILE phase0.{tag} {time.perf_counter() - t:.2f}s", file=sys.stderr)
+
     if -1 not in _done_ids(spark, out_path, snapshot):
         t0 = time.perf_counter()
+        ts = time.perf_counter()
         max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
+        _p("max_doc", ts)
         batch_width = (max_doc // n_batches) + 1
+        ts = time.perf_counter()
         postings = build_postings(documents, text_col=text_col, id_col=id_col) \
             .withColumn("batch", (F.col("doc_id") / F.lit(batch_width)).cast("int"))
         postings.write.partitionBy("batch").mode("overwrite").parquet(
             f"{out_path}/postings_logical"
         )
+        _p("postings_write", ts)
         pm = spark.read.parquet(f"{out_path}/postings_logical")
+        ts = time.perf_counter()
         dl_agg = pm.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
         doc_lens = (
             documents.select(F.col(id_col).alias("doc_id"))
@@ -137,10 +151,17 @@ def build_index_resumable(
             .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
         )
         doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+        _p("doc_lens", ts)
+        ts = time.perf_counter()
         build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
+        _p("dictionary", ts)
+        ts = time.perf_counter()
         dl_read = spark.read.parquet(f"{out_path}/doc_lens")
         global_stats(dl_read).write.mode("overwrite").parquet(f"{out_path}/stats")
+        _p("stats", ts)
+        ts = time.perf_counter()
         build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
+        _p("docs", ts)
         # record phase 0 (term/posting totals are aggregated from the
         # per-batch counters later — no extra count jobs here)
         _append_manifest(spark, out_path, (
@@ -192,7 +213,11 @@ def build_index_resumable(
         ran.append(b)
 
     # ---------------- finalize (idempotent): dictionary with upper bounds
-    remaining = pending_batches(spark, out_path, n_batches, snapshot)
+    # ONE manifest read serves the remaining-check AND the counters
+    # (driver-side job launches are the serial floor at small scale)
+    mrows = read_manifest(spark, out_path).filter(F.col("input_snapshot") == snapshot).collect()
+    done = {r["partition_id"] for r in mrows if r["status"] in ("done", "phase0_done")}
+    remaining = [b for b in range(n_batches) if b not in done]
     if not remaining:
         packed_all = spark.read.parquet(f"{out_path}/postings")
         dict_base = spark.read.parquet(f"{out_path}/dictionary_base")
@@ -200,13 +225,18 @@ def build_index_resumable(
             f"{out_path}/dictionary"
         )
 
-    m = read_manifest(spark, out_path).filter(
-        (F.col("input_snapshot") == snapshot) & (F.col("status") == "done")
-    )
-    counters = m.agg(
-        F.sum("n_postings").alias("n_postings"),
-        F.sum("n_blocks").alias("n_blocks"),
-        F.sum("bytes_written").alias("payload_bytes"),
-        F.count("*").alias("batches_done"),
-    ).collect()[0].asDict()
+    # latest attempt wins per partition (a batch never double-counts)
+    by_part: dict[int, dict] = {}
+    for r in mrows:
+        if r["status"] == "done":
+            prev = by_part.get(r["partition_id"])
+            if prev is None or r["attempt"] > prev["attempt"]:
+                by_part[r["partition_id"]] = r
+    drows = list(by_part.values())
+    counters = {
+        "n_postings": sum(r["n_postings"] for r in drows),
+        "n_blocks": sum(r["n_blocks"] for r in drows),
+        "payload_bytes": sum(r["bytes_written"] for r in drows),
+        "batches_done": len(drows),
+    }
     return {"batches_run": ran, "complete": not remaining, "counters": counters}

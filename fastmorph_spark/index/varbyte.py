@@ -18,11 +18,16 @@ import numpy as np
 _MAX_VB_BYTES = 10  # ceil(64/7)
 
 
-def vb_encode(values: np.ndarray | list[int]) -> bytes:
-    """uint64 array -> LEB128 bytes (vectorized)."""
+def vb_encode_with_lengths(values: np.ndarray | list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> (LEB128 uint8 array, per-value byte lengths).
+
+    The lengths array lets callers slice the encoding of any CONTIGUOUS
+    value range out of the group-level encoding without re-encoding —
+    the packer encodes a whole (pack_bucket, doc_shard) group once and
+    byte-slices per block."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + number of 7-bit shifts still nonzero
     nb = np.ones(v.size, dtype=np.int64)
     for k in range(1, _MAX_VB_BYTES):
@@ -36,6 +41,12 @@ def vb_encode(values: np.ndarray | list[int]) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
+    return out, nb
+
+
+def vb_encode(values: np.ndarray | list[int]) -> bytes:
+    """uint64 array -> LEB128 bytes (vectorized)."""
+    out, _ = vb_encode_with_lengths(values)
     return out.tobytes()
 
 

@@ -37,6 +37,9 @@ def _spark_submit(master: str, shuffle_parts: int, corpus: str, out: str, report
         "--conf", "spark.sql.files.maxPartitionBytes=2m",
         "--conf", "spark.sql.files.openCostInBytes=0",
         "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=2m",
+        # cut serial commit cost (driver-side file moves)
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+        "--conf", "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS",
         "--py-files", os.path.join(REPO, "dist/fts.zip"),
         os.path.join(REPO, "jobs/build_index.py"),
         "--in", corpus, "--out", out, "--report", report,
