@@ -130,38 +130,58 @@ def build_index_resumable(
             print(f"FM_PROFILE phase0.{tag} {time.perf_counter() - t:.2f}s", file=sys.stderr)
 
     if -1 not in _done_ids(spark, out_path, snapshot):
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
         ts = time.perf_counter()
         max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
         _p("max_doc", ts)
         batch_width = (max_doc // n_batches) + 1
-        ts = time.perf_counter()
-        postings = build_postings(documents, text_col=text_col, id_col=id_col) \
-            .withColumn("batch", (F.col("doc_id") / F.lit(batch_width)).cast("int"))
-        postings.write.partitionBy("batch").mode("overwrite").parquet(
-            f"{out_path}/postings_logical"
-        )
-        _p("postings_write", ts)
-        pm = spark.read.parquet(f"{out_path}/postings_logical")
-        ts = time.perf_counter()
-        dl_agg = pm.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-        doc_lens = (
-            documents.select(F.col(id_col).alias("doc_id"))
-            .join(dl_agg, "doc_id", "left")
-            .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
-        )
-        doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
-        _p("doc_lens", ts)
-        ts = time.perf_counter()
-        build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
-        _p("dictionary", ts)
-        ts = time.perf_counter()
-        dl_read = spark.read.parquet(f"{out_path}/doc_lens")
-        global_stats(dl_read).write.mode("overwrite").parquet(f"{out_path}/stats")
-        _p("stats", ts)
-        ts = time.perf_counter()
-        build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
-        _p("docs", ts)
+
+        # Independent jobs submit from driver THREADS so Spark schedules
+        # them concurrently — the phase-0 serial floor becomes a max, not
+        # a sum (job-launch latency was ~1/3 of small-scale build wall).
+        def _write_postings():
+            ts = time.perf_counter()
+            postings = build_postings(documents, text_col=text_col, id_col=id_col) \
+                .withColumn("batch", (F.col("doc_id") / F.lit(batch_width)).cast("int"))
+            postings.write.partitionBy("batch").mode("overwrite").parquet(
+                f"{out_path}/postings_logical"
+            )
+            _p("postings_write", ts)
+
+        def _write_docs():
+            ts = time.perf_counter()
+            build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
+            _p("docs", ts)
+
+        def _write_doc_lens_and_stats():
+            ts = time.perf_counter()
+            pm = spark.read.parquet(f"{out_path}/postings_logical")
+            dl_agg = pm.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+            doc_lens = (
+                documents.select(F.col(id_col).alias("doc_id"))
+                .join(dl_agg, "doc_id", "left")
+                .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+            )
+            doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+            global_stats(spark.read.parquet(f"{out_path}/doc_lens")) \
+                .write.mode("overwrite").parquet(f"{out_path}/stats")
+            _p("doc_lens_stats", ts)
+
+        def _write_dictionary():
+            ts = time.perf_counter()
+            pm = spark.read.parquet(f"{out_path}/postings_logical")
+            build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
+            _p("dictionary", ts)
+
+        with ThreadPoolExecutor(3) as ex:
+            f_docs = ex.submit(_write_docs)
+            f_post = ex.submit(_write_postings)
+            f_post.result()  # postings-derived artifacts wait for it
+            f_dl = ex.submit(_write_doc_lens_and_stats)
+            f_dict = ex.submit(_write_dictionary)
+            f_docs.result(); f_dl.result(); f_dict.result()
         # record phase 0 (term/posting totals are aggregated from the
         # per-batch counters later — no extra count jobs here)
         _append_manifest(spark, out_path, (

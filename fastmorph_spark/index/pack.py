@@ -87,7 +87,7 @@ def _impact_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (BM25_K1 + 1.0) / denom
 
 
-def _make_pack_fn(block_size: int):
+def _make_pack_fn(block_size: int, avgdl: float):
     def _pack_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         """One (pack_bucket, doc_shard) group -> block rows for MANY terms.
 
@@ -102,9 +102,11 @@ def _make_pack_fn(block_size: int):
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        avgdl = float(pdf["avgdl"].iloc[0])
+        pos_col = pdf["positions"].to_numpy()
+        # tf == len(positions) by construction (A1 invariant) — carrying a
+        # tf column through the 10^10-row pack shuffle would be waste
+        tfs = np.fromiter((len(p) for p in pos_col), dtype=np.int64, count=pos_col.size)
         impacts = _impact_np(tfs, dls, avgdl)
         n = doc_ids.size
 
@@ -130,7 +132,6 @@ def _make_pack_fn(block_size: int):
         gaps[bs] = doc_ids[bs].astype(np.uint64)
 
         # --- positions: flatten once, delta with raw first value per doc
-        pos_col = pdf["positions"].to_numpy()
         flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col]) \
             if n else np.empty(0, dtype=np.int64)
         doc_pos_start = np.concatenate(([0], np.cumsum(tfs)[:-1]))
@@ -188,15 +189,21 @@ def pack_postings(
     then ONE shuffle on (term, doc_shard) — the salted repartition — into
     the Arrow packer. No dictionary join: block maxima are idf-free.
     """
+    # avgdl rides into the kernel via closure (ONE tiny driver-side job),
+    # not as a crossJoin column repeated on every posting row — 8 bytes x
+    # 10^10 rows of redundant shuffle traffic otherwise
+    avgdl = float(stats.select("avgdl").collect()[0]["avgdl"])
     enriched = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
     enriched = (
         enriched
-        .crossJoin(F.broadcast(stats.select("avgdl")))
-        .withColumn("doc_shard", (F.col("doc_id") / F.lit(doc_shard_size)).cast("int"))
-        .withColumn("pack_bucket", F.pmod(F.xxhash64("term"), F.lit(N_PACK_BUCKETS)).cast("int"))
+        .select(
+            "term", "doc_id", "dl", "positions",
+            (F.col("doc_id") / F.lit(doc_shard_size)).cast("int").alias("doc_shard"),
+            F.pmod(F.xxhash64("term"), F.lit(N_PACK_BUCKETS)).cast("int").alias("pack_bucket"),
+        )
     )
     packed = enriched.groupBy("pack_bucket", "doc_shard").applyInPandas(
-        _make_pack_fn(block_size), PACKED_SCHEMA
+        _make_pack_fn(block_size, avgdl), PACKED_SCHEMA
     )
     return packed.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")

@@ -84,6 +84,21 @@ LIMIT {k}
 """
 
 
+def bm25_topk_meta_sql(query_text: str, k: int = 10) -> str:
+    """bm25_topk joined back to per-doc metadata (J5 result assembly)."""
+    base = bm25_topk_sql(query_text, k).strip()
+    return f"""
+WITH topk AS ({base}),
+reg AS (
+  SELECT doc_id, lang, sha256(text) AS content_sha256,
+         len({TOK.format(col="text")})::BIGINT AS doc_len
+  FROM documents
+)
+SELECT t.rank, t.doc_id, t.score, r.lang, r.content_sha256, r.doc_len
+FROM topk t JOIN reg r USING (doc_id)
+"""
+
+
 def doc_stats_sql(lang: str | None = None) -> str:
     return f"""
 WITH {_corpus_ctes(lang)}

@@ -117,6 +117,20 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(idx, FLAGSHIP_QUERY, k=10, round_score=True)
 
 
+def q_bm25_topk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — top-k joined back to the doc registry (lang + sha256 + len):
+    the full fastmorph result-assembly surface (ids -> display rows)."""
+    from fastmorph_spark.index.build import build_docs
+
+    docs = read_documents(spark, sf_dir)
+    topk = bm25_topk_expression(docs, FLAGSHIP_QUERY, k=10, round_score=True) \
+        .withColumn("rank", F.col("rank").cast("long"))
+    reg = build_docs(docs)
+    return topk.join(F.broadcast(reg), "doc_id").select(
+        "rank", "doc_id", "score", "lang", "content_sha256", "doc_len"
+    )
+
+
 def q_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, postings, *_ = _index_tables(spark, sf_dir)
     return engine.and_search(postings, FLAGSHIP_QUERY)
@@ -411,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_counts": q_match_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_meta": q_bm25_topk_meta,
         "and_search": q_and_search,
         "phrase_search": q_phrase_search,
         "phrase3_search": q_phrase3_search,
@@ -451,6 +466,7 @@ def oracle_sqls() -> dict[str, str]:
         "match_counts": oracles.match_counts_sql(FLAGSHIP_QUERY),
         "bm25_topk_indexed": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_topk_wand": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_topk_meta": oracles.bm25_topk_meta_sql(FLAGSHIP_QUERY, k=10),
         "and_search": oracles.and_search_sql(FLAGSHIP_QUERY),
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),
         "phrase3_search": oracles.phrase_search_sql(PHRASE3_QUERY),
