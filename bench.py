@@ -38,8 +38,11 @@ def main() -> None:
     # warm the JVM + Python workers once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    all_queries = registry.queries()
+    names = [n for n in registry.HEADLINE_QUERIES if n in all_queries]
     timings: dict[str, float] = {}
-    for name, fn in sorted(registry.queries().items()):
+    for name in names:
+        fn = all_queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -80,7 +80,10 @@ def _append_manifest(spark: SparkSession, out_path: str, row: tuple) -> None:
 def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
     rows = (
         read_manifest(spark, out_path)
-        .filter((F.col("status").isin("done", "phase0_done")) & (F.col("input_snapshot") == snapshot))
+        .filter(
+            (F.col("status").isin("done", "phase0_done", "dict_done"))
+            & (F.col("input_snapshot") == snapshot)
+        )
         .select("partition_id")
         .collect()
     )
@@ -150,38 +153,24 @@ def build_index_resumable(
             )
             _p("postings_write", ts)
 
-        def _write_docs():
+        def _write_docs_doclens_stats():
+            # doc_len == token count via regexp_count (tokenizer-parity
+            # tested + Σtf==doc_len invariant-tested), so the whole
+            # docs->doc_lens->stats chain needs NO postings dependency and
+            # runs concurrently with the tokenize+aggregate+write job
             ts = time.perf_counter()
             build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
-            _p("docs", ts)
-
-        def _write_doc_lens_and_stats():
-            ts = time.perf_counter()
-            pm = spark.read.parquet(f"{out_path}/postings_logical")
-            dl_agg = pm.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-            doc_lens = (
-                documents.select(F.col(id_col).alias("doc_id"))
-                .join(dl_agg, "doc_id", "left")
-                .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
-            )
-            doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+            docs_reg = spark.read.parquet(f"{out_path}/docs")
+            docs_reg.select("doc_id", F.col("doc_len").alias("dl")) \
+                .write.mode("overwrite").parquet(f"{out_path}/doc_lens")
             global_stats(spark.read.parquet(f"{out_path}/doc_lens")) \
                 .write.mode("overwrite").parquet(f"{out_path}/stats")
-            _p("doc_lens_stats", ts)
+            _p("docs_doclens_stats", ts)
 
-        def _write_dictionary():
-            ts = time.perf_counter()
-            pm = spark.read.parquet(f"{out_path}/postings_logical")
-            build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
-            _p("dictionary", ts)
-
-        with ThreadPoolExecutor(3) as ex:
-            f_docs = ex.submit(_write_docs)
+        with ThreadPoolExecutor(2) as ex:
             f_post = ex.submit(_write_postings)
-            f_post.result()  # postings-derived artifacts wait for it
-            f_dl = ex.submit(_write_doc_lens_and_stats)
-            f_dict = ex.submit(_write_dictionary)
-            f_docs.result(); f_dl.result(); f_dict.result()
+            f_docs = ex.submit(_write_docs_doclens_stats)
+            f_post.result(); f_docs.result()
         # record phase 0 (term/posting totals are aggregated from the
         # per-batch counters later — no extra count jobs here)
         _append_manifest(spark, out_path, (
@@ -191,6 +180,26 @@ def build_index_resumable(
 
     doc_lens = spark.read.parquet(f"{out_path}/doc_lens")
     stats = spark.read.parquet(f"{out_path}/stats")
+
+    # dictionary (df/cf) is needed only by FINALIZE and queries, not by
+    # packing — build it concurrently with the phase-1 batches (own
+    # checkpoint row, partition_id=-2, so a resume re-runs it if missing)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    dict_pool = _TPE(1)
+    if -2 not in _done_ids(spark, out_path, snapshot):
+        def _write_dictionary():
+            t0 = time.perf_counter()
+            pm = spark.read.parquet(f"{out_path}/postings_logical")
+            build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
+            _append_manifest(spark, out_path, (
+                -2, "dict_done", 0, 0, 0, 0, snapshot, attempt,
+                int((time.perf_counter() - t0) * 1000), _now(),
+            ))
+
+        dict_future = dict_pool.submit(_write_dictionary)
+    else:
+        dict_future = None
 
     # ---------------- phase 1: per-batch pack with checkpoints
     todo = pending_batches(spark, out_path, n_batches, snapshot)
@@ -233,6 +242,9 @@ def build_index_resumable(
         ran.append(b)
 
     # ---------------- finalize (idempotent): dictionary with upper bounds
+    if dict_future is not None:
+        dict_future.result()
+    dict_pool.shutdown()
     # ONE manifest read serves the remaining-check AND the counters
     # (driver-side job launches are the serial floor at small scale)
     mrows = read_manifest(spark, out_path).filter(F.col("input_snapshot") == snapshot).collect()

@@ -25,6 +25,22 @@ from fastmorph_spark.search.bm25 import bm25_topk_expression
 from fastmorph_spark.sources import read_documents
 from fastmorph_spark.tokenize import tokenize_py
 
+# headline subset for bench.py (driver runs it per round — keep bounded);
+# covers: expression BM25, full physical path (pack+WAND), token-slot ops,
+# dedup (exact-verified LSH), ANN, text analysis, relational join+window
+HEADLINE_QUERIES = (
+    "bm25_topk",
+    "bm25_topk_wand",
+    "phrase_search",
+    "proximity_search",
+    "wildcard_terms",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_arrow",
+    "lang_id",
+    "top_orders",
+    "events_window",
+)
+
 FLAGSHIP_QUERY = "fast hash join"
 LANG_QUERY = "table index scan"
 LANG_FILTER = "en"
