@@ -31,8 +31,6 @@ The per-segment work is numpy; the Python loop is over SEGMENTS
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window

@@ -98,7 +98,15 @@ print(spark.read.parquet({work!r} + "/corpus").count())
 
     thr_lo = statistics.median(r["docs_per_sec"] for r in results[str(n_lo)])
     thr_hi = statistics.median(r["docs_per_sec"] for r in results[str(n_hi)])
-    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    # PAIRED per-round ratios: each round runs both levels back-to-back
+    # under the same host conditions, so the ratio within a round cancels
+    # the shared-host capacity drift that level-medians do not.
+    paired = [
+        hi["docs_per_sec"] / lo["docs_per_sec"]
+        for lo, hi in zip(results[str(n_lo)], results[str(n_hi)])
+    ]
+    eff_paired = statistics.median(paired) / (n_hi / n_lo)
+    eff_medians = (thr_hi / thr_lo) / (n_hi / n_lo)
     summary = {
         "n_docs": args.docs,
         "levels": {str(n_lo): thr_lo, str(n_hi): thr_hi},
@@ -106,8 +114,10 @@ print(spark.read.parquet({work!r} + "/corpus").count())
             str(n_lo): statistics.median(r["wall_sec"] for r in results[str(n_lo)]),
             str(n_hi): statistics.median(r["wall_sec"] for r in results[str(n_hi)]),
         },
-        "scaling_efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "paired_round_ratios": [round(x, 3) for x in paired],
+        "scaling_efficiency": round(eff_paired, 3),
+        "scaling_efficiency_level_medians": round(eff_medians, 3),
+        "pass": eff_paired >= 0.8,
         "runs_per_level": args.runs,
         "batches": args.batches,
     }
