@@ -71,10 +71,56 @@ def read_manifest(spark: SparkSession, out_path: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+# pyarrow types matching MANIFEST_SCHEMA (Spark int->int32, long->int64)
+_MANIFEST_FIELDS = [
+    ("partition_id", "int32"), ("status", "string"), ("n_terms", "int64"),
+    ("n_postings", "int64"), ("n_blocks", "int64"), ("bytes_written", "int64"),
+    ("input_snapshot", "string"), ("attempt", "int32"), ("wall_ms", "int64"),
+    ("finished_at", "string"),
+]
+
+_manifest_lock = __import__("threading").Lock()
+
+
 def _append_manifest(spark: SparkSession, out_path: str, row: tuple) -> None:
-    spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
-        f"{out_path}/manifest"
+    """Commit ONE manifest row.
+
+    Must be safe under concurrent driver threads (the dictionary job and the
+    phase-1 batch loop both checkpoint). A Spark `append` write is NOT: two
+    simultaneous jobs share the same FileOutputCommitter `_temporary/0`
+    under {out}/manifest, and whichever commits first deletes it out from
+    under the other (observed as FileNotFoundException mid-suite). A 1-row
+    commit also doesn't need a Spark job at all — write the parquet file
+    driver-side via pyarrow with a unique name, then atomically rename into
+    place. Falls back to a lock-serialized Spark write for non-local paths
+    (hdfs://, s3a://) where the driver can't write directly.
+    """
+    import re
+
+    path = f"{out_path}/manifest"
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith("file://"):
+        with _manifest_lock:
+            spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        return
+
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    os.makedirs(local, exist_ok=True)
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _MANIFEST_FIELDS])
+    tbl = pa.Table.from_arrays(
+        [pa.array([v], type=f.type) for v, f in zip(row, schema)], schema=schema
     )
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(local, f".{name}.tmp")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(local, name))
 
 
 def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
@@ -212,30 +258,38 @@ def build_index_resumable(
         batch_postings = spark.read.parquet(f"{out_path}/postings_logical") \
             .filter(F.col("batch") == b).drop("batch")
         packed = pack_postings(batch_postings, doc_lens, stats, doc_shard_size, block_size)
-        packed.persist()
-        try:
-            # co-locate each term_bucket in one task before partitionBy:
-            # otherwise every reduce task writes a file into every bucket
-            # dir (tasks × buckets tiny files)
-            from fastmorph_spark.constants import N_TERM_BUCKETS
+        # counters ride along the write job itself (CollectMetrics): no
+        # persist (memory pin) and no second pass over the binary payloads
+        from pyspark.sql import Observation
 
-            packed.repartition(N_TERM_BUCKETS, "term_bucket") \
-                .write.partitionBy("term_bucket").mode("overwrite").parquet(
-                    f"{out_path}/postings/batch={b}"
-                )
-            c = packed.agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
-                F.count("*").alias("n_blocks"),
-                F.coalesce(
-                    F.sum(F.length("doc_gaps") + F.length("tfs") + F.length("dls") + F.length("positions")),
-                    F.lit(0),
-                ).alias("bytes_written"),
-            ).collect()[0]
-        finally:
-            packed.unpersist()
+        obs = Observation(f"pack_batch_{b}")
+        packed = packed.observe(
+            obs,
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.coalesce(
+                F.sum(F.length("doc_gaps") + F.length("tfs") + F.length("dls") + F.length("positions")),
+                F.lit(0),
+            ).alias("bytes_written"),
+        )
+        # co-locate each term_bucket in one task before partitionBy:
+        # otherwise every reduce task writes a file into every bucket
+        # dir (tasks × buckets tiny files)
+        from fastmorph_spark.constants import N_TERM_BUCKETS
+
+        packed.repartition(N_TERM_BUCKETS, "term_bucket") \
+            .write.partitionBy("term_bucket").mode("overwrite").parquet(
+                f"{out_path}/postings/batch={b}"
+            )
+        c = obs.get
+        # exact distinct terms (observe can't do DISTINCT): column-pruned
+        # scan of just-written dictionary-encoded `term` column — cheap
+        n_terms = (
+            spark.read.parquet(f"{out_path}/postings/batch={b}")
+            .agg(F.countDistinct("term").alias("t")).collect()[0]["t"]
+        )
         _append_manifest(spark, out_path, (
-            b, "done", c["n_terms"], c["n_postings"], c["n_blocks"],
+            b, "done", n_terms, c["n_postings"], c["n_blocks"],
             c["bytes_written"], snapshot, attempt,
             int((time.perf_counter() - t0) * 1000), _now(),
         ))

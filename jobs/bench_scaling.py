@@ -27,8 +27,13 @@ def _spark_submit(master: str, shuffle_parts: int, corpus: str, out: str, report
                   batches: int) -> dict:
     cmd = [
         "spark-submit", "--master", master,
-        "--driver-memory", "8g",
+        "--driver-memory", "16g",
         "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
+        # shuffle/spill files on tmpfs: single-box disk bandwidth does NOT
+        # scale with cores (a real cluster has per-node local SSDs that do),
+        # so disk-backed /tmp under 32 concurrent writers measures the VM's
+        # one virtio disk, not the engine's scaling
+        "--conf", f"spark.local.dir={os.path.join(tempfile.gettempdir(), 'fm_spark_local')}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
         # CPU-heavy-per-byte workload on a small-file corpus: shrink split
@@ -62,6 +67,23 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     n_lo, n_hi = (int(x) for x in args.levels.split(","))
 
+    # rebuild the --py-files package so spark-submit never ships stale code
+    import zipfile
+
+    zip_path = os.path.join(REPO, "dist", "fts.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(os.path.join(REPO, "fastmorph_spark")):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    zf.write(p, os.path.relpath(p, REPO))
+
+    # All bench I/O (corpus, index output, shuffle dirs) on tmpfs when the
+    # box has one: both levels then exercise CPU + memory bandwidth — the
+    # resources that DO scale per-node on a real cluster.
+    if os.path.isdir("/dev/shm"):
+        tempfile.tempdir = "/dev/shm"
     work = tempfile.mkdtemp(prefix="fm_bench_")
 
     # ---- generate the corpus ONCE (identical bytes for both levels)
@@ -90,6 +112,11 @@ print(spark.read.parquet({work!r} + "/corpus").count())
                 f"{work}/idx_{cores}_{i}", f"{work}/rep_{cores}_{i}.json",
                 args.batches,
             )
+            # work dir may live on tmpfs (RAM) — drop each index right away
+            import shutil
+
+            shutil.rmtree(f"{work}/idx_{cores}_{i}", ignore_errors=True)
+            shutil.rmtree(f"{work}/idx_{cores}_{i}_corpus", ignore_errors=True)
             if i > 0:
                 results[str(cores)].append(rep)
     for cores, tag in ((n_lo, "n"), (n_hi, "4n")):
@@ -124,6 +151,11 @@ print(spark.read.parquet({work!r} + "/corpus").count())
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "fm_spark_local"), ignore_errors=True)
 
 
 if __name__ == "__main__":
