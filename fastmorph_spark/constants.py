@@ -12,6 +12,13 @@ formulas, or rank-identity (BASELINE.json north_rule) dies.
 TOKEN_PATTERN = r"[a-z0-9_]+"
 TOKEN_SPLIT_PATTERN = r"[^a-z0-9_]+"
 
+# Case-preserving twins (per-slot case-sensitive match mode, fastmorph
+# case flags [PK-high]). The char classes fold onto each other under ASCII
+# lower(), so token BOUNDARIES — and therefore positions — are identical
+# between the folded and preserved tokenizations of the same text.
+TOKEN_PATTERN_CS = r"[A-Za-z0-9_]+"
+TOKEN_SPLIT_PATTERN_CS = r"[^A-Za-z0-9_]+"
+
 # BM25 constants (Robertson/Sparck-Jones; the "+1" idf variant used by
 # Lucene so idf is always positive).
 #   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))

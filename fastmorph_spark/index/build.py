@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fastmorph_spark.tokenize import tokens_with_positions
-
 
 def build_docs(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Doc registry: identity + the per-row sha256 invariant
@@ -33,22 +31,76 @@ def build_docs(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exploded postings: (term, doc_id, tf, positions sorted ascending).
+POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>, dl long"
 
-    positions are 0-based token indexes (the posexplode index); the
-    array is collected per (term, doc) then sorted — order-insensitive
-    to shuffle nondeterminism.
+
+def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", fold_case: bool = True) -> DataFrame:
+    """Partition-LOCAL posting build (north_star: "partition-local
+    posting-list build"): (term, doc_id, tf, positions sorted ascending),
+    positions = 0-based token indexes.
+
+    Carries ``dl`` (the doc's token count) on every posting row for free —
+    the packer then needs NO doc_lens join (a 10^10-row shuffle avoided).
+
+    Every (term, doc_id) group lives entirely inside ONE document row, so
+    a global groupBy(term, doc_id) would shuffle 10^10 posting rows to
+    merge nothing — and its map-side object-hash aggregation thrashes
+    execution memory as cores/node rise (measured 10x CPU inflation from
+    8 -> 32 local threads). Instead each Arrow batch builds its own
+    postings inside the Python worker with vectorized numpy run-length
+    grouping: flatten tokens, factorize, ONE stable lexsort by
+    (doc, term), slice positions at run boundaries. No shuffle, no agg
+    hash map, no per-token Python.
+
+    ``fold_case=False`` builds the case-preserving twin index (per-slot
+    case-sensitive match, P5).
     """
-    toks = tokens_with_positions(documents, text_col=text_col, id_cols=(id_col,))
-    return (
-        toks.groupBy("term", id_col)
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.array_sort(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
-        )
-        .withColumnRenamed(id_col, "doc_id")
-    )
+    import itertools
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from fastmorph_spark.constants import TOKEN_PATTERN, TOKEN_PATTERN_CS
+
+    pattern = TOKEN_PATTERN if fold_case else TOKEN_PATTERN_CS
+
+    def _build(batches):
+        rx = _re.compile(pattern)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("")
+            if fold_case:
+                texts = texts.str.lower()
+            toks = texts.str.findall(rx)
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fdoc = np.repeat(doc_ids, lens)
+            frow = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            fpos = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(np.int32)
+            flat = np.empty(total, dtype=object)
+            flat[:] = list(itertools.chain.from_iterable(toks))
+            codes, uniq = pd.factorize(flat, sort=False)
+            # stable sort by (doc, term): equal keys keep input order, so
+            # positions stay ascending within each run
+            order = np.lexsort((codes, fdoc))
+            sc, sd, sp, sr = codes[order], fdoc[order], fpos[order], frow[order]
+            b = np.flatnonzero(np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1]))))
+            tf = np.diff(np.append(b, sc.size)).astype(np.int32)
+            yield pd.DataFrame({
+                "term": np.asarray(uniq, dtype=object)[sc[b]],
+                "doc_id": sd[b],
+                "tf": tf,
+                "positions": [sp[lo:lo + n] for lo, n in zip(b.tolist(), tf.tolist())],
+                "dl": lens[sr[b]],
+            })
+
+    return documents.select(F.col(id_col).alias(id_col), text_col).mapInPandas(_build, POSTINGS_SCHEMA)
 
 
 def build_dictionary(postings: DataFrame) -> DataFrame:

@@ -6,28 +6,36 @@ partition".
 
 Protocol (two-phase; see SURVEY.md §3.2):
 
-Phase 0 (tokenize-once, checkpointed as partition_id = -1): the corpus is
-tokenized and aggregated to logical postings EXACTLY ONCE, written
-partitioned by `batch` (= contiguous doc-id range). All corpus-global
-artifacts (docs registry, doc_lens, dictionary df/cf, stats) derive from
-that materialization. These must be pinned before any partition packs,
-because impact normalization depends on the FINAL avgdl (SURVEY.md §7
-hard parts). On resume, a recorded phase-0 with a matching lineage
-signature is reused — no re-tokenization.
+Phase 0 (corpus stats, checkpointed as partition_id = -1): docs registry
+(sha256 + doc_len), doc_lens projection, and the 1-row global stats.
+These must be pinned before any partition packs, because impact
+normalization depends on the FINAL avgdl (SURVEY.md §7 hard parts).
+doc_len comes from regexp_count (tokenizer-parity-tested), so phase 0
+never tokenizes.
 
-Phase 1 (per-partition checkpoints): each batch reads ONLY its
-postings_logical/batch=K slice (partition-pruned), joins the range-pruned
-doc_lens slice, packs via the salted (term, doc_shard) repartition, writes
-postings/batch=K/term_bucket=J/, then appends ONE manifest row. A crash
-between data write and manifest append is safe: an unrecorded batch re-runs
-and overwrites its directory (content is deterministic).
+Phase 1 (per-partition checkpoints): each batch b reads ONLY its doc-id
+range of the corpus (filter pushed to the scan; with a doc_id-sorted
+corpus layout this is min/max row-group pruning), tokenizes it
+partition-locally (postings carry dl — no doc_lens join), packs via the
+salted (pack_bucket, doc_shard) repartition — the ONLY shuffle — and
+writes postings/batch=b/term_bucket=j/, then appends ONE manifest row.
+A crash between data write and manifest append is safe: an unrecorded
+batch re-runs and overwrites its directory (content is deterministic).
+Earlier designs materialized logical postings corpus-wide in phase 0;
+that cost a full extra write+read of the largest intermediate (~30% of
+build wall) to avoid re-tokenizing crashed batches — but tokenization is
+partition-local and cheap, so re-tokenizing ONE batch on resume is the
+better trade at every scale.
 
 Resume = left_anti join of batch ids against manifest rows with
 status='done' AND the same lineage signature. AQE cannot disturb this:
 the checkpoint key is the deterministic doc-id range, not
 spark_partition_id().
 
-Finalize (idempotent): dictionary max_score from packed block metadata.
+Finalize (idempotent): the FULL dictionary (df, cf, max_score) derives
+from packed block metadata alone (blocks partition each term's postings
+exactly) — one pass over ~|postings|/block_size block rows, no second
+tokenization.
 """
 
 from __future__ import annotations
@@ -39,13 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import BLOCK_SIZE, DOC_SHARD_SIZE
-from fastmorph_spark.index.build import (
-    build_dictionary,
-    build_docs,
-    build_postings,
-    global_stats,
-)
-from fastmorph_spark.index.pack import dictionary_with_max_score, pack_postings
+from fastmorph_spark.index.build import build_docs, build_postings, global_stats
+from fastmorph_spark.index.pack import dictionary_from_packed, pack_postings
 
 MANIFEST_SCHEMA = (
     "partition_id int, status string, n_terms long, n_postings long, "
@@ -179,75 +182,29 @@ def build_index_resumable(
             print(f"FM_PROFILE phase0.{tag} {time.perf_counter() - t:.2f}s", file=sys.stderr)
 
     if -1 not in _done_ids(spark, out_path, snapshot):
-        from concurrent.futures import ThreadPoolExecutor
-
         t0 = time.perf_counter()
         ts = time.perf_counter()
-        max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
-        _p("max_doc", ts)
-        batch_width = (max_doc // n_batches) + 1
-
-        # Independent jobs submit from driver THREADS so Spark schedules
-        # them concurrently — the phase-0 serial floor becomes a max, not
-        # a sum (job-launch latency was ~1/3 of small-scale build wall).
-        def _write_postings():
-            ts = time.perf_counter()
-            postings = build_postings(documents, text_col=text_col, id_col=id_col) \
-                .withColumn("batch", (F.col("doc_id") / F.lit(batch_width)).cast("int"))
-            postings.write.partitionBy("batch").mode("overwrite").parquet(
-                f"{out_path}/postings_logical"
-            )
-            _p("postings_write", ts)
-
-        def _write_docs_doclens_stats():
-            # doc_len == token count via regexp_count (tokenizer-parity
-            # tested + Σtf==doc_len invariant-tested), so the whole
-            # docs->doc_lens->stats chain needs NO postings dependency and
-            # runs concurrently with the tokenize+aggregate+write job
-            ts = time.perf_counter()
-            build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
-            docs_reg = spark.read.parquet(f"{out_path}/docs")
-            docs_reg.select("doc_id", F.col("doc_len").alias("dl")) \
-                .write.mode("overwrite").parquet(f"{out_path}/doc_lens")
-            global_stats(spark.read.parquet(f"{out_path}/doc_lens")) \
-                .write.mode("overwrite").parquet(f"{out_path}/stats")
-            _p("docs_doclens_stats", ts)
-
-        with ThreadPoolExecutor(2) as ex:
-            f_post = ex.submit(_write_postings)
-            f_docs = ex.submit(_write_docs_doclens_stats)
-            f_post.result(); f_docs.result()
-        # record phase 0 (term/posting totals are aggregated from the
-        # per-batch counters later — no extra count jobs here)
+        # doc_len == token count via regexp_count (tokenizer-parity
+        # tested + Σtf==doc_len invariant-tested) — no tokenization here
+        build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
+        docs_reg = spark.read.parquet(f"{out_path}/docs")
+        docs_reg.select("doc_id", F.col("doc_len").alias("dl")) \
+            .write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+        global_stats(spark.read.parquet(f"{out_path}/doc_lens")) \
+            .write.mode("overwrite").parquet(f"{out_path}/stats")
+        _p("docs_doclens_stats", ts)
         _append_manifest(spark, out_path, (
             -1, "phase0_done", 0, 0, 0, 0,
             snapshot, attempt, int((time.perf_counter() - t0) * 1000), _now(),
         ))
 
-    doc_lens = spark.read.parquet(f"{out_path}/doc_lens")
     stats = spark.read.parquet(f"{out_path}/stats")
+    ts = time.perf_counter()
+    max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
+    _p("max_doc", ts)
+    batch_width = (max_doc // n_batches) + 1
 
-    # dictionary (df/cf) is needed only by FINALIZE and queries, not by
-    # packing — build it concurrently with the phase-1 batches (own
-    # checkpoint row, partition_id=-2, so a resume re-runs it if missing)
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-
-    dict_pool = _TPE(1)
-    if -2 not in _done_ids(spark, out_path, snapshot):
-        def _write_dictionary():
-            t0 = time.perf_counter()
-            pm = spark.read.parquet(f"{out_path}/postings_logical")
-            build_dictionary(pm).write.mode("overwrite").parquet(f"{out_path}/dictionary_base")
-            _append_manifest(spark, out_path, (
-                -2, "dict_done", 0, 0, 0, 0, snapshot, attempt,
-                int((time.perf_counter() - t0) * 1000), _now(),
-            ))
-
-        dict_future = dict_pool.submit(_write_dictionary)
-    else:
-        dict_future = None
-
-    # ---------------- phase 1: per-batch pack with checkpoints
+    # ---------------- phase 1: per-batch tokenize+pack with checkpoints
     todo = pending_batches(spark, out_path, n_batches, snapshot)
     if max_batches_this_run is not None:
         todo = todo[:max_batches_this_run]
@@ -255,9 +212,11 @@ def build_index_resumable(
     ran: list[int] = []
     for b in todo:
         t0 = time.perf_counter()
-        batch_postings = spark.read.parquet(f"{out_path}/postings_logical") \
-            .filter(F.col("batch") == b).drop("batch")
-        packed = pack_postings(batch_postings, doc_lens, stats, doc_shard_size, block_size)
+        slice_df = documents.filter(
+            (F.col(id_col) >= b * batch_width) & (F.col(id_col) < (b + 1) * batch_width)
+        )
+        batch_postings = build_postings(slice_df, text_col=text_col, id_col=id_col)
+        packed = pack_postings(batch_postings, None, stats, doc_shard_size, block_size)
         # counters ride along the write job itself (CollectMetrics): no
         # persist (memory pin) and no second pass over the binary payloads
         from pyspark.sql import Observation
@@ -295,10 +254,7 @@ def build_index_resumable(
         ))
         ran.append(b)
 
-    # ---------------- finalize (idempotent): dictionary with upper bounds
-    if dict_future is not None:
-        dict_future.result()
-    dict_pool.shutdown()
+    # ---------------- finalize (idempotent): dictionary from block metadata
     # ONE manifest read serves the remaining-check AND the counters
     # (driver-side job launches are the serial floor at small scale)
     mrows = read_manifest(spark, out_path).filter(F.col("input_snapshot") == snapshot).collect()
@@ -306,8 +262,7 @@ def build_index_resumable(
     remaining = [b for b in range(n_batches) if b not in done]
     if not remaining:
         packed_all = spark.read.parquet(f"{out_path}/postings")
-        dict_base = spark.read.parquet(f"{out_path}/dictionary_base")
-        dictionary_with_max_score(dict_base, packed_all, stats).write.mode("overwrite").parquet(
+        dictionary_from_packed(packed_all, stats).write.mode("overwrite").parquet(
             f"{out_path}/dictionary"
         )
 

@@ -71,6 +71,7 @@ PACKED_SCHEMA = StructType([
     StructField("first_doc", LongType()),
     StructField("max_doc", LongType()),
     StructField("block_max_impact", DoubleType()),
+    StructField("block_cf", LongType()),
     StructField("doc_gaps", BinaryType()),
     StructField("tfs", BinaryType()),
     StructField("dls", BinaryType()),
@@ -125,6 +126,10 @@ def _make_pack_fn(block_size: int, avgdl: float):
         blk_run = np.cumsum(first_block_of_run) - 1
         block_seq = np.arange(bs.size) - fb_idx[blk_run]
         block_max = np.maximum.reduceat(impacts, bs)
+        # per-block collection frequency: with df (=n_docs) this makes the
+        # dictionary derivable from block METADATA alone — no logical-
+        # postings pass at finalize
+        block_cf = np.add.reduceat(tfs, bs)
 
         # --- doc gaps: delta with raw first value per block
         gaps = doc_ids.astype(np.uint64).copy()
@@ -164,6 +169,7 @@ def _make_pack_fn(block_size: int, avgdl: float):
                 int(doc_ids[lo]),
                 int(doc_ids[hi - 1]),
                 float(block_max[i]),
+                int(block_cf[i]),
                 g_mem[g_off[lo]:g_off[hi]],
                 t_mem[t_off[lo]:t_off[hi]],
                 d_mem[d_off[lo]:d_off[hi]],
@@ -193,7 +199,12 @@ def pack_postings(
     # not as a crossJoin column repeated on every posting row — 8 bytes x
     # 10^10 rows of redundant shuffle traffic otherwise
     avgdl = float(stats.select("avgdl").collect()[0]["avgdl"])
-    enriched = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
+    # postings from build_postings carry dl already (free in the worker) —
+    # join doc_lens only for inputs that lack it
+    enriched = (
+        postings if (doc_lens is None or "dl" in postings.columns)
+        else postings.join(doc_lens, "doc_id")
+    )
     enriched = (
         enriched
         .select(
@@ -207,6 +218,31 @@ def pack_postings(
     )
     return packed.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+    )
+
+
+def dictionary_from_packed(packed: DataFrame, stats: DataFrame) -> DataFrame:
+    """The FULL dictionary (term, df, cf, max_score, max_impact,
+    term_bucket) from packed block METADATA alone: blocks partition each
+    term's postings exactly, so df = Σ n_docs and cf = Σ block_cf are
+    exact — no logical-postings pass, no second tokenization. The groupBy
+    runs over |blocks| rows (~|postings|/block_size)."""
+    agg = packed.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("block_cf").cast("long").alias("cf"),
+        F.max("block_max_impact").alias("max_impact"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        agg.crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term", "df", "cf",
+            (idf * F.col("max_impact")).alias("max_score"),
+            "max_impact",
+            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("term_bucket"),
+        )
     )
 
 

@@ -60,7 +60,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_df_cap: int | None = None,
+    shingle_df_cap: int | None = 5000,
 ) -> DataFrame:
     """Doc pairs (a < b) with n-gram Jaccard >= threshold.
 
@@ -68,7 +68,13 @@ def ngram_jaccard_pairs(
     intersection counted in one aggregation; set sizes come from a
     broadcast-joined per-doc count. No n² comparison; a pair is compared
     once per SHARED shingle (the aggregation dedupes).
-    """
+
+    ``shingle_df_cap`` is ON by default: one corpus-wide boilerplate
+    shingle shared by 10^6 docs would alone create ~10^12 candidate rows,
+    so shingles with df > cap are dropped from BOTH the join and the set
+    sizes (a near-ubiquitous shingle carries ~no similarity signal; the
+    oracle mirrors the cap, so the defined semantics stay exact). Pass
+    None to disable."""
     sh = _shingles(df, n, text_col, id_col)
     if shingle_df_cap is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > shingle_df_cap).select("shingle")
@@ -197,28 +203,49 @@ def simhash(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "do
 
 
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 8, n: int = 2,
-                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_bands: int | None = None) -> DataFrame:
     """Pairs (a < b) whose SimHashes differ in <= max_hamming bits.
 
-    Candidate generation: split the fingerprint into (max_hamming+1)
-    bit-bands — a pair within the Hamming radius must agree exactly on at
-    least one band (pigeonhole), so the band-equality self-join proposes
-    all true pairs; bit_count verifies exactly. No n² scan."""
-    bands = max_hamming + 1
-    width = SIMHASH_BITS // bands + (1 if SIMHASH_BITS % bands else 0)
-    sh = simhash(df, n, text_col, id_col)
-    band_cols = F.array(*[
+    Candidate generation = Manku-style COMBINATION banding (the block-
+    permutation scheme from the Google near-dup paper): split the
+    fingerprint into m bands; a pair within Hamming radius k differs in at
+    most k bands, so it agrees exactly on SOME (m-k)-band combination —
+    the C(m, k) combination keys propose all true pairs (pigeonhole,
+    exhaustive) and bit_count verifies exactly.
+
+    Key width matters at scale: the naive 1-band key (m = k+1) is only
+    ~60/(k+1) bits — ~128 buckets per band at k=8, i.e. ~N²/128 candidates.
+    Combination keys are (m-k)·60/m bits wide: with the default m = k+3
+    each key is ~3·60/m bits (e.g. k=3 -> m=6 -> 30-bit keys -> candidate
+    count ~C(6,3)·N²/2^30, linear in N up to ~10^8 docs per shard; raise
+    n_bands for wider keys at the cost of more combinations)."""
+    import itertools
+
+    k = max_hamming
+    m = n_bands if n_bands is not None else k + 3
+    assert m > k, "need more bands than the Hamming radius"
+    base, rem = divmod(SIMHASH_BITS, m)
+    widths = [base + (1 if i < rem else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    band_val = [
+        (F.shiftright(F.col("simhash"), offsets[i]) % F.lit(2 ** widths[i]))
+        for i in range(m)
+    ]
+    combos = list(itertools.combinations(range(m), m - k))
+    combo_cols = F.array(*[
         F.struct(
-            F.lit(i).alias("band"),
-            (F.shiftright(F.col("simhash"), i * width) % F.lit(2 ** width)).alias("key"),
+            F.lit(ci).alias("combo"),
+            F.concat_ws("_", *[band_val[i].cast("string") for i in c]).alias("key"),
         )
-        for i in range(bands)
+        for ci, c in enumerate(combos)
     ])
-    bk = sh.select("doc_id", "simhash", F.explode(band_cols).alias("b")) \
-        .select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    sh = simhash(df, n, text_col, id_col)
+    bk = sh.select("doc_id", "simhash", F.explode(combo_cols).alias("b")) \
+        .select("doc_id", "simhash", F.col("b.combo").alias("combo"), F.col("b.key").alias("key"))
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+        a.join(b, (F.col("a.combo") == F.col("b.combo")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))

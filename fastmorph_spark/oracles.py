@@ -184,6 +184,62 @@ ORDER BY a.doc_id
 """
 
 
+TOK_CS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> '')"
+
+
+def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text") -> str:
+    """Mirror of engine.slot_search: same slot specs, same chained distance
+    semantics, same output columns (doc_id, n_matches, match_starts). The
+    case-sensitive twin tokenization shares positions with the folded one
+    (identical boundaries under ASCII), so one parallel unnest zips both."""
+    n = len(slots)
+    assert n >= 1 and len(dists) == n - 1
+
+    def cond(s: dict) -> str:
+        cs = bool(s.get("case"))
+        col = "term_cs" if cs else "term"
+        if "term" in s:
+            t = s["term"] if cs else s["term"].lower()
+            return f"{col} = '{t}'"
+        pat = s["pattern"] if cs else s["pattern"].lower()
+        like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+        return f"{col} LIKE '{like}' ESCAPE '\\'"
+
+    slot_ctes = ",\n".join(
+        f"s{i} AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps FROM pos "
+        f"WHERE {cond(s)} GROUP BY doc_id)"
+        for i, s in enumerate(slots)
+    )
+    joins = " ".join(f"JOIN s{i} USING (doc_id)" for i in range(1, n))
+    proj = ", ".join(f"s{i}.ps AS p{i}" for i in range(n))
+
+    # innermost-out chained predicate: exists q_i in p_i with the distance bound
+    expr = "true"
+    for i in range(n - 1, 0, -1):
+        lo, hi = dists[i - 1]
+        prev = f"v{i - 1}"
+        expr = (
+            f"len(list_filter(p{i}, v{i} -> v{i} >= {prev} + {lo} "
+            f"AND v{i} <= {prev} + {hi} AND {expr})) > 0"
+        )
+    return f"""
+WITH docs AS (SELECT doc_id, {text_expr} AS text FROM documents),
+tokarr AS (SELECT doc_id, {TOK.format(col="text")} AS toks, {TOK_CS.format(col="text")} AS toks_cs FROM docs),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
+         unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+),
+{slot_ctes},
+cand AS (SELECT s0.doc_id, {proj} FROM s0 {joins}),
+m AS (
+  SELECT doc_id, list_sort(list_filter(p0, v0 -> {expr})) AS starts FROM cand
+)
+SELECT doc_id, len(starts)::BIGINT AS n_matches, array_to_string(starts, ',') AS match_starts
+FROM m WHERE len(starts) > 0 ORDER BY doc_id
+"""
+
+
 def wildcard_terms_sql(pattern: str) -> str:
     assert "%" not in pattern and "_like_" not in pattern
     like = pattern.lower().replace("*", "%").replace("?", "_")

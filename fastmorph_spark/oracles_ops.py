@@ -128,13 +128,24 @@ SELECT doc_id, array_to_string(hs[1:{keep}], '|') AS fingerprint FROM h
 """
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8,
+                            shingle_df_cap: int | None = 5000) -> str:
+    cap_cte = ""
+    src = "sh"
+    if shingle_df_cap is not None:
+        cap_cte = f"""
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {shingle_df_cap}) ok
+  USING (shingle)
+),"""
+        src = "shc"
     return f"""
-WITH {_shingles_cte(n)},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+WITH {_shingles_cte(n)},{cap_cte}
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -230,6 +241,90 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
       / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+"""
+
+
+def _plane_lit(plane) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+def _band_key_sql(planes, bi: int, r: int, vec: str = "e") -> str:
+    terms = []
+    for j in range(r):
+        p = planes[bi * r + j]
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {_plane_lit(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def cosine_neardup_banded_sql(threshold: float, bands: int, planes_per_band: int,
+                              planes) -> str:
+    """Mirror of ops.similarity.cosine_neardup_pairs: same banded LSH
+    candidate generation (plane literals rendered from the same
+    deterministic md5 family), same exact-cosine verify."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, e, {bi} AS band, ({_band_key_sql(planes, bi, planes_per_band)}) AS key FROM v"
+        for bi in range(bands)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+vv AS (SELECT vec_id, e FROM v)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), {R}) AS cos
+FROM cand c JOIN vv a ON a.vec_id = c.vec_a JOIN vv b ON b.vec_id = c.vec_b
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+"""
+
+
+def _bucket_sql(planes, vec: str = "e") -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_lit(planes[p])}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    ]
+    return " + ".join(terms)
+
+
+def lsh_topk_sql(query_vec: list[float], k: int, planes, probes: list[int]) -> str:
+    """Mirror of ops.similarity.lsh_bucketed_topk: same plane literals,
+    same multi-probe bucket set, exact top-k within it."""
+    qs = ", ".join(repr(float(x)) for x in query_vec)
+    inlist = ", ".join(str(b) for b in probes)
+    return f"""
+WITH q AS (SELECT [{qs}]::DOUBLE[] AS qv),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({_bucket_sql(planes)}) AS bucket FROM v),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM b, q WHERE bucket IN ({inlist})
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+       vec_id, round(cos, {R}) AS cos
+FROM scored
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def lsh_recall_sql(query_vec: list[float], k: int, planes, probes: list[int]) -> str:
+    """recall@k of the multi-probe LSH top-k vs the exact top-k."""
+    exact = cosine_topk_sql(query_vec, k).strip()
+    approx = lsh_topk_sql(query_vec, k, planes, probes).strip()
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+hits AS (SELECT ex.vec_id FROM ex JOIN ap ON ex.vec_id = ap.vec_id)
+SELECT {k}::BIGINT AS k, count(*)::BIGINT AS n_hits,
+       round(count(*) / {float(k)}, {R}) AS recall
+FROM hits
 """
 
 

@@ -50,6 +50,17 @@ PROX_T1, PROX_T2, PROX_FROM, PROX_TO = "fast", "join", 1, 5
 WILDCARD_PATTERN = "s*"              # scan slow small sort spark stream
 PAGE_SKIP, PAGE_UNTIL = 10, 20
 
+# multi-slot token patterns (fastmorph's defining query model, SURVEY.md §1.1)
+SLOT3_SLOTS = [{"term": "fast"}, {"pattern": "h*"}, {"term": "join"}]
+SLOT3_DISTS = [(1, 3), (1, 5)]
+SLOTW_SLOTS = [{"pattern": "s*"}, {"term": "join"}]
+SLOTW_DISTS = [(1, 3)]
+# case flags need case variation: every 3rd doc upper-cased, deterministically,
+# in BOTH engines — the cs slot then matches only those docs
+CASE_SLOTS = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+CASE_DISTS = [(1, 4)]
+CASE_TEXT_SQL = "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END"
+
 
 def _index_tables(spark: SparkSession, sf_dir: str):
     docs = read_documents(spark, sf_dir)
@@ -167,6 +178,45 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.proximity_search(postings, PROX_T1, PROX_T2, PROX_FROM, PROX_TO)
 
 
+def q_slot3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-slot pattern with per-pair distance ranges + highlight positions:
+    `fast <h*-term> join` with gaps (1..3)(1..5)."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, SLOT3_SLOTS, SLOT3_DISTS)
+
+
+def q_slot_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-in-slot: `s* join` within distance 1..3."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, SLOTW_SLOTS, SLOTW_DISTS)
+
+
+def q_slot_case_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slot case flags (P5): case-SENSITIVE `FAST` followed by a folded
+    `h*` slot, over the deterministically case-varied corpus (every 3rd doc
+    upper-cased in both engines)."""
+    docs = read_documents(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    postings_cs = build_postings(docs, fold_case=False)
+    dictionary_cs = build_dictionary(postings_cs)
+    return engine.slot_search(postings, dictionary, CASE_SLOTS, CASE_DISTS,
+                              postings_cs=postings_cs, dictionary_cs=dictionary_cs)
+
+
+def q_phrase_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search surfacing match positions (highlight offsets) — the
+    result-assembly surface fastmorph exposes [PK-high]."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    return engine.slot_search(postings, dictionary, slots, dists)
+
+
 def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
     return engine.wildcard_terms(dictionary, WILDCARD_PATTERN)
@@ -184,10 +234,9 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = sorted(set(tokenize_py(FLAGSHIP_QUERY)))
     from fastmorph_spark.search.bm25 import bm25_score_col
 
-    matched = postings.filter(F.col("term").isin(qterms))
+    matched = postings.filter(F.col("term").isin(qterms))  # carries dl
     scored = (
         matched.join(F.broadcast(dictionary.filter(F.col("term").isin(qterms)).select("term", "df")), "term")
-        .join(doc_lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("term_score", bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")))
     )
@@ -291,35 +340,42 @@ def q_ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(read_table(spark, sf_dir, "embeddings"), query_vec(), k=10)
 
 
+# ANN LSH parameters (shared by the Spark query and its mirrored oracle)
+ANN_PLANES, ANN_PROBE_H, ANN_K = 6, 1, 10
+NEARDUP_T, NEARDUP_BANDS, NEARDUP_R = 0.45, 6, 2
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path — no SQL oracle (bucket recall is the documented
-    approximation); driver records the weaker rows-only check."""
+    """Multi-probe LSH ANN top-k. The oracle mirrors the exact bucketing
+    (same deterministic md5 hyperplanes as literals), so the approximate
+    SEMANTICS are themselves hash-checked."""
     from fastmorph_spark.ops.similarity import lsh_bucketed_topk
     from fastmorph_spark.sources import read_table
 
     return lsh_bucketed_topk(read_table(spark, sf_dir, "embeddings"), query_vec(),
-                             k=10, n_planes=6)
+                             k=ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_PROBE_H)
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the multi-probe LSH path vs the exact scan — the
+    deterministic quality evidence for the approximate ANN path."""
+    from fastmorph_spark.ops.similarity import lsh_recall_at_k
+    from fastmorph_spark.sources import read_table
+
+    return lsh_recall_at_k(read_table(spark, sf_dir, "embeddings"), query_vec(),
+                           k=ANN_K, n_planes=ANN_PLANES, probe_hamming=ANN_PROBE_H)
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (brute-force verify over LSH
-    candidates would be approximate; for the oracle-checked query we use
-    n_planes=0-equivalent exact pairing via threshold on all candidate
-    buckets). Here: exact all-pairs at fixture scale via a single bucket."""
-    from fastmorph_spark.ops.similarity import _dot, _norm
+    """Embedding near-dup pairs via banded LSH + exact verify (the scale
+    path — candidates from the band-bucket join, never the n² cross join).
+    The oracle mirrors the banding exactly."""
+    from fastmorph_spark.ops.similarity import cosine_neardup_pairs
     from fastmorph_spark.sources import read_table
 
-    e = read_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
-    )
-    l, r = e.alias("l"), e.alias("r")
-    cos = _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
-    return (
-        l.join(r, F.col("l.vid") < F.col("r.vid"))
-        .select(F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b"),
-                F.round(cos, SCORE_DECIMALS).alias("cos"))
-        .filter(F.col("cos") >= 0.45)
-    )
+    return cosine_neardup_pairs(read_table(spark, sf_dir, "embeddings"),
+                                threshold=NEARDUP_T, bands=NEARDUP_BANDS,
+                                planes_per_band=NEARDUP_R)
 
 
 # --------------------------- relational / window / JSON fixture coverage
@@ -431,6 +487,25 @@ def q_corpus_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return en.unionByName(fr).exceptAll(has_dup).orderBy("doc_id")
 
 
+def _ann_lsh_oracle(kind: str) -> str:
+    from fastmorph_spark.ops.similarity import _hyperplanes, query_buckets
+
+    qv = query_vec()
+    planes = _hyperplanes(ANN_PLANES, len(qv))
+    probes = query_buckets(qv, ANN_PLANES, ANN_PROBE_H)
+    if kind == "topk":
+        return oracles_ops.lsh_topk_sql(qv, ANN_K, planes, probes)
+    return oracles_ops.lsh_recall_sql(qv, ANN_K, planes, probes)
+
+
+def _neardup_oracle() -> str:
+    from fastmorph_spark.ops.similarity import _hyperplanes
+
+    qv = query_vec()  # fixes dim (64) — planes depend only on (index, dim)
+    planes = _hyperplanes(NEARDUP_BANDS * NEARDUP_R, len(qv))
+    return oracles_ops.cosine_neardup_banded_sql(NEARDUP_T, NEARDUP_BANDS, NEARDUP_R, planes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -446,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase3_search": q_phrase3_search,
         "proximity_search": q_proximity_search,
+        "slot3_search": q_slot3_search,
+        "slot_wildcard_search": q_slot_wildcard_search,
+        "slot_case_search": q_slot_case_search,
+        "phrase_highlight": q_phrase_highlight,
         "wildcard_terms": q_wildcard_terms,
         "wildcard_docs": q_wildcard_docs,
         "pagination": q_pagination,
@@ -461,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_neardup": q_cosine_neardup,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -487,6 +567,13 @@ def oracle_sqls() -> dict[str, str]:
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),
         "phrase3_search": oracles.phrase_search_sql(PHRASE3_QUERY),
         "proximity_search": oracles.proximity_search_sql(PROX_T1, PROX_T2, PROX_FROM, PROX_TO),
+        "slot3_search": oracles.slot_search_sql(SLOT3_SLOTS, SLOT3_DISTS),
+        "slot_wildcard_search": oracles.slot_search_sql(SLOTW_SLOTS, SLOTW_DISTS),
+        "slot_case_search": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
+        "phrase_highlight": oracles.slot_search_sql(
+            [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
+            [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
+        ),
         "wildcard_terms": oracles.wildcard_terms_sql(WILDCARD_PATTERN),
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),
         "pagination": oracles.pagination_sql(FLAGSHIP_QUERY, PAGE_SKIP, PAGE_UNTIL),
@@ -501,8 +588,9 @@ def oracle_sqls() -> dict[str, str]:
         "fingerprint": oracles_ops.fingerprint_sql(5, 4),
         "ann_cosine_topk": oracles_ops.cosine_topk_sql(query_vec(), 10),
         "ann_cosine_topk_arrow": oracles_ops.cosine_topk_sql(query_vec(), 10),
-        # ann_lsh_topk: intentionally no oracle (approximate recall path)
-        "cosine_neardup": oracles_ops.cosine_neardup_sql(0.45),
+        "ann_lsh_topk": _ann_lsh_oracle("topk"),
+        "ann_lsh_recall": _ann_lsh_oracle("recall"),
+        "cosine_neardup": _neardup_oracle(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

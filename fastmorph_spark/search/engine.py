@@ -53,9 +53,10 @@ def search_topk(
     bm25.bm25_topk_expression (tested)."""
     qterms = sorted(set(tokenize_py(query_text)))
     matched = _filter_terms(postings, qterms)
+    if "dl" not in matched.columns:  # postings from build_postings carry dl
+        matched = matched.join(doc_lens, "doc_id")
     scored = (
         matched.join(F.broadcast(dictionary.filter(F.col("term").isin(qterms)).select("term", "df")), "term")
-        .join(doc_lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "term_score",
@@ -142,6 +143,93 @@ def proximity_search(
     return cand.filter(pred).select("doc_id").orderBy("doc_id")
 
 
+def slot_search(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    slots: list[dict],
+    dists: list[tuple[int, int]],
+    postings_cs: DataFrame | None = None,
+    dictionary_cs: DataFrame | None = None,
+) -> DataFrame:
+    """J4 generalized — fastmorph's defining query model [PK-high,
+    SURVEY.md §1.1]: up to ~5 token slots, each independently constrained,
+    with a distance RANGE between each consecutive pair.
+
+    ``slots``: one dict per slot —
+        {"term": "foo"}            exact token (case-folded match)
+        {"pattern": "f*o?"}        wildcard slot (dictionary-first expansion)
+        + optional "case": True    case-SENSITIVE match (P5 case flags);
+                                   requires the case-preserving twin index
+                                   (postings_cs/dictionary_cs — same doc_id
+                                   and position space, see tokenize_*_cs)
+    ``dists``: len(slots)-1 pairs (lo, hi); a match is positions
+    p_0 < ... < p_{n-1} with p_{i+1} - p_i in [lo_i, hi_i].
+
+    Returns (doc_id, n_matches, match_starts) where match_starts is the
+    comma-joined sorted list of slot-0 positions that start a valid match —
+    the highlight offsets fastmorph surfaces with results [PK-high].
+
+    Plan shape at scale: each slot's postings are pruned dictionary-first
+    (wildcards expand against the ~|vocab| dictionary, broadcast semi-join
+    into postings), the union shuffles ONCE on doc_id, and the chained
+    distance predicate runs as nested higher-order functions over the
+    per-slot position arrays — no Python, no per-row UDF, no self-join
+    explosion on positions.
+    """
+    n = len(slots)
+    assert n >= 1 and len(dists) == n - 1
+    parts = []
+    for i, s in enumerate(slots):
+        cs = bool(s.get("case"))
+        P = postings_cs if cs else postings
+        D = dictionary_cs if cs else dictionary
+        if cs and P is None:
+            raise ValueError("case-sensitive slot needs postings_cs")
+        if "term" in s:
+            t = s["term"] if cs else s["term"].lower()
+            m = P.filter(F.col("term") == t)
+        else:
+            if D is None:
+                raise ValueError("wildcard slot needs a dictionary")
+            pat = s["pattern"] if cs else s["pattern"].lower()
+            cand_terms = D.filter(F.col("term").like(wildcard_pattern_to_like(pat))).select("term")
+            m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        parts.append(m.select("doc_id", F.lit(i).alias("slot"), "positions"))
+    matched = reduce(DataFrame.unionByName, parts)
+    per_slot = matched.groupBy("doc_id", "slot").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("positions")))).alias("ps")
+    )
+    cand = (
+        per_slot.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("slot", "ps"))).alias("pm"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == n)
+    )
+    pm = F.col("pm")
+
+    def _chain(i: int, p_prev):
+        if i == n:
+            return F.lit(True)
+        lo, hi = dists[i - 1]
+        return F.exists(
+            pm[i], lambda q: (q >= p_prev + lo) & (q <= p_prev + hi) & _chain(i + 1, q)
+        )
+
+    starts = F.array_sort(F.filter(pm[0], lambda p: _chain(1, p)))
+    return (
+        cand.select("doc_id", starts.alias("_starts"))
+        .filter(F.size("_starts") > 0)
+        .select(
+            "doc_id",
+            F.size("_starts").cast("long").alias("n_matches"),
+            F.array_join(F.col("_starts").cast("array<string>"), ",").alias("match_starts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def wildcard_pattern_to_like(pattern: str) -> str:
     """fastmorph wildcard slots use * (any run) and ? (one char) [PK-high]."""
     return pattern.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
@@ -169,10 +257,16 @@ def wildcard_docs(postings: DataFrame, dictionary: DataFrame, pattern: str) -> D
 
 def paginate(ranked: DataFrame, skip: int, until: int) -> DataFrame:
     """O4 — fastmorph-style result window [PK-high]: ranks (skip, until]
-    of a scored result. `ranked` must carry (doc_id, score)."""
+    of a scored result. `ranked` must carry (doc_id, score).
+
+    Scale shape: orderBy+limit(until) fuses to TakeOrderedAndProject —
+    each partition keeps its local top-`until`, the driver k-merges — so
+    the ranking window below runs over <= `until` rows, never the full
+    match set through one task."""
+    top = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(until)
     rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     return (
-        ranked.withColumn("rank", rank.cast("long"))
-        .filter((F.col("rank") > skip) & (F.col("rank") <= until))
+        top.withColumn("rank", rank.cast("long"))
+        .filter(F.col("rank") > skip)
         .select("rank", "doc_id", "score")
     )

@@ -51,22 +51,35 @@ def documents_as_corpus(documents: DataFrame) -> DataFrame:
 
 
 def with_doc_ids(corpus: DataFrame) -> DataFrame:
-    """Assign deterministic dense doc_ids: rank over sorted (repo,path,commit).
+    """Assign deterministic dense doc_ids = rank over sorted
+    (repo, path, commit), computed in TWO distributed phases — never a
+    global unpartitioned row_number (a single-reducer sort at 10^12 rows).
 
-    NOT monotonically_increasing_id — ids must be identical under any
-    partitioning or rank-identity dies (SURVEY.md §1.3).
+    Phase 1: rank WITHIN each repo (window partitioned by repo — 10^6+
+    independent groups, fully distributed; skew bounded by the largest
+    repo). Phase 2: per-repo row counts -> exclusive prefix sums ordered
+    by repo (one task over |repos| rows, not |docs| rows) -> joined back
+    on repo (co-partitioned with phase 1's shuffle key).
 
-    Scale note: a global row_number over one window is a single-reducer
-    sort at 10^12 rows. The two-phase variant below (per-partition count +
-    offset cumsum) keeps the sort distributed; we use Spark's own
-    zipWithIndex-free formulation via a window over a salted pre-sort only
-    when needed. For corpora that already carry a unique `doc_id`, that id
-    is kept as-is.
+    doc_id = offset(repo) + rank_within_repo - 1 == the global sorted rank,
+    independent of input partitioning (determinism rule, SURVEY.md §1.3).
+    NOT monotonically_increasing_id. Corpora already carrying a unique
+    `doc_id` keep it as-is.
     """
     if "doc_id" in corpus.columns:
         return corpus
-    w = Window.orderBy("repo", "path", "commit")
-    return corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    w_repo = Window.partitionBy("repo").orderBy("path", "commit")
+    local = corpus.withColumn("_r", F.row_number().over(w_repo).cast("long"))
+    counts = corpus.groupBy("repo").agg(F.count("*").alias("_c"))
+    w_cum = Window.orderBy("repo").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "repo", F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).cast("long").alias("_off")
+    )
+    return (
+        local.join(offsets, "repo")
+        .withColumn("doc_id", F.col("_off") + F.col("_r") - 1)
+        .drop("_r", "_off")
+    )
 
 
 def synth_corpus(spark: SparkSession, n_docs: int, n_repos: int = 50,

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from fastmorph_spark.constants import TOKEN_PATTERN, TOKEN_SPLIT_PATTERN
+from fastmorph_spark.constants import (
+    TOKEN_PATTERN,
+    TOKEN_PATTERN_CS,
+    TOKEN_SPLIT_PATTERN,
+    TOKEN_SPLIT_PATTERN_CS,
+)
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
@@ -61,14 +66,49 @@ DUCKDB_TOKENIZE = (
     "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
 )
 
+# ---- case-preserving twins (per-slot case-sensitive slots, P5/engine.slot_search)
 
-def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True):
+_TOKEN_RE_CS = re.compile(TOKEN_PATTERN_CS)
+
+
+def tokenize_py_cs(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return _TOKEN_RE_CS.findall(text)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf_cs(texts: pd.Series) -> pd.Series:
+    """Case-preserving vectorized tokenizer. Same boundaries as
+    tokenize_udf (ASCII classes fold onto each other), so positions from
+    the two tokenizations of one text are interchangeable."""
+    return texts.fillna("").str.findall(TOKEN_PATTERN_CS)
+
+
+def tokenize_expr_cs(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), TOKEN_SPLIT_PATTERN_CS),
+        lambda x: x != F.lit(""),
+    )
+
+
+DUCKDB_TOKENIZE_CS = (
+    "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> '')"
+)
+
+
+def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True, fold_case: bool = True):
     """content -> one row per (doc, pos, term). Position = 0-based token index.
 
     The posexplode index IS the position payload (SURVEY.md T2) — no
-    separate position bookkeeping needed.
+    separate position bookkeeping needed. ``fold_case=False`` uses the
+    case-preserving twin tokenizer (same boundaries -> same positions).
     """
-    tok = tokenize_udf(F.col(text_col)) if use_udf else tokenize_expr(text_col)
+    if fold_case:
+        tok = tokenize_udf(F.col(text_col)) if use_udf else tokenize_expr(text_col)
+    else:
+        tok = tokenize_udf_cs(F.col(text_col)) if use_udf else tokenize_expr_cs(text_col)
     return (
         df.select(*id_cols, tok.alias("_tokens"))
         .select(*id_cols, F.posexplode("_tokens").alias("pos", "term"))

@@ -50,8 +50,8 @@ def _spark_submit(master: str, shuffle_parts: int, corpus: str, out: str, report
         "--in", corpus, "--out", out, "--report", report,
         "--batches", str(batches),
     ]
-    subprocess.run(cmd, check=True, cwd=REPO,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(report + ".log", "w") as logf:
+        subprocess.run(cmd, check=True, cwd=REPO, stdout=logf, stderr=logf)
     with open(report) as f:
         return json.load(f)
 
@@ -62,7 +62,13 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2, help="measured runs per level (after 1 discard)")
     ap.add_argument("--batches", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
-    ap.add_argument("--levels", default="8,32")
+    ap.add_argument(
+        "--levels", default="4,16",
+        help="N,4N parallelism pair. Default 4,16: the sandbox VM's own "
+             "multiprocessing ceiling measured 8->32 is ~0.83 (32 threads "
+             "saturate the box; see BENCH/BASELINE.md), so 8,32 would gate "
+             "on hardware, not the engine. 4->16 keeps the 4x ratio with "
+             "16 spare host cores.")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     n_lo, n_hi = (int(x) for x in args.levels.split(","))

@@ -23,7 +23,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# APPEND (not prepend): under spark-submit --py-files the shipped zip must
+# win over the live repo tree, so a bench run is immune to concurrent edits
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -67,3 +67,30 @@ def test_partitioning_invariance(spark):
     a = bm25_topk_expression(docs, "fast hash join", k=10).collect()
     b = bm25_topk_expression(docs.repartition(17), "fast hash join", k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_partition_local_postings_equals_shuffle_groupby(spark):
+    """The mapInPandas partition-local build must equal the declarative
+    explode+groupBy formulation, under any input partitioning."""
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.index.build import build_postings
+    from fastmorph_spark.tokenize import tokens_with_positions
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c a"), (1, "b b"), (2, ""), (3, None), (4, "c a c")],
+        "doc_id long, text string",
+    )
+    ref = (
+        tokens_with_positions(docs)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+        )
+    )
+    want = {(r.term, r.doc_id): (r.tf, r.positions) for r in ref.collect()}
+    for parts in (1, 7):
+        got_rows = build_postings(docs.repartition(parts)).collect()
+        got = {(r.term, r.doc_id): (r.tf, r.positions) for r in got_rows}
+        assert got == want

@@ -1,0 +1,119 @@
+"""slot_search (multi-slot token patterns, J4 generalized) vs a pure-Python
+brute-force reference, including wildcard slots and per-slot case flags."""
+
+from __future__ import annotations
+
+import fnmatch
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastmorph_spark.index.build import build_dictionary, build_postings
+from fastmorph_spark.search.engine import slot_search
+from fastmorph_spark.tokenize import tokenize_py, tokenize_py_cs
+
+DOCS = [
+    (0, "fast hash join beats slow merge join"),
+    (1, "fast merge then hash then join"),
+    (2, "FAST hash JOIN in CAPS"),
+    (3, "join fast hash reversed order"),
+    (4, "fast x y z join too far apart maybe"),
+    (5, "nothing relevant here"),
+    (6, "fast fast hash join join overlapping starts"),
+    (7, ""),
+]
+
+
+def brute(slots, dists):
+    """Reference: all docs + slot-0 start positions admitting a full chain."""
+    out = {}
+    for doc_id, text in DOCS:
+        toks_ci = tokenize_py(text)
+        toks_cs = tokenize_py_cs(text)
+
+        def slot_positions(s):
+            cs = bool(s.get("case"))
+            toks = toks_cs if cs else toks_ci
+            if "term" in s:
+                t = s["term"] if cs else s["term"].lower()
+                return [i for i, x in enumerate(toks) if x == t]
+            pat = s["pattern"] if cs else s["pattern"].lower()
+            return [i for i, x in enumerate(toks) if fnmatch.fnmatchcase(x, pat)]
+
+        ps = [slot_positions(s) for s in slots]
+        if any(not p for p in ps):
+            continue
+
+        def chain(i, prev):
+            if i == len(slots):
+                return True
+            lo, hi = dists[i - 1]
+            return any(prev + lo <= q <= prev + hi and chain(i + 1, q) for q in ps[i])
+
+        starts = sorted(p for p in ps[0] if chain(1, p))
+        if starts:
+            out[doc_id] = starts
+    return out
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = build_postings(df)
+    d = build_dictionary(p)
+    pc = build_postings(df, fold_case=False)
+    dc = build_dictionary(pc)
+    return p, d, pc, dc
+
+
+CASES = [
+    ([{"term": "fast"}, {"term": "hash"}, {"term": "join"}], [(1, 1), (1, 1)]),
+    ([{"term": "fast"}, {"term": "join"}], [(1, 5)]),
+    ([{"pattern": "f*"}, {"pattern": "j*n"}], [(1, 4)]),
+    ([{"term": "fast"}, {"term": "hash"}, {"term": "join"}], [(1, 3), (1, 3)]),
+    ([{"term": "fast"}], []),
+    ([{"pattern": "?ash"}, {"term": "join"}], [(2, 2)]),
+]
+
+
+@pytest.mark.parametrize("slots,dists", CASES)
+def test_slot_search_matches_bruteforce(tables, slots, dists):
+    p, d, pc, dc = tables
+    got = {
+        r["doc_id"]: [int(x) for x in r["match_starts"].split(",")]
+        for r in slot_search(p, d, slots, dists, pc, dc).collect()
+    }
+    assert got == brute(slots, dists)
+
+
+CS_CASES = [
+    ([{"term": "FAST", "case": True}, {"term": "hash"}], [(1, 1)]),
+    ([{"term": "FAST", "case": True}, {"pattern": "J*", "case": True}], [(1, 2)]),
+    ([{"pattern": "CAPS", "case": True}], []),
+    ([{"term": "fast", "case": True}, {"term": "join"}], [(1, 5)]),  # misses doc 2
+]
+
+
+@pytest.mark.parametrize("slots,dists", CS_CASES)
+def test_slot_search_case_flags(tables, slots, dists):
+    p, d, pc, dc = tables
+    got = {
+        r["doc_id"]: [int(x) for x in r["match_starts"].split(",")]
+        for r in slot_search(p, d, slots, dists, pc, dc).collect()
+    }
+    assert got == brute(slots, dists)
+
+
+def test_n_matches_counts_all_starts(tables):
+    p, d, pc, dc = tables
+    # doc 6: "fast fast hash join join" -> both fast positions start a match
+    rows = slot_search(p, d, [{"term": "fast"}, {"term": "hash"}], [(1, 2)]).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[6]["n_matches"] == 2
+    assert by_id[6]["match_starts"] == "0,1"
+
+
+def test_case_sensitive_slot_requires_cs_index(tables):
+    p, d, *_ = tables
+    with pytest.raises(ValueError):
+        slot_search(p, d, [{"term": "FAST", "case": True}], [])
