@@ -6,7 +6,7 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 Per-query timing wraps the full action (plan + execute + collect); the
 Spark session start-up is excluded. The deeper scaling protocol
-(local[8] vs local[32] index-build throughput, BASELINE.md) lives in
+(local[4] vs local[16] index-build throughput, BASELINE.md) lives in
 jobs/build_index.py + jobs/bench_scaling.py.
 """
 
