@@ -36,6 +36,10 @@ N_PACK_BUCKETS = 64       # term-hash buckets for pack-time groups: packing
                           # groups are (pack_bucket, doc_shard), coarse
                           # enough to amortize Arrow per-group overhead,
                           # fine enough for parallelism + bounded memory
+PACK_SLICES = 8           # doc_shard-hash sub-slices per pack bucket: the
+                          # pack exchange partitions on (bucket, slice) so
+                          # a Zipf-hot bucket splits 8 ways instead of
+                          # becoming the last-wave straggler
 DOC_SHARD_SIZE = 1 << 20  # docs per doc-shard (the salt). Contiguous doc_id
                           # ranges: build groups are (term, doc_shard), so a
                           # hot term (df ~= N) splits across N/DOC_SHARD_SIZE

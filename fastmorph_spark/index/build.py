@@ -32,9 +32,11 @@ def build_docs(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>, dl long"
+POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl long"
+POSTINGS_SCHEMA_VB = "term string, doc_id long, tf int, positions_vb binary, dl long"
 
 
-def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", fold_case: bool = True) -> DataFrame:
+def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", fold_case: bool = True, with_positions: bool = True, positions_vb: bool = False) -> DataFrame:
     """Partition-LOCAL posting build (north_star: "partition-local
     posting-list build"): (term, doc_id, tf, positions sorted ascending),
     positions = 0-based token indexes.
@@ -53,7 +55,14 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
     hash map, no per-token Python.
 
     ``fold_case=False`` builds the case-preserving twin index (per-slot
-    case-sensitive match, P5).
+    case-sensitive match, P5). ``with_positions=False`` skips the position
+    payload (column pruning can't reach inside the kernel) for tf-only
+    consumers like expression BM25. ``positions_vb=True`` emits positions
+    PRE-ENCODED as per-posting delta+varbyte bytes (first value raw —
+    byte-identical to what the packer produces): each posting's encoding
+    is self-contained, so the pack shuffle carries ~1.1 B/position instead
+    of Spark's ~4 B array elements and the pack kernel concatenates byte
+    slices instead of re-encoding. The physical-index build path uses this.
     """
     import itertools
     import re as _re
@@ -81,26 +90,51 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
             doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
             fdoc = np.repeat(doc_ids, lens)
             frow = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            fpos = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(np.int32)
             flat = np.empty(total, dtype=object)
             flat[:] = list(itertools.chain.from_iterable(toks))
             codes, uniq = pd.factorize(flat, sort=False)
             # stable sort by (doc, term): equal keys keep input order, so
             # positions stay ascending within each run
             order = np.lexsort((codes, fdoc))
-            sc, sd, sp, sr = codes[order], fdoc[order], fpos[order], frow[order]
+            sc, sd, sr = codes[order], fdoc[order], frow[order]
+            if with_positions or positions_vb:
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                fpos = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(np.int32)
+                sp = fpos[order]
             b = np.flatnonzero(np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1]))))
             tf = np.diff(np.append(b, sc.size)).astype(np.int32)
-            yield pd.DataFrame({
+            out = {
                 "term": np.asarray(uniq, dtype=object)[sc[b]],
                 "doc_id": sd[b],
                 "tf": tf,
-                "positions": [sp[lo:lo + n] for lo, n in zip(b.tolist(), tf.tolist())],
-                "dl": lens[sr[b]],
-            })
+            }
+            if positions_vb:
+                from fastmorph_spark.index.varbyte import vb_encode_with_lengths
 
-    return documents.select(F.col(id_col).alias(id_col), text_col).mapInPandas(_build, POSTINGS_SCHEMA)
+                # per-posting delta (first value raw) — independent of
+                # neighbors, so concatenation in ANY posting order later
+                # reproduces the packer's block payload byte-for-byte
+                pdelta = sp.astype(np.uint64).copy()
+                if sp.size:
+                    pdelta[1:] = (sp[1:].astype(np.int64) - sp[:-1].astype(np.int64)).astype(np.uint64)
+                    pdelta[b] = sp[b].astype(np.uint64)
+                p_bytes, p_nb = vb_encode_with_lengths(pdelta)
+                p_off = np.concatenate(([0], np.cumsum(p_nb)))
+                p_mem = p_bytes.tobytes()
+                ends = np.append(b[1:], sc.size)
+                out["positions_vb"] = [
+                    p_mem[p_off[lo]:p_off[hi]] for lo, hi in zip(b.tolist(), ends.tolist())
+                ]
+            elif with_positions:
+                out["positions"] = [sp[lo:lo + n] for lo, n in zip(b.tolist(), tf.tolist())]
+            out["dl"] = lens[sr[b]]
+            yield pd.DataFrame(out)
+
+    if positions_vb:
+        schema = POSTINGS_SCHEMA_VB
+    else:
+        schema = POSTINGS_SCHEMA if with_positions else POSTINGS_SCHEMA_NOPOS
+    return documents.select(F.col(id_col).alias(id_col), text_col).mapInPandas(_build, schema)
 
 
 def build_dictionary(postings: DataFrame) -> DataFrame:

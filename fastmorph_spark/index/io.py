@@ -63,13 +63,42 @@ def build_index_frames(
 ) -> Index:
     """Corpus -> all index DataFrames (lazy, unwritten)."""
     docs = build_docs(documents, id_col=id_col)
-    postings = build_postings(documents, text_col=text_col, id_col=id_col)
+    # slim pre-encoded variant: dictionary/doc_lens need only (term, tf,
+    # doc_id), and the pack shuffle carries bytes instead of int arrays
+    postings = build_postings(documents, text_col=text_col, id_col=id_col,
+                              positions_vb=True)
     doc_lens = build_doc_lens(documents, postings, id_col=id_col)
     dictionary = build_dictionary(postings)
     stats = global_stats(doc_lens)
     packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size)
     dict_final = dictionary_with_max_score(dictionary, packed, stats)
     return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats, postings=packed)
+
+
+def build_lang_indexes(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    doc_shard_size: int = DOC_SHARD_SIZE,
+    block_size: int = BLOCK_SIZE,
+) -> dict[str, "Index"]:
+    """One Index per subcorpus language — the scale answer to filtered
+    BM25. Subcorpus semantics recompute N/avgdl/df over the FILTERED set
+    (SURVEY.md §4), so a lang-filtered query cannot reuse corpus-global
+    impacts; a per-lang index bakes the right stats in and the query-time
+    filter becomes an index CHOICE (at rest: write each under
+    {path}/lang=<v>/ — partition pruning picks the directory). Keeps the
+    lang-filtered path off the full-corpus re-aggregation that made it
+    the latency tail (BENCH/query_latency.json round 1)."""
+    langs = [r[0] for r in documents.select(lang_col).distinct().collect()]
+    return {
+        lang: build_index_frames(
+            documents.filter(F.col(lang_col) == lang), text_col, id_col,
+            doc_shard_size, block_size,
+        )
+        for lang in sorted(langs)
+    }
 
 
 def write_index(
@@ -90,10 +119,9 @@ def write_index(
     idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size)
     idx.postings.persist()
     try:
-        from fastmorph_spark.constants import N_TERM_BUCKETS
-
-        idx.postings.repartition(N_TERM_BUCKETS, "term_bucket") \
-            .write.partitionBy("term_bucket").mode(mode).parquet(f"{out_path}/postings")
+        # each pack task holds one term_bucket (see pack_postings) — the
+        # partitioned write needs no repartition
+        idx.postings.write.partitionBy("term_bucket").mode(mode).parquet(f"{out_path}/postings")
         idx.dictionary.write.mode(mode).parquet(f"{out_path}/dictionary")
         idx.docs.write.mode(mode).parquet(f"{out_path}/docs")
         idx.doc_lens.write.mode(mode).parquet(f"{out_path}/doc_lens")

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import BLOCK_SIZE, DOC_SHARD_SIZE
-from fastmorph_spark.index.build import build_docs, build_postings, global_stats
+from fastmorph_spark.index.build import build_docs, build_postings
 from fastmorph_spark.index.pack import dictionary_from_packed, pack_postings
 
 MANIFEST_SCHEMA = (
@@ -126,17 +126,59 @@ def _append_manifest(spark: SparkSession, out_path: str, row: tuple) -> None:
     os.rename(tmp, os.path.join(local, name))
 
 
-def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
-    rows = (
-        read_manifest(spark, out_path)
-        .filter(
-            (F.col("status").isin("done", "phase0_done", "dict_done"))
-            & (F.col("input_snapshot") == snapshot)
-        )
-        .select("partition_id")
-        .collect()
+def _write_stats(out_path: str, n_docs: int, avgdl: float, spark: SparkSession | None = None) -> None:
+    """1-row stats parquet, written driver-side (pyarrow for local paths,
+    a 1-row Spark write for remote filesystems; the values came from
+    observed metrics — no extra corpus pass either way)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{out_path}/stats"
+    if "://" in path and not path.startswith("file://"):
+        spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    local = path[len("file://"):] if path.startswith("file://") else path
+    os.makedirs(local, exist_ok=True)
+    for f in os.listdir(local):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(local, f))
+    tbl = pa.Table.from_arrays(
+        [pa.array([n_docs], type=pa.int64()), pa.array([avgdl], type=pa.float64())],
+        names=["n_docs", "avgdl"],
     )
-    return {r["partition_id"] for r in rows}
+    pq.write_table(tbl, os.path.join(local, "part-stats.parquet"))
+
+
+def _manifest_rows(spark: SparkSession, out_path: str) -> list[dict]:
+    """All manifest rows as plain dicts — driver-side pyarrow for local
+    paths (no Spark job: manifest reads sit on the serial critical path),
+    Spark collect otherwise."""
+    path = f"{out_path}/manifest"
+    if "://" in path and not path.startswith("file://"):
+        return [r.asDict() for r in read_manifest(spark, out_path).collect()]
+    import os
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.isdir(local):
+        return []
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_table(local).to_pylist()
+    except Exception:
+        return []
+
+
+def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
+    return {
+        r["partition_id"]
+        for r in _manifest_rows(spark, out_path)
+        if r["status"] in ("done", "phase0_done", "dict_done")
+        and r["input_snapshot"] == snapshot
+    }
 
 
 def pending_batches(spark: SparkSession, out_path: str, n_batches: int, snapshot: str) -> list[int]:
@@ -171,41 +213,72 @@ def build_index_resumable(
     """
     snapshot = _snapshot(input_path, doc_shard_size, block_size, n_batches)
 
-    # ---------------- phase 0: tokenize once, pin global artifacts
-    import os
-    import sys
-
-    profile = os.environ.get("FM_PROFILE") == "1"
+    # per-step wall timings, returned in the result (and surfaced in the
+    # bench report) — the scaling gate's diagnosis tool
+    timings: dict[str, float] = {}
 
     def _p(tag: str, t: float) -> None:
-        if profile:
-            print(f"FM_PROFILE phase0.{tag} {time.perf_counter() - t:.2f}s", file=sys.stderr)
+        timings[tag] = round(time.perf_counter() - t, 3)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(4)
+    side_futures = []
 
     if -1 not in _done_ids(spark, out_path, snapshot):
         t0 = time.perf_counter()
         ts = time.perf_counter()
-        # doc_len == token count via regexp_count (tokenizer-parity
-        # tested + Σtf==doc_len invariant-tested) — no tokenization here
-        build_docs(documents, id_col=id_col).write.mode("overwrite").parquet(f"{out_path}/docs")
-        docs_reg = spark.read.parquet(f"{out_path}/docs")
-        docs_reg.select("doc_id", F.col("doc_len").alias("dl")) \
-            .write.mode("overwrite").parquet(f"{out_path}/doc_lens")
-        global_stats(spark.read.parquet(f"{out_path}/doc_lens")) \
-            .write.mode("overwrite").parquet(f"{out_path}/stats")
-        _p("docs_doclens_stats", ts)
-        _append_manifest(spark, out_path, (
-            -1, "phase0_done", 0, 0, 0, 0,
-            snapshot, attempt, int((time.perf_counter() - t0) * 1000), _now(),
-        ))
+        # ONE corpus scan: the docs-registry write (sha256 + doc_len via
+        # regexp_count — tokenizer-parity tested + Σtf==doc_len invariant-
+        # tested, no tokenization) carries stats (n_docs, avgdl) AND
+        # max_doc as observed metrics — no separate stats/max_doc jobs.
+        # Stats must be pinned before any pack (impacts bake in the FINAL
+        # avgdl). The phase-0 heavy work is deliberately NOT overlapped
+        # with phase 1: sharing task slots with the pack inflated the
+        # short 4N-core run's critical path (measured +35% pack wall)
+        # while barely helping the N-core run.
+        from pyspark.sql import Observation
+
+        obs0 = Observation("phase0_stats")
+        # coalesce: merge the many small scan splits into ~2 tasks/core —
+        # same scan parallelism in waves, ~6x fewer output files to commit
+        n_out = max(spark.sparkContext.defaultParallelism * 2, 16)
+        build_docs(documents, id_col=id_col).coalesce(n_out).observe(
+            obs0,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("doc_id").alias("max_doc"),
+        ).write.mode("overwrite").parquet(f"{out_path}/docs")
+        s0 = obs0.get
+        _write_stats(out_path, int(s0["n_docs"]), float(s0["avgdl"] or 0.0), spark)
+        max_doc = int(s0["max_doc"] or 0)
+        _p("docs_stats", ts)
+
+        # doc_lens is a tiny projection of docs consumed only by queries —
+        # write it on a driver thread overlapping phase 1
+        def _write_doc_lens():
+            tsl = time.perf_counter()
+            spark.read.parquet(f"{out_path}/docs") \
+                .select("doc_id", F.col("doc_len").alias("dl")) \
+                .write.mode("overwrite").parquet(f"{out_path}/doc_lens")
+            _p("doc_lens_write", tsl)
+            _append_manifest(spark, out_path, (
+                -1, "phase0_done", 0, 0, 0, 0,
+                snapshot, attempt, int((time.perf_counter() - t0) * 1000), _now(),
+            ))
+
+        side_futures.append(pool.submit(_write_doc_lens))
+    else:
+        ts = time.perf_counter()
+        max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
+        _p("max_doc", ts)
 
     stats = spark.read.parquet(f"{out_path}/stats")
-    ts = time.perf_counter()
-    max_doc = documents.agg(F.max(id_col).alias("m")).collect()[0]["m"] or 0
-    _p("max_doc", ts)
     batch_width = (max_doc // n_batches) + 1
 
     # ---------------- phase 1: per-batch tokenize+pack with checkpoints
-    todo = pending_batches(spark, out_path, n_batches, snapshot)
+    pending_all = pending_batches(spark, out_path, n_batches, snapshot)
+    todo = pending_all
     if max_batches_this_run is not None:
         todo = todo[:max_batches_this_run]
 
@@ -215,7 +288,8 @@ def build_index_resumable(
         slice_df = documents.filter(
             (F.col(id_col) >= b * batch_width) & (F.col(id_col) < (b + 1) * batch_width)
         )
-        batch_postings = build_postings(slice_df, text_col=text_col, id_col=id_col)
+        batch_postings = build_postings(slice_df, text_col=text_col, id_col=id_col,
+                                        positions_vb=True)
         packed = pack_postings(batch_postings, None, stats, doc_shard_size, block_size)
         # counters ride along the write job itself (CollectMetrics): no
         # persist (memory pin) and no second pass over the binary payloads
@@ -231,40 +305,70 @@ def build_index_resumable(
                 F.lit(0),
             ).alias("bytes_written"),
         )
-        # co-locate each term_bucket in one task before partitionBy:
-        # otherwise every reduce task writes a file into every bucket
-        # dir (tasks × buckets tiny files)
-        from fastmorph_spark.constants import N_TERM_BUCKETS
-
-        packed.repartition(N_TERM_BUCKETS, "term_bucket") \
-            .write.partitionBy("term_bucket").mode("overwrite").parquet(
-                f"{out_path}/postings/batch={b}"
-            )
-        c = obs.get
-        # exact distinct terms (observe can't do DISTINCT): column-pruned
-        # scan of just-written dictionary-encoded `term` column — cheap
-        n_terms = (
-            spark.read.parquet(f"{out_path}/postings/batch={b}")
-            .agg(F.countDistinct("term").alias("t")).collect()[0]["t"]
+        # no repartition needed: each pack task holds exactly one
+        # pack_bucket == one term_bucket (see pack_postings), so the
+        # partitioned write makes one file in one directory per task
+        ts = time.perf_counter()
+        packed.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            f"{out_path}/postings/batch={b}"
         )
-        _append_manifest(spark, out_path, (
-            b, "done", n_terms, c["n_postings"], c["n_blocks"],
-            c["bytes_written"], snapshot, attempt,
-            int((time.perf_counter() - t0) * 1000), _now(),
-        ))
+        c = obs.get
+        _p(f"batch{b}_pack_write", ts)
+
+        # exact distinct terms (observe can't do DISTINCT): column-pruned
+        # scan of the just-written dictionary-encoded `term` column, on a
+        # driver THREAD so the checkpoint commit overlaps the next batch
+        # (crash before the append just re-runs this batch — safe)
+        def _commit_batch(b=b, c=c, t0=t0):
+            ts = time.perf_counter()
+            bpath = f"{out_path}/postings/batch={b}"
+            if "://" in bpath and not bpath.startswith("file://"):
+                n_terms = (
+                    spark.read.parquet(bpath)
+                    .agg(F.countDistinct("term").alias("t")).collect()[0]["t"]
+                )
+            else:
+                # local layout: the term column of one batch is a few 10s of
+                # MB — a driver-side pyarrow read skips ~512 Spark
+                # file-open/footer roundtrips (~4s of fixed cost per batch)
+                import pyarrow.dataset as pads
+
+                local = bpath[len("file://"):] if bpath.startswith("file://") else bpath
+                ds = pads.dataset(local, format="parquet", partitioning="hive")
+                tbl = ds.to_table(columns=["term"])
+                import pyarrow.compute as pc
+
+                n_terms = len(pc.unique(tbl["term"]))
+            _p(f"batch{b}_nterms", ts)
+            _append_manifest(spark, out_path, (
+                b, "done", n_terms, c["n_postings"], c["n_blocks"],
+                c["bytes_written"], snapshot, attempt,
+                int((time.perf_counter() - t0) * 1000), _now(),
+            ))
+
+        side_futures.append(pool.submit(_commit_batch))
         ran.append(b)
 
     # ---------------- finalize (idempotent): dictionary from block metadata
-    # ONE manifest read serves the remaining-check AND the counters
-    # (driver-side job launches are the serial floor at small scale)
-    mrows = read_manifest(spark, out_path).filter(F.col("input_snapshot") == snapshot).collect()
-    done = {r["partition_id"] for r in mrows if r["status"] in ("done", "phase0_done")}
-    remaining = [b for b in range(n_batches) if b not in done]
+    # completeness is known driver-side (todo was ALL pending batches at
+    # entry; `ran` is what this run finished), so the dictionary job can
+    # start WHILE the last batch's n_terms commit thread still runs —
+    # both are independent Spark jobs
+    ts = time.perf_counter()
+    remaining = [b for b in pending_all if b not in ran]
     if not remaining:
         packed_all = spark.read.parquet(f"{out_path}/postings")
         dictionary_from_packed(packed_all, stats).write.mode("overwrite").parquet(
             f"{out_path}/dictionary"
         )
+    _p("finalize_dictionary", ts)
+
+    # now join the overlapped side jobs (docs registry + batch commits)
+    # and aggregate counters from the manifest (driver-side read)
+    for f in side_futures:
+        f.result()
+    pool.shutdown()
+    mrows = [r for r in _manifest_rows(spark, out_path) if r["input_snapshot"] == snapshot]
 
     # latest attempt wins per partition (a batch never double-counts)
     by_part: dict[int, dict] = {}
@@ -280,4 +384,5 @@ def build_index_resumable(
         "payload_bytes": sum(r["bytes_written"] for r in drows),
         "batches_done": len(drows),
     }
-    return {"batches_run": ran, "complete": not remaining, "counters": counters}
+    return {"batches_run": ran, "complete": not remaining, "counters": counters,
+            "timings": timings}

@@ -60,6 +60,7 @@ from fastmorph_spark.constants import (
     DOC_SHARD_SIZE,
     N_PACK_BUCKETS,
     N_TERM_BUCKETS,
+    PACK_SLICES,
 )
 from fastmorph_spark.index.varbyte import vb_encode_with_lengths
 
@@ -90,7 +91,8 @@ def _impact_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 def _make_pack_fn(block_size: int, avgdl: float):
     def _pack_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        """One (pack_bucket, doc_shard) group -> block rows for MANY terms.
+        """One (pack_bucket[, pack_slice], doc_shard) group -> block rows
+        for MANY terms.
 
         Fully vectorized: ONE varbyte encoding of the whole group per
         payload (gaps/tfs/dls/positions) with per-value byte lengths, then
@@ -99,15 +101,19 @@ def _make_pack_fn(block_size: int, avgdl: float):
         Python work was the build bottleneck (measured ~45s/200k docs,
         flat across cores).
         """
-        _, doc_shard = key
+        doc_shard = key[-1]
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        pos_col = pdf["positions"].to_numpy()
-        # tf == len(positions) by construction (A1 invariant) — carrying a
-        # tf column through the 10^10-row pack shuffle would be waste
-        tfs = np.fromiter((len(p) for p in pos_col), dtype=np.int64, count=pos_col.size)
+        vb_in = "positions_vb" in pdf.columns
+        if vb_in:
+            pos_col = pdf["positions_vb"].to_numpy()
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        else:
+            pos_col = pdf["positions"].to_numpy()
+            # tf == len(positions) by construction (A1 invariant)
+            tfs = np.fromiter((len(p) for p in pos_col), dtype=np.int64, count=pos_col.size)
         impacts = _impact_np(tfs, dls, avgdl)
         n = doc_ids.size
 
@@ -136,28 +142,39 @@ def _make_pack_fn(block_size: int, avgdl: float):
         gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
         gaps[bs] = doc_ids[bs].astype(np.uint64)
 
-        # --- positions: flatten once, delta with raw first value per doc
-        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col]) \
-            if n else np.empty(0, dtype=np.int64)
-        doc_pos_start = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-        pdelta = flat.astype(np.uint64).copy()
-        if flat.size:
-            pdelta[1:] = (flat[1:] - flat[:-1]).astype(np.uint64)
-            pdelta[doc_pos_start] = flat[doc_pos_start].astype(np.uint64)
+        # --- positions: per-posting delta+varbyte bytes. The upstream
+        # kernel already emits exactly this when positions_vb=True (each
+        # posting's encoding is self-contained: first value raw), so the
+        # pack side just CONCATENATES byte slices; the legacy array input
+        # is encoded here with identical semantics.
+        if vb_in:
+            p_mem = b"".join(pos_col)
+            p_post_nb = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
+            p_post_off = np.concatenate(([0], np.cumsum(p_post_nb)))
+        else:
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col]) \
+                if n else np.empty(0, dtype=np.int64)
+            doc_pos_start = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            pdelta = flat.astype(np.uint64).copy()
+            if flat.size:
+                pdelta[1:] = (flat[1:] - flat[:-1]).astype(np.uint64)
+                pdelta[doc_pos_start] = flat[doc_pos_start].astype(np.uint64)
+            p_bytes, p_nb = vb_encode_with_lengths(pdelta)
+            p_mem = p_bytes.tobytes()
+            p_off = np.concatenate(([0], np.cumsum(p_nb)))
+            # per-posting byte offsets from per-VALUE offsets
+            pos_end = doc_pos_start + tfs
+            p_post_off = np.concatenate((p_off[doc_pos_start], [p_off[-1]])) if n else np.zeros(1, dtype=np.int64)
 
         # --- group-level varbyte encodings + byte offsets
         g_bytes, g_nb = vb_encode_with_lengths(gaps)
         t_bytes, t_nb = vb_encode_with_lengths(tfs.astype(np.uint64))
         d_bytes, d_nb = vb_encode_with_lengths(dls.astype(np.uint64))
-        p_bytes, p_nb = vb_encode_with_lengths(pdelta)
         g_off = np.concatenate(([0], np.cumsum(g_nb)))
         t_off = np.concatenate(([0], np.cumsum(t_nb)))
         d_off = np.concatenate(([0], np.cumsum(d_nb)))
-        p_off = np.concatenate(([0], np.cumsum(p_nb)))
-        # posting-row -> position-value index range [doc_pos_start, +tf)
-        pos_end = doc_pos_start + tfs  # exclusive value index per row
 
-        g_mem, t_mem, d_mem, p_mem = (x.tobytes() for x in (g_bytes, t_bytes, d_bytes, p_bytes))
+        g_mem, t_mem, d_mem = (x.tobytes() for x in (g_bytes, t_bytes, d_bytes))
         rows = []
         for i in range(bs.size):
             lo, hi = int(bs[i]), int(be[i])
@@ -173,7 +190,7 @@ def _make_pack_fn(block_size: int, avgdl: float):
                 g_mem[g_off[lo]:g_off[hi]],
                 t_mem[t_off[lo]:t_off[hi]],
                 d_mem[d_off[lo]:d_off[hi]],
-                p_mem[p_off[doc_pos_start[lo]]:p_off[pos_end[hi - 1]]],
+                p_mem[p_post_off[lo]:p_post_off[hi]],
             ))
         return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
@@ -205,15 +222,36 @@ def pack_postings(
         postings if (doc_lens is None or "dl" in postings.columns)
         else postings.join(doc_lens, "doc_id")
     )
+    pos_cols = (["tf", "positions_vb"] if "positions_vb" in enriched.columns
+                else ["positions"])
     enriched = (
         enriched
         .select(
-            "term", "doc_id", "dl", "positions",
+            "term", "doc_id", "dl", *pos_cols,
             (F.col("doc_id") / F.lit(doc_shard_size)).cast("int").alias("doc_shard"),
             F.pmod(F.xxhash64("term"), F.lit(N_PACK_BUCKETS)).cast("int").alias("pack_bucket"),
         )
     )
-    packed = enriched.groupBy("pack_bucket", "doc_shard").applyInPandas(
+    # ONE exchange: hash-partition on (pack_bucket, pack_slice), where
+    # pack_slice = xxhash64(doc_shard) % PACK_SLICES sub-divides each
+    # bucket. HashPartitioning(bucket, slice) satisfies applyInPandas'
+    # ClusteredDistribution(bucket, slice, shard) (subset of the grouping
+    # keys), so Catalyst inserts NO second shuffle. Why the slice: a Zipf
+    # corpus makes some buckets several times heavier than average — with
+    # one partition per bucket the hot bucket is the last-wave straggler
+    # that caps scaling; slicing by doc_shard hash splits every bucket's
+    # weight PACK_SLICES ways (the doc-shard salt again, one level up).
+    # And because pack_bucket == term_bucket (same xxhash64(term) % 64,
+    # N_PACK_BUCKETS == N_TERM_BUCKETS), each pack task still holds ~one
+    # bucket, so the downstream partitionBy(term_bucket) write fans out to
+    # ~one directory per task with no repartition. Net: the full packed
+    # payload crosses the wire once, not twice, with bounded skew.
+    assert N_PACK_BUCKETS == N_TERM_BUCKETS
+    enriched = enriched.withColumn(
+        "pack_slice", F.pmod(F.xxhash64("doc_shard"), F.lit(PACK_SLICES)).cast("int")
+    )
+    enriched = enriched.repartition(N_PACK_BUCKETS * PACK_SLICES, "pack_bucket", "pack_slice")
+    packed = enriched.groupBy("pack_bucket", "pack_slice", "doc_shard").applyInPandas(
         _make_pack_fn(block_size, avgdl), PACKED_SCHEMA
     )
     return packed.withColumn(

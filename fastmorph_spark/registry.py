@@ -378,6 +378,77 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 planes_per_band=NEARDUP_R)
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload = utf-8
+    text bytes, kind/duration from doc_id — identical in both engines, so
+    the multimodal plumbing is oracle-checkable without codec fixtures."""
+    docs = read_documents(spark, sf_dir)
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.when(kind == "image", 0).otherwise(1000 + F.col("doc_id") * 37)
+         .cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing (Arrow-batched mapInPandas) over
+    the deterministic fake decoder; features surfaced as exact sha-derived
+    bytes so the oracle mirrors them bit-for-bit."""
+    from fastmorph_spark.ops.multimodal import extract_features
+
+    feats = extract_features(_docs_as_media(spark, sf_dir), decode="fake", dim=16)
+    # float32(k/255) * 255 rounds back to k exactly -> integer-exact compare
+    feat_bytes = F.transform("feat", lambda x: F.round(x * 255).cast("int"))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.array_join(feat_bytes.cast("array<string>"), ",").alias("feat_bytes"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule (pure JVM exprs) for audio/video media."""
+    from fastmorph_spark.ops.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_docs_as_media(spark, sf_dir), every_ms=500) \
+        .select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH f AS (
+  -- sha256(VARCHAR) hashes the utf-8 bytes == the engine's payload hash
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS sha256
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, sha256,
+       (CASE WHEN kind = 'image' THEN 1 ELSE 1 + n_bytes % 32 END)::BIGINT AS n_frames,
+       array_to_string(
+         list_transform(range(16), i -> ('0x' || substr(sha256, 2*i + 1, 2))::INT),
+         ',') AS feat_bytes
+FROM f
+"""
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         (1000 + doc_id * 37)::INT AS duration_ms
+  FROM documents
+)
+SELECT media_id, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 500))::BIGINT AS frame_ts_ms
+FROM m WHERE kind IN ('video', 'audio')
+"""
+
+
 # --------------------------- relational / window / JSON fixture coverage
 # (SURVEY.md §2.4 A7, §2.5, §2.7 W4, §2.3 T7 — exercised on the TPC-H-ish
 # driver fixtures so the generic operator surface is oracle-checked too)
@@ -549,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "rollup_lang_source": q_rollup_lang_source,
         "corpus_setops": q_corpus_setops,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -653,4 +726,6 @@ SELECT doc_id FROM (
 ) EXCEPT ALL SELECT doc_id FROM has_dup
 ORDER BY doc_id
 """,
+        "multimodal_features": MULTIMODAL_FEATURES_SQL,
+        "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     }

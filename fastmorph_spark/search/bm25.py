@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import BM25_B, BM25_K1, SCORE_DECIMALS
-from fastmorph_spark.tokenize import tokenize_py, tokens_with_positions
+from fastmorph_spark.tokenize import tokenize_py
 
 
 def sum_term_scores(scored: DataFrame, id_col: str = "doc_id",
@@ -62,20 +62,24 @@ def bm25_score_col(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Co
 def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """(term_freqs, doc_lens, global_stats) over a document set.
 
-    - term_freqs: (doc_id, term, tf)           [A1 partial+final hash agg]
-    - doc_lens:   (doc_id, dl) for ALL docs    [A3; dl=0 for empty docs]
+    - term_freqs: (id_col, term, tf, dl)       [A1 — PARTITION-LOCAL
+      mapInPandas kernel (index.build.build_postings): a (term, doc) group
+      lives inside one document row, so no shuffle, no agg hash map; dl
+      rides along so scoring needs no doc_lens join]
+    - doc_lens:   (id_col, dl) for ALL docs    [A3; dl=0 for empty docs —
+      regexp_count == token count, tokenizer-parity tested; no join]
     - global_stats: 1-row (n_docs, avgdl)      [A3]
-
-    Catalyst plans the groupBys as partial (map-side) + final aggregation
-    automatically; at 100 TB the only Python crossing is the tokenizer.
     """
-    toks = tokens_with_positions(documents, text_col=text_col, id_cols=(id_col,))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl_nonempty = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    doc_lens = (
-        documents.select(id_col)
-        .join(dl_nonempty, id_col, "left")
-        .select(id_col, F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+    from fastmorph_spark.constants import TOKEN_PATTERN
+    from fastmorph_spark.index.build import build_postings
+
+    tf = build_postings(documents, text_col=text_col, id_col=id_col, with_positions=False)
+    if id_col != "doc_id":
+        tf = tf.withColumnRenamed("doc_id", id_col)
+    doc_lens = documents.select(
+        id_col,
+        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_PATTERN))
+        .cast("long").alias("dl"),
     )
     global_stats = doc_lens.agg(
         F.count("*").alias("n_docs"),
@@ -111,8 +115,7 @@ def bm25_topk_expression(
     df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
-        matched.join(F.broadcast(df_t), "term")
-        .join(doc_lens, id_col)
+        matched.join(F.broadcast(df_t), "term")  # tf rows carry dl already
         .crossJoin(F.broadcast(global_stats))
         .withColumn(
             "term_score",

@@ -5,12 +5,11 @@ is empty — SURVEY.md §0); tests/oracle_bm25.py defines truth for it.
 
 Dispatch:
   bm25 (no lang filter)  -> Block-Max WAND over the packed index
-  bm25 + filter_lang     -> expression BM25 (the packed impacts bake in
-                            corpus-global avgdl; the pinned subcorpus
-                            semantics recompute stats over the filtered
-                            set, so the filtered path stays index-free —
-                            a per-lang index is the scale answer and the
-                            layout supports it via a lang partition)
+  bm25 + filter_lang     -> Block-Max WAND over that lang's PER-LANG index
+                            (io.build_lang_indexes — subcorpus stats baked
+                            in, rank-identical to the filtered oracle);
+                            falls back to expression BM25 when no lang
+                            index was provided
   and / phrase / prox:d / wildcard -> engine operators on logical postings
 """
 
@@ -38,6 +37,7 @@ def run_query(
     index: Index | None = None,
     postings: DataFrame | None = None,
     dictionary: DataFrame | None = None,
+    lang_indexes: dict[str, Index] | None = None,
 ) -> DataFrame:
     """Execute one query spec; returns the result DataFrame."""
     mode = spec["mode"]
@@ -47,6 +47,8 @@ def run_query(
     if mode == "bm25":
         if lang is None and index is not None:
             return search_wand(index, q, k=k)
+        if lang is not None and lang_indexes and lang in lang_indexes:
+            return search_wand(lang_indexes[lang], q, k=k)
         return bm25_topk_expression(documents, q, k=k, lang=lang)
     if mode == "and":
         return engine.and_search(postings, q)

@@ -1,0 +1,179 @@
+"""M5 — assemble BENCH/BASELINE.md: the measured-evidence table BASELINE.md
+promises, plus two measurements nothing else records:
+
+- index size ratio: varbyte payload bytes vs raw int64 postings
+  (doc_id + tf + dl = 24 B/posting, + 8 B/position occurrence)
+- resume overhead: re-running a COMPLETED build must be ~manifest-scan-only
+
+Run AFTER jobs/bench_scaling.py and jobs/bench_query.py:
+  python jobs/bench_report.py --docs 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(REPO)
+
+
+_HW_PROBE_SRC = r"""
+import itertools, json, multiprocessing as mp, re, time
+import numpy as np, pandas as pd
+
+vocab = [f"t{i}" for i in range(5000)]
+rng = np.random.RandomState(0)
+DOCS = ["".join(vocab[rng.randint(0, 5000)] + " " for _ in range(250)) for _ in range(4100)]
+
+def work(_):
+    texts = pd.Series(DOCS).str.lower()
+    toks = texts.str.findall(re.compile(r"[a-z0-9_]+"))
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    total = int(lens.sum())
+    fdoc = np.repeat(np.arange(len(DOCS), dtype=np.int64), lens)
+    flat = np.empty(total, dtype=object)
+    flat[:] = list(itertools.chain.from_iterable(toks))
+    codes, _u = pd.factorize(flat, sort=False)
+    np.lexsort((codes, fdoc))
+    return 0
+
+if __name__ == "__main__":
+    thr = {}
+    for n in (4, 8, 16, 32):
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(work, range(n * 3))
+            thr[n] = n * 3 / (time.perf_counter() - t0)
+    print(json.dumps({
+        "throughput_tasks_per_sec": {str(k): round(v, 2) for k, v in thr.items()},
+        "eff_4_to_16": round(thr[16] / thr[4] / 4, 3),
+        "eff_8_to_32": round(thr[32] / thr[8] / 4, 3),
+    }))
+"""
+
+
+def hw_ceiling_probe() -> dict:
+    """Pure-multiprocessing scaling of the tokenize/group kernel — the
+    box's own ceiling, independent of Spark (justifies the 4->16 levels).
+    Runs as a subprocess (mp.Pool can't pickle nested functions)."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "-c", _HW_PROBE_SRC],
+                         capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.index.manifest import build_index_resumable
+    from fastmorph_spark.session import get_spark
+    from fastmorph_spark.sources import synth_corpus
+
+    hw = hw_ceiling_probe()
+
+    spark = get_spark(master="local[16]", shuffle_partitions=64, app_name="bench-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="fm_report_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    corpus_path = f"{work}/corpus"
+    synth_corpus(spark, args.docs).repartition(64).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    # ---- full build + resume overhead
+    idx_path = f"{work}/idx"
+    t0 = time.perf_counter()
+    r = build_index_resumable(spark, corpus, idx_path, input_path=corpus_path,
+                              text_col="content", n_batches=8)
+    t_full = time.perf_counter() - t0
+    assert r["complete"]
+    t0 = time.perf_counter()
+    r2 = build_index_resumable(spark, corpus, idx_path, input_path=corpus_path,
+                               text_col="content", n_batches=8, attempt=2)
+    t_resume = time.perf_counter() - t0
+    assert r2["complete"] and r2["batches_run"] == []
+
+    # ---- index size ratio: varbyte payload vs raw int64 postings
+    n_postings = int(r["counters"]["n_postings"])
+    payload = int(r["counters"]["payload_bytes"])
+    total_pos = int(
+        spark.read.parquet(f"{idx_path}/dictionary").agg(F.sum("cf")).collect()[0][0]
+    )
+    raw_bytes = n_postings * 24 + total_pos * 8  # doc_id+tf+dl int64 + positions
+    ratio = raw_bytes / payload
+
+    report = {
+        "n_docs": args.docs,
+        "full_build_sec": round(t_full, 2),
+        "resume_noop_sec": round(t_resume, 2),
+        "resume_overhead_pct_of_build": round(100 * t_resume / t_full, 1),
+        "n_postings": n_postings,
+        "total_positions": total_pos,
+        "varbyte_payload_bytes": payload,
+        "raw_int64_bytes": raw_bytes,
+        "size_ratio_raw_over_varbyte": round(ratio, 2),
+        "hw_ceiling": hw,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    def _load(name):
+        p = os.path.join(args.out, name)
+        return json.load(open(p)) if os.path.exists(p) else None
+
+    scaling = _load("scaling.json")
+    qlat = _load("query_latency.json")
+    runs_n = _load("run_n.json")
+    lines = [
+        "# BENCH/BASELINE.md — measured evidence (BASELINE.md's _measure_ cells)",
+        "",
+        f"Generated by jobs/bench_report.py (+ jobs/bench_scaling.py, jobs/bench_query.py).",
+        "",
+        "| metric | measured | config |",
+        "|---|---|---|",
+    ]
+    if scaling:
+        lo, hi = sorted(scaling["levels"], key=int)
+        lines += [
+            f"| index-build throughput, N={lo} cores | {scaling['levels'][lo]:,.0f} docs/s | local[{lo}], {scaling['n_docs']:,} docs, median of {scaling['runs_per_level']} |",
+            f"| index-build throughput, 4N={hi} cores | {scaling['levels'][hi]:,.0f} docs/s | local[{hi}], same input |",
+            f"| **scaling efficiency N→4N** | **{scaling['scaling_efficiency']}** (paired-round median; level-medians {scaling['scaling_efficiency_level_medians']}) | pass={scaling['pass']} (gate ≥0.8) |",
+        ]
+    lines += [
+        f"| hardware ceiling (pure multiprocessing, no Spark) | eff 4→16 = {hw['eff_4_to_16']}, eff 8→32 = {hw['eff_8_to_32']} | tokenize/group kernel, {3} tasks/proc — why the protocol pairs 4→16 |",
+    ]
+    if qlat:
+        lines += [
+            f"| query latency p50 / p95 | {qlat['p50_ms']} ms / {qlat['p95_ms']} ms | reference query set, k=10, {qlat['sf_dir']}, local[{qlat['cores']}], warm index |",
+            f"| warm index build+cache | {qlat['index_build_cache_sec']} s | same session |",
+        ]
+    lines += [
+        f"| index size ratio (raw int64 postings / varbyte payload) | **{report['size_ratio_raw_over_varbyte']}×** | {args.docs:,} docs: {raw_bytes:,} B raw vs {payload:,} B varbyte |",
+        f"| resume overhead (re-run of completed build) | {report['resume_noop_sec']} s = {report['resume_overhead_pct_of_build']}% of the {report['full_build_sec']} s build | manifest-scan + finalize only, 8 batches |",
+        "",
+        "Raw reports: `BENCH/scaling.json`, `BENCH/run_n.json`, `BENCH/run_4n.json`,",
+        "`BENCH/query_latency.json`, `BENCH/report.json`.",
+    ]
+    if runs_n:
+        c = runs_n[0]["counters"] if isinstance(runs_n, list) else runs_n["counters"]
+        lines += ["", f"Build manifest counters (N-core run): {json.dumps(c)}"]
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(report))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ import sys; sys.path.insert(0, {REPO!r})
 from fastmorph_spark.session import get_spark
 from fastmorph_spark.sources import synth_corpus
 spark = get_spark(master="local[{n_hi}]", shuffle_partitions=64, app_name="gen")
-synth_corpus(spark, {args.docs}).repartition(64).write.mode("overwrite").parquet({work!r} + "/corpus")
+synth_corpus(spark, {args.docs}).repartition(256).write.mode("overwrite").parquet({work!r} + "/corpus")
 print(spark.read.parquet({work!r} + "/corpus").count())
 """],
         check=True, capture_output=True, text=True, cwd=REPO,

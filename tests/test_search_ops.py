@@ -102,8 +102,7 @@ def test_pagination_window(tables, oracle, spark):
     matched = postings.filter(F.col("term").isin(qterms))
     scored = (
         matched.join(F.broadcast(dictionary.select("term", "df")), "term")
-        .join(doc_lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats))  # postings carry dl
         .withColumn("ts", bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")))
         .groupBy("doc_id").agg(F.sum("ts").alias("score"))
     )
