@@ -201,6 +201,11 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
         if "term" in s:
             t = s["term"] if cs else s["term"].lower()
             return f"{col} = '{t}'"
+        if "stem" in s:
+            from fastmorph_spark.stem import duckdb_stem, stem_py
+
+            assert not cs, "stem slots are case-folded by definition"
+            return f"{duckdb_stem(col)} = '{stem_py(s['stem'].lower())}'"
         pat = s["pattern"] if cs else s["pattern"].lower()
         like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
         return f"{col} LIKE '{like}' ESCAPE '\\'"
@@ -237,6 +242,60 @@ m AS (
 )
 SELECT doc_id, len(starts)::BIGINT AS n_matches, array_to_string(starts, ',') AS match_starts
 FROM m WHERE len(starts) > 0 ORDER BY doc_id
+"""
+
+
+def or_search_sql(query_text: str) -> str:
+    """Mirror of engine.or_search."""
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS n_terms, NULL::BIGINT AS total_tf WHERE false"
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
+FROM tf WHERE term IN ({inlist})
+GROUP BY doc_id ORDER BY n_terms DESC, total_tf DESC, doc_id ASC
+"""
+
+
+def stem_search_sql(word: str) -> str:
+    """Mirror of engine.stem_search: dictionary-first stem expansion."""
+    from fastmorph_spark.stem import duckdb_stem, stem_py
+
+    target = stem_py(word.lower())
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT doc_id, sum(tf)::BIGINT AS total_tf
+FROM tf WHERE {duckdb_stem("term")} = '{target}'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def snippets_sql(slots: list[dict], dists: list[tuple[int, int]],
+                 match_len: int, width: int = 2) -> str:
+    """Mirror of engine.snippets over engine.slot_search(slots, dists):
+    per-occurrence token-window snippets with highlight offsets and a
+    running total in (doc_id, pos) order."""
+    inner = slot_search_sql(slots, dists).strip().rstrip()
+    return f"""
+WITH m AS ({inner}),
+occ AS (
+  SELECT doc_id, unnest(string_split(match_starts, ','))::INT AS pos FROM m
+),
+tk AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+j AS (
+  SELECT occ.doc_id, occ.pos,
+         greatest(occ.pos + 1 - {width}, 1) AS s_el,
+         least(occ.pos + {match_len} + {width}, len(tk.toks)) AS e_el,
+         tk.toks AS toks
+  FROM occ JOIN tk ON occ.doc_id = tk.doc_id
+)
+SELECT doc_id, pos::BIGINT AS pos,
+       (pos + 1 - s_el)::BIGINT AS hl_offset,
+       array_to_string(toks[s_el:e_el], ' ') AS snippet,
+       row_number() OVER (ORDER BY doc_id, pos)::BIGINT AS running_total
+FROM j ORDER BY doc_id, pos
 """
 
 

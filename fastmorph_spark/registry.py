@@ -60,6 +60,11 @@ SLOTW_DISTS = [(1, 3)]
 CASE_SLOTS = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
 CASE_DISTS = [(1, 4)]
 CASE_TEXT_SQL = "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END"
+# lemma layer (deterministic rule stemmer, fastmorph_spark.stem)
+STEM_QUERY = "joins"                 # stem 'join': joins/joined/joining/join
+SLOT_STEM_SLOTS = [{"term": "fast"}, {"stem": "joins"}]
+SLOT_STEM_DISTS = [(1, 5)]
+SNIPPET_WIDTH = 2                    # context tokens either side of a match
 
 
 def _index_tables(spark: SparkSession, sf_dir: str):
@@ -215,6 +220,39 @@ def q_phrase_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = [{"term": t} for t in terms]
     dists = [(1, 1)] * (len(terms) - 1)
     return engine.slot_search(postings, dictionary, slots, dists)
+
+
+def q_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-OR ranked by match strength (n_terms, total_tf)."""
+    _, postings, *_ = _index_tables(spark, sf_dir)
+    return engine.or_search(postings, FLAGSHIP_QUERY)
+
+
+def q_stem_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lemma search: docs containing any token stemming to stem('joins')
+    — the lemma-constrained retrieval fastmorph's slots offer [PK-high],
+    via the pinned three-form rule stemmer."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.stem_search(postings, dictionary, STEM_QUERY)
+
+
+def q_slot_stem_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed slot pattern: exact `fast` then a LEMMA slot stem('joins')
+    within distance 1..5."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, SLOT_STEM_SLOTS, SLOT_STEM_DISTS)
+
+
+def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result assembly (SURVEY.md §3.1): per-occurrence token-window
+    snippets with highlight offsets and running totals for the phrase
+    query — the matched-sentence surface fastmorph returns [PK-high]."""
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    matches = engine.slot_search(postings, dictionary, slots, dists)
+    return engine.snippets(docs, matches, match_len=len(terms), width=SNIPPET_WIDTH)
 
 
 def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,6 +634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_wildcard_search": q_slot_wildcard_search,
         "slot_case_search": q_slot_case_search,
         "phrase_highlight": q_phrase_highlight,
+        "or_search": q_or_search,
+        "stem_search": q_stem_search,
+        "slot_stem_search": q_slot_stem_search,
+        "phrase_snippets": q_phrase_snippets,
         "wildcard_terms": q_wildcard_terms,
         "wildcard_docs": q_wildcard_docs,
         "pagination": q_pagination,
@@ -646,6 +688,14 @@ def oracle_sqls() -> dict[str, str]:
         "phrase_highlight": oracles.slot_search_sql(
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
+        ),
+        "or_search": oracles.or_search_sql(FLAGSHIP_QUERY),
+        "stem_search": oracles.stem_search_sql(STEM_QUERY),
+        "slot_stem_search": oracles.slot_search_sql(SLOT_STEM_SLOTS, SLOT_STEM_DISTS),
+        "phrase_snippets": oracles.snippets_sql(
+            [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
+            [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
+            match_len=len(tokenize_py(PHRASE_QUERY)), width=SNIPPET_WIDTH,
         ),
         "wildcard_terms": oracles.wildcard_terms_sql(WILDCARD_PATTERN),
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),

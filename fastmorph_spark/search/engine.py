@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import SCORE_DECIMALS
 from fastmorph_spark.search.bm25 import bm25_score_col, sum_term_scores
-from fastmorph_spark.tokenize import tokenize_py
+from fastmorph_spark.tokenize import tokenize_expr, tokenize_py
 
 
 def _filter_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
@@ -158,6 +158,12 @@ def slot_search(
     ``slots``: one dict per slot —
         {"term": "foo"}            exact token (case-folded match)
         {"pattern": "f*o?"}        wildcard slot (dictionary-first expansion)
+        {"stem": "joins"}          LEMMA slot: matches every token whose
+                                   stem equals stem(value) — fastmorph's
+                                   lemma-constrained slots [PK-high],
+                                   realized with the deterministic rule
+                                   stemmer (fastmorph_spark.stem); expanded
+                                   dictionary-first like wildcards
         + optional "case": True    case-SENSITIVE match (P5 case flags);
                                    requires the case-preserving twin index
                                    (postings_cs/dictionary_cs — same doc_id
@@ -188,6 +194,16 @@ def slot_search(
         if "term" in s:
             t = s["term"] if cs else s["term"].lower()
             m = P.filter(F.col("term") == t)
+        elif "stem" in s:
+            from fastmorph_spark.stem import stem_expr, stem_py
+
+            if cs:
+                raise ValueError("stem slots are case-folded by definition")
+            if D is None:
+                raise ValueError("stem slot needs a dictionary")
+            target = stem_py(s["stem"].lower())
+            cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
+            m = P.join(F.broadcast(cand_terms), "term", "left_semi")
         else:
             if D is None:
                 raise ValueError("wildcard slot needs a dictionary")
@@ -252,6 +268,101 @@ def wildcard_docs(postings: DataFrame, dictionary: DataFrame, pattern: str) -> D
         .select("doc_id")
         .distinct()
         .orderBy("doc_id")
+    )
+
+
+def or_search(postings: DataFrame, query_text: str) -> DataFrame:
+    """OR semantics with match strength — docs containing ANY query term,
+    ranked by (n_terms matched DESC, total tf DESC, doc_id ASC). The
+    boolean-OR counterpart of and_search: one groupBy shuffle on doc_id,
+    partial-aggregated map-side; fastmorph's analog is the slot-less
+    any-of candidate pass with per-doc hit counters [PK-med]."""
+    qterms = sorted(set(tokenize_py(query_text)))
+    if not qterms:
+        return postings.select(
+            "doc_id", F.lit(0).cast("long").alias("n_terms"),
+            F.lit(0).cast("long").alias("total_tf"),
+        ).filter(F.lit(False))
+    return (
+        _filter_terms(postings, qterms)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("n_terms"), F.desc("total_tf"), F.asc("doc_id"))
+    )
+
+
+def stem_search(postings: DataFrame, dictionary: DataFrame, word: str) -> DataFrame:
+    """Lemma search — docs containing ANY token that stems to stem(word),
+    with the total occurrence count. Dictionary-first: the stem expression
+    runs over the ~|vocab|-row dictionary (P4's candidate-bitset shape),
+    then a broadcast semi-join prunes postings — the corpus-size table is
+    never scanned with a per-row stem."""
+    from fastmorph_spark.stem import stem_expr, stem_py
+
+    target = stem_py(word.lower())
+    cand_terms = dictionary.filter(stem_expr(F.col("term")) == target).select("term")
+    return (
+        postings.join(F.broadcast(cand_terms), "term", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("total_tf"))
+        .orderBy("doc_id")
+    )
+
+
+def snippets(
+    documents: DataFrame,
+    matches: DataFrame,
+    match_len: int,
+    width: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result assembly — fastmorph returns matched SENTENCES with highlight
+    offsets and running totals, not bare doc ids [PK-high, SURVEY.md §3.1].
+
+    ``matches`` is slot_search output (doc_id, n_matches, match_starts);
+    each start position becomes one row with a token-window snippet:
+
+      (doc_id, pos, hl_offset, snippet, running_total)
+
+    pos        = 0-based token index of the match start in the document
+    hl_offset  = 0-based token index of the match WITHIN the snippet
+                 (the highlight offset; < width only when the match sits
+                 near the document start)
+    snippet    = the tokens [pos-width, pos+match_len-1+width] joined by
+                 a single space (the canonical token stream — exactly
+                 reconstructable by both engines)
+    running_total = 1-based running count of matches in (doc_id, pos)
+                 order — fastmorph's running totals surface
+
+    Scale shape: matches explode to one row per occurrence, then ONE join
+    against the documents scan on doc_id (sort-merge; broadcast when the
+    match set is small enough for AQE to convert). Tokenization is the
+    Catalyst expression twin — JVM-side, no Python. The running-total
+    window is ordered over the MATCH SET (already bounded by the query),
+    never the corpus; paginate first when until is bounded."""
+    occ = matches.select(
+        id_col,
+        F.explode(F.split("match_starts", ",").cast("array<int>")).alias("pos"),
+    )
+    toks = documents.select(F.col(id_col), tokenize_expr(text_col).alias("_toks"))
+    j = occ.join(toks, id_col)
+    start_el = F.greatest(F.col("pos") + 1 - width, F.lit(1))  # 1-based slice index
+    end_el = F.least(F.col("pos") + match_len + width, F.size("_toks"))
+    snip = F.array_join(F.slice("_toks", start_el, end_el - start_el + 1), " ")
+    w = Window.orderBy(id_col, "pos")
+    return (
+        j.select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            (F.col("pos") + 1 - start_el).cast("long").alias("hl_offset"),
+            snip.alias("snippet"),
+        )
+        .withColumn("running_total", F.row_number().over(w).cast("long"))
+        .orderBy(id_col, "pos")
     )
 
 
