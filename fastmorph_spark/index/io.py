@@ -60,6 +60,7 @@ def build_index_frames(
     id_col: str = "doc_id",
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
+    pack_partitions: int | None = None,
 ) -> Index:
     """Corpus -> all index DataFrames (lazy, unwritten)."""
     docs = build_docs(documents, id_col=id_col)
@@ -70,7 +71,8 @@ def build_index_frames(
     doc_lens = build_doc_lens(documents, postings, id_col=id_col)
     dictionary = build_dictionary(postings)
     stats = global_stats(doc_lens)
-    packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size)
+    packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size,
+                           n_partitions=pack_partitions)
     dict_final = dictionary_with_max_score(dictionary, packed, stats)
     return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats, postings=packed)
 

@@ -203,6 +203,7 @@ def pack_postings(
     stats: DataFrame,
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Logical postings -> packed blocks.
 
@@ -250,7 +251,15 @@ def pack_postings(
     enriched = enriched.withColumn(
         "pack_slice", F.pmod(F.xxhash64("doc_shard"), F.lit(PACK_SLICES)).cast("int")
     )
-    enriched = enriched.repartition(N_PACK_BUCKETS * PACK_SLICES, "pack_bucket", "pack_slice")
+    # width default = one task per (bucket, slice): right for the WRITE
+    # path (each task owns ~one term_bucket dir). In-memory callers (the
+    # build+query-in-one-shot bench/driver queries) pass a smaller
+    # n_partitions — 512 near-empty Arrow tasks are pure scheduling
+    # overhead on a fixture-sized corpus; hash partitioning keeps groups
+    # intact at ANY width.
+    enriched = enriched.repartition(
+        n_partitions or N_PACK_BUCKETS * PACK_SLICES, "pack_bucket", "pack_slice"
+    )
     packed = enriched.groupBy("pack_bucket", "pack_slice", "doc_shard").applyInPandas(
         _make_pack_fn(block_size, avgdl), PACKED_SCHEMA
     )

@@ -135,7 +135,17 @@ def minhash_lsh_pairs(
     the output deterministic and threshold-exact — LSH only prunes.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # the shingle table feeds FOUR subtrees (signatures, set sizes, and
+    # both sides of the exact verify) — persist it or tokenize+shingle
+    # the corpus four times (MEMORY_AND_DISK: spills, never recomputes)
+    sh = _shingles(df, n, text_col, id_col).persist()
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -154,7 +164,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify: intersection of shingle sets for candidates only
-    sh = _shingles(df, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

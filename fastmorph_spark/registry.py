@@ -145,7 +145,14 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.search.wand import search_wand
 
     docs = read_documents(spark, sf_dir)
-    idx = build_index_frames(docs, doc_shard_size=1000, block_size=64)
+    # build+query in ONE shot (driver-contract shape): size the pack
+    # exchange to the session, and persist the packed blocks — the
+    # dictionary collect and the block scan are two actions over them
+    idx = build_index_frames(
+        docs, doc_shard_size=1000, block_size=64,
+        pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+    )
+    idx.postings = idx.postings.persist()
     return search_wand(idx, FLAGSHIP_QUERY, k=10, round_score=True)
 
 

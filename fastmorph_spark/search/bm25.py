@@ -112,6 +112,11 @@ def bm25_topk_expression(
         matched = tf.filter(F.lit(False))
     else:
         matched = tf.filter(F.col("term").isin(qterms))
+    # matched is tiny (<= |q| rows per matching doc) but COMPUTING it is a
+    # full corpus tokenization — and it feeds two subtrees (the broadcast
+    # df agg's job and the scoring join). Persist so the tokenizer kernel
+    # runs once per query, not twice.
+    matched = matched.persist()
     df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
