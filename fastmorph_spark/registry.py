@@ -262,6 +262,38 @@ def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.snippets(docs, matches, match_len=len(terms), width=SNIPPET_WIDTH)
 
 
+def _packed_index(spark: SparkSession, sf_dir: str):
+    """Small packed index for the index-backed query paths; postings
+    persisted — dictionary lookups and the block scan are separate
+    actions over them."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    docs = read_documents(spark, sf_dir)
+    idx = build_index_frames(
+        docs, doc_shard_size=1000, block_size=64,
+        pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+    )
+    idx.postings = idx.postings.persist()
+    return idx
+
+
+def q_phrase_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the PACKED index (pruned block scan + varbyte
+    decode, search/packed.py) — no corpus re-tokenization at query time;
+    shares the corpus path's oracle (must be result-identical)."""
+    from fastmorph_spark.search.packed import packed_phrase_search
+
+    return packed_phrase_search(_packed_index(spark, sf_dir), PHRASE_QUERY)
+
+
+def q_slot3_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot3_search through the packed index: dictionary-first wildcard
+    expansion, ONE decoded block scan for all slots, same HOF chain."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_index(spark, sf_dir), SLOT3_SLOTS, SLOT3_DISTS)
+
+
 def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
     return engine.wildcard_terms(dictionary, WILDCARD_PATTERN)
@@ -641,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_wildcard_search": q_slot_wildcard_search,
         "slot_case_search": q_slot_case_search,
         "phrase_highlight": q_phrase_highlight,
+        "phrase_search_packed": q_phrase_search_packed,
+        "slot3_search_packed": q_slot3_search_packed,
         "or_search": q_or_search,
         "stem_search": q_stem_search,
         "slot_stem_search": q_slot_stem_search,
@@ -696,6 +730,8 @@ def oracle_sqls() -> dict[str, str]:
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
         ),
+        "phrase_search_packed": oracles.phrase_search_sql(PHRASE_QUERY),
+        "slot3_search_packed": oracles.slot_search_sql(SLOT3_SLOTS, SLOT3_DISTS),
         "or_search": oracles.or_search_sql(FLAGSHIP_QUERY),
         "stem_search": oracles.stem_search_sql(STEM_QUERY),
         "slot_stem_search": oracles.slot_search_sql(SLOT_STEM_SLOTS, SLOT_STEM_DISTS),

@@ -1,0 +1,103 @@
+"""Parity of the packed-index query paths (search/packed.py) with the
+corpus-built logical-postings paths — decode roundtrip + operator-level
+result identity. The packed path exists so phrase/slot/boolean queries
+never re-tokenize the corpus at query time (100 TB shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastmorph_spark.index.build import build_dictionary, build_postings
+from fastmorph_spark.index.io import build_index_frames
+from fastmorph_spark.search import engine
+from fastmorph_spark.search.packed import (
+    decoded_postings,
+    packed_and_search,
+    packed_or_search,
+    packed_phrase_search,
+    packed_proximity_search,
+    packed_slot_search,
+)
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs = read_documents(spark, SF0001)
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=8)
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    yield docs, idx, postings, dictionary
+    idx.postings.unpersist()
+    postings.unpersist()
+
+
+def test_decoded_postings_roundtrip(ctx):
+    """decode(pack(postings)) == postings for a term subset, positions
+    included — the end-to-end inverse property of the physical layout."""
+    _, idx, postings, _ = ctx
+    terms = ["fast", "join", "scan", "the"]
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in postings.filter(F.col("term").isin(terms)).collect()
+    }
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in decoded_postings(idx, terms).collect()
+    }
+    assert got == want and len(got) > 50
+
+
+def test_decoded_postings_absent_and_empty(ctx, spark):
+    _, idx, *_ = ctx
+    assert decoded_postings(idx, []).count() == 0
+    assert decoded_postings(idx, ["zzz_not_a_term_zzz"]).count() == 0
+
+
+def test_packed_phrase_parity(ctx):
+    _, idx, postings, _ = ctx
+    want = [r["doc_id"] for r in engine.phrase_search(postings, "order fast").collect()]
+    got = [r["doc_id"] for r in packed_phrase_search(idx, "order fast").collect()]
+    assert got == want and len(got) > 0
+
+
+def test_packed_proximity_parity(ctx):
+    _, idx, postings, _ = ctx
+    want = [r["doc_id"] for r in engine.proximity_search(postings, "fast", "join", 1, 5).collect()]
+    got = [r["doc_id"] for r in packed_proximity_search(idx, "fast", "join", 1, 5).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_packed_slot_parity_wildcard_and_stem(ctx):
+    _, idx, postings, dictionary = ctx
+    slots = [{"term": "fast"}, {"pattern": "h*"}, {"stem": "joins"}]
+    dists = [(1, 3), (1, 5)]
+    want = [(r["doc_id"], r["n_matches"], r["match_starts"])
+            for r in engine.slot_search(postings, dictionary, slots, dists).collect()]
+    got = [(r["doc_id"], r["n_matches"], r["match_starts"])
+           for r in packed_slot_search(idx, slots, dists).collect()]
+    assert got == want
+
+
+def test_packed_boolean_parity(ctx):
+    _, idx, postings, _ = ctx
+    q = "fast hash join"
+    want_and = [r["doc_id"] for r in engine.and_search(postings, q).collect()]
+    got_and = [r["doc_id"] for r in packed_and_search(idx, q).collect()]
+    assert sorted(got_and) == sorted(want_and) and len(got_and) > 0
+    want_or = [(r["doc_id"], r["n_terms"], r["total_tf"])
+               for r in engine.or_search(postings, q).collect()]
+    got_or = [(r["doc_id"], r["n_terms"], r["total_tf"])
+              for r in packed_or_search(idx, q).collect()]
+    assert got_or == want_or
+
+
+def test_packed_case_slot_rejected(ctx):
+    _, idx, *_ = ctx
+    with pytest.raises(ValueError):
+        packed_slot_search(idx, [{"term": "FAST", "case": True}], [])
