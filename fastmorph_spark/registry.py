@@ -566,6 +566,46 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (lineitem fact ⋈ supplier ⋈ nation ⋈ region ⋈ part,
+    all dims broadcast) + top-20 revenue by (region, brand). Revenue is
+    summed as exact integer 10^-4 units (per-row double product rounds
+    identically in both engines; integer sums are order-independent, so
+    the value hash is immune to aggregation order)."""
+    from fastmorph_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    p = read_table(spark, sf_dir, "part")
+    rev_c4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("r_name", "p_brand")
+        .agg((F.sum(rev_c4) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("r_name"), F.asc("p_brand"))
+        .limit(20)
+    )
+
+
+REGION_BRAND_REVENUE_SQL = """
+SELECT r_name, p_brand,
+       (sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY r_name, p_brand
+ORDER BY revenue DESC, r_name ASC, p_brand ASC
+LIMIT 20
+"""
+
+
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (W1): top-3 customers by acctbal per nation."""
     from pyspark.sql import Window
@@ -698,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
+        "region_brand_revenue": q_region_brand_revenue,
         "top_customers_per_nation": q_top_customers_per_nation,
         "events_window": q_events_window,
         "events_json": q_events_json,
@@ -767,6 +808,7 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """,
+        "region_brand_revenue": REGION_BRAND_REVENUE_SQL,
         "top_orders": """
 SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem

@@ -11,6 +11,8 @@ Dispatch:
                             falls back to expression BM25 when no lang
                             index was provided
   and / phrase / prox:d / wildcard -> engine operators on logical postings
+  or / stem / slot       -> engine operators (slot specs carry slots+dists)
+  phrase_packed          -> decoded-postings path over the packed index
 """
 
 from __future__ import annotations
@@ -60,6 +62,17 @@ def run_query(
         return engine.proximity_search(postings, terms[0], terms[1], 1, d)
     if mode == "wildcard":
         return engine.wildcard_terms(dictionary, q)
+    if mode == "or":
+        return engine.or_search(postings, q)
+    if mode == "stem":
+        return engine.stem_search(postings, dictionary, q)
+    if mode == "slot":
+        return engine.slot_search(postings, dictionary, spec["slots"],
+                                  [tuple(d) for d in spec["dists"]])
+    if mode == "phrase_packed":
+        from fastmorph_spark.search.packed import packed_phrase_search
+
+        return packed_phrase_search(index, q)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -85,4 +98,12 @@ def run_query_oracle(spec: dict, oracle) -> list:
 
         pat = re.compile(q.lower().replace("?", "[a-z0-9_]").replace("*", "[a-z0-9_]*") + "$")
         return sorted(t for t in oracle.postings if pat.match(t))
+    if mode == "or":
+        return oracle.or_docs(q)
+    if mode == "stem":
+        return oracle.stem_docs(q)
+    if mode == "slot":
+        return oracle.slot_docs(spec["slots"], [tuple(d) for d in spec["dists"]])
+    if mode == "phrase_packed":
+        return oracle.phrase_docs(q)
     raise ValueError(f"unknown mode {mode!r}")

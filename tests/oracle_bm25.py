@@ -114,6 +114,95 @@ class OracleIndex:
         return out
 
 
+def oracle_stem(t: str) -> str:
+    """INDEPENDENT re-implementation of the pinned stem rules
+    (fastmorph_spark/stem.py) — endswith/len checks instead of regexes, so
+    the oracle double-checks the regex forms rather than importing them."""
+    if len(t) >= 5 and t.endswith("ies"):
+        return t[:-3] + "y"
+    if len(t) >= 6 and t.endswith("ing"):
+        return t[:-3]
+    if len(t) >= 5 and t.endswith("ed"):
+        return t[:-2]
+    if len(t) >= 4 and t.endswith("s") and t[-2] not in "su":
+        return t[:-1]
+    return t
+
+
+def _wildcard_re(pattern: str):
+    return re.compile(
+        pattern.lower().replace("?", "[a-z0-9_]").replace("*", "[a-z0-9_]*") + "$"
+    )
+
+
+# -- round-2 query modes, attached to OracleIndex below ---------------------
+
+
+def _or_docs(self, query: str) -> list[tuple[int, int, int]]:
+    """(doc_id, n_terms, total_tf) ordered (n DESC, tf DESC, id ASC)."""
+    terms = sorted(set(tokenize(query)))
+    agg: dict[int, list[int]] = {}
+    for t in terms:
+        for d, ps in self.postings.get(t, {}).items():
+            cur = agg.setdefault(d, [0, 0])
+            cur[0] += 1
+            cur[1] += len(ps)
+    return sorted(
+        ((d, n, tf) for d, (n, tf) in agg.items()),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )
+
+
+def _stem_docs(self, word: str) -> list[tuple[int, int]]:
+    """(doc_id, total_tf) over tokens stemming to stem(word), id-ordered."""
+    target = oracle_stem(word.lower())
+    agg: dict[int, int] = defaultdict(int)
+    for t, docs in self.postings.items():
+        if oracle_stem(t) == target:
+            for d, ps in docs.items():
+                agg[d] += len(ps)
+    return sorted(agg.items())
+
+
+def _slot_docs(self, slots: list[dict], dists: list) -> list[tuple[int, int, str]]:
+    """Brute-force multi-slot matcher: (doc_id, n_matches, match_starts)
+    — mirror of engine.slot_search for case-folded slots."""
+    def pred(s):
+        if "term" in s:
+            t = s["term"].lower()
+            return lambda tok: tok == t
+        if "stem" in s:
+            target = oracle_stem(s["stem"].lower())
+            return lambda tok: oracle_stem(tok) == target
+        pat = _wildcard_re(s["pattern"])
+        return lambda tok: bool(pat.match(tok))
+
+    preds = [pred(s) for s in slots]
+    out = []
+    for d in self.doc_ids:
+        toks = self.tokens[d]
+        pos_lists = [[i for i, tok in enumerate(toks) if p(tok)] for p in preds]
+        if any(not pl for pl in pos_lists):
+            continue
+
+        def chain(i: int, prev: int) -> bool:
+            if i == len(slots):
+                return True
+            lo, hi = dists[i - 1]
+            return any(prev + lo <= q <= prev + hi and chain(i + 1, q)
+                       for q in pos_lists[i])
+
+        starts = [p for p in pos_lists[0] if chain(1, p)]
+        if starts:
+            out.append((d, len(starts), ",".join(str(p) for p in sorted(starts))))
+    return out
+
+
+OracleIndex.or_docs = _or_docs
+OracleIndex.stem_docs = _stem_docs
+OracleIndex.slot_docs = _slot_docs
+
+
 def load_documents(sf_dir: str) -> dict[int, str]:
     import pyarrow.parquet as pq
 

@@ -50,7 +50,8 @@ def test_golden_rederives_bit_for_bit(golden, oracle):
             assert [(g["rank"], g["doc_id"], g["score"]) for g in exp] == \
                    [(i + 1, d, repr(s)) for i, (d, s) in enumerate(got)], spec["qid"]
         else:
-            assert exp == got, spec["qid"]
+            got_norm = [list(g) if isinstance(g, tuple) else g for g in got]
+            assert exp == got_norm, spec["qid"]
 
 
 @pytest.mark.parametrize("spec", QUERIES, ids=[s["qid"] for s in QUERIES])
@@ -66,6 +67,12 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
             assert math.isclose(r["score"], float(g["score"]), rel_tol=1e-9), spec["qid"]
     elif spec["mode"] == "wildcard":
         assert sorted(r["term"] for r in rows) == sorted(exp), spec["qid"]
+    elif spec["mode"] == "or":
+        assert [[r["doc_id"], r["n_terms"], r["total_tf"]] for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "stem":
+        assert [[r["doc_id"], r["total_tf"]] for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "slot":
+        assert [[r["doc_id"], r["n_matches"], r["match_starts"]] for r in rows] == exp, spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
 
