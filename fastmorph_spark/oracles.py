@@ -187,7 +187,8 @@ ORDER BY a.doc_id
 TOK_CS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> '')"
 
 
-def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text") -> str:
+def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text",
+                    lang: str | None = None) -> str:
     """Mirror of engine.slot_search: same slot specs, same chained distance
     semantics, same output columns (doc_id, n_matches, match_starts). The
     case-sensitive twin tokenization shares positions with the folded one
@@ -227,8 +228,9 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
             f"len(list_filter(p{i}, v{i} -> v{i} >= {prev} + {lo} "
             f"AND v{i} <= {prev} + {hi} AND {expr})) > 0"
         )
+    where = f" WHERE lang = '{lang}'" if lang else ""
     return f"""
-WITH docs AS (SELECT doc_id, {text_expr} AS text FROM documents),
+WITH docs AS (SELECT doc_id, {text_expr} AS text FROM documents{where}),
 tokarr AS (SELECT doc_id, {TOK.format(col="text")} AS toks, {TOK_CS.format(col="text")} AS toks_cs FROM docs),
 pos AS (
   SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
@@ -296,6 +298,46 @@ SELECT doc_id, pos::BIGINT AS pos,
        array_to_string(toks[s_el:e_el], ' ') AS snippet,
        row_number() OVER (ORDER BY doc_id, pos)::BIGINT AS running_total
 FROM j ORDER BY doc_id, pos
+"""
+
+
+def search_request_sql(slots: list[dict], dists: list[tuple[int, int]],
+                       skip: int, until: int, width: int = 2,
+                       lang: str | None = None) -> str:
+    """Mirror of engine.search_request: slot matches -> doc_id-ordered
+    pagination window -> per-occurrence snippets + running/page totals."""
+    inner = slot_search_sql(slots, dists, lang=lang).strip()
+    match_len = len(slots)
+    where = f" WHERE lang = '{lang}'" if lang else ""
+    return f"""
+WITH m AS ({inner}),
+tot AS (
+  SELECT count(*)::BIGINT AS total_docs,
+         coalesce(sum(n_matches), 0)::BIGINT AS total_matches FROM m
+),
+ranked AS (
+  SELECT doc_id, n_matches, match_starts,
+         row_number() OVER (ORDER BY doc_id)::BIGINT AS rank FROM m
+),
+page AS (SELECT * FROM ranked WHERE rank > {skip} AND rank <= {until}),
+occ AS (
+  SELECT doc_id, unnest(string_split(match_starts, ','))::INT AS pos FROM page
+),
+tk AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents{where}),
+j AS (
+  SELECT occ.doc_id, occ.pos,
+         greatest(occ.pos + 1 - {width}, 1) AS s_el,
+         least(occ.pos + {match_len} + {width}, len(tk.toks)) AS e_el,
+         tk.toks AS toks
+  FROM occ JOIN tk ON occ.doc_id = tk.doc_id
+)
+SELECT page.rank, j.doc_id, j.pos::BIGINT AS pos,
+       (j.pos + 1 - j.s_el)::BIGINT AS hl_offset,
+       array_to_string(j.toks[j.s_el:j.e_el], ' ') AS snippet,
+       row_number() OVER (ORDER BY j.doc_id, j.pos)::BIGINT AS running_total,
+       page.n_matches, tot.total_docs, tot.total_matches
+FROM j JOIN page ON j.doc_id = page.doc_id CROSS JOIN tot
+ORDER BY j.doc_id, j.pos
 """
 
 

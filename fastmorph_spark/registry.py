@@ -65,6 +65,10 @@ STEM_QUERY = "joins"                 # stem 'join': joins/joined/joining/join
 SLOT_STEM_SLOTS = [{"term": "fast"}, {"stem": "joins"}]
 SLOT_STEM_DISTS = [(1, 5)]
 SNIPPET_WIDTH = 2                    # context tokens either side of a match
+# full request lifecycle (SURVEY.md §3.1): slots + subcorpus + pagination
+REQ_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
+REQ_DISTS = [(1, 4)]
+REQ_SKIP, REQ_UNTIL = 2, 12
 
 
 def _index_tables(spark: SparkSession, sf_dir: str):
@@ -292,6 +296,18 @@ def q_slot3_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.search.packed import packed_slot_search
 
     return packed_slot_search(_packed_index(spark, sf_dir), SLOT3_SLOTS, SLOT3_DISTS)
+
+
+def q_slot_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete fastmorph request in one call [PK-high, §3.1]:
+    subcorpus filter (lang) + slot pattern + pagination (ranks 3..12 in
+    corpus order) + per-occurrence snippets/highlights + running and
+    corpus-wide totals."""
+    docs = read_documents(spark, sf_dir).filter(F.col("lang") == LANG_FILTER)
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    return engine.search_request(docs, postings, dictionary, REQ_SLOTS, REQ_DISTS,
+                                 skip=REQ_SKIP, until=REQ_UNTIL, width=SNIPPET_WIDTH)
 
 
 def q_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stem_search": q_stem_search,
         "slot_stem_search": q_slot_stem_search,
         "phrase_snippets": q_phrase_snippets,
+        "slot_request": q_slot_request,
         "wildcard_terms": q_wildcard_terms,
         "wildcard_docs": q_wildcard_docs,
         "pagination": q_pagination,
@@ -780,6 +797,10 @@ def oracle_sqls() -> dict[str, str]:
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
             match_len=len(tokenize_py(PHRASE_QUERY)), width=SNIPPET_WIDTH,
+        ),
+        "slot_request": oracles.search_request_sql(
+            REQ_SLOTS, REQ_DISTS, REQ_SKIP, REQ_UNTIL,
+            width=SNIPPET_WIDTH, lang=LANG_FILTER,
         ),
         "wildcard_terms": oracles.wildcard_terms_sql(WILDCARD_PATTERN),
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),

@@ -366,6 +366,54 @@ def snippets(
     )
 
 
+def search_request(
+    documents: DataFrame,
+    postings: DataFrame,
+    dictionary: DataFrame,
+    slots: list[dict],
+    dists: list[tuple[int, int]],
+    skip: int = 0,
+    until: int = 20,
+    width: int = 2,
+    postings_cs: DataFrame | None = None,
+    dictionary_cs: DataFrame | None = None,
+) -> DataFrame:
+    """The FULL fastmorph request lifecycle in one call (SURVEY.md §3.1
+    entry point 2 [PK-high]): slot pattern -> matches -> pagination window
+    (ranks skip+1..until in corpus/doc_id order, the reference's result
+    order) -> per-occurrence snippets with highlight offsets -> running
+    totals within the page PLUS corpus-wide totals.
+
+    Subcorpus filtering is upstream: pass lang-filtered `documents` and
+    postings built from them (or a per-lang index's tables).
+
+    Returns one row per match occurrence in the page:
+      (rank, doc_id, pos, hl_offset, snippet, running_total,
+       n_matches, total_docs, total_matches)
+
+    Scale shape: the match set is computed ONCE (persisted — totals and
+    the page read it twice); the page is pre-pruned with orderBy+limit
+    (TakeOrderedAndProject) before any window; only <= until docs reach
+    the snippet join against the documents scan."""
+    m = slot_search(postings, dictionary, slots, dists,
+                    postings_cs=postings_cs, dictionary_cs=dictionary_cs).persist()
+    tot = m.agg(
+        F.count("*").cast("long").alias("total_docs"),
+        F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("total_matches"),
+    )
+    top = m.orderBy("doc_id").limit(until)
+    rank = F.row_number().over(Window.orderBy("doc_id")).cast("long")
+    page = top.withColumn("rank", rank).filter(F.col("rank") > skip)
+    snips = snippets(documents, page, match_len=len(slots), width=width)
+    return (
+        snips.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("rank", "doc_id", "pos", "hl_offset", "snippet",
+                "running_total", "n_matches", "total_docs", "total_matches")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def paginate(ranked: DataFrame, skip: int, until: int) -> DataFrame:
     """O4 — fastmorph-style result window [PK-high]: ranks (skip, until]
     of a scored result. `ranked` must carry (doc_id, score).

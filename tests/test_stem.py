@@ -115,6 +115,29 @@ def test_slot_stem_positions(spark):
     assert [(r["doc_id"], r["match_starts"]) for r in out] == [(0, "0"), (1, "0"), (4, "0")]
 
 
+def test_search_request_pagination_and_totals(spark):
+    """search_request: page window is (skip, until] in doc_id order;
+    totals cover the FULL match set, not the page; over-skip -> empty."""
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.search.engine import search_request
+
+    rows = [(i, "fast hash here") for i in range(6)] + [(6, "no match here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    slots, dists = [{"term": "fast"}, {"term": "hash"}], [(1, 1)]
+
+    out = search_request(docs, postings, dictionary, slots, dists,
+                         skip=2, until=4).collect()
+    assert [(r["rank"], r["doc_id"]) for r in out] == [(3, 2), (4, 3)]
+    assert all(r["total_docs"] == 6 and r["total_matches"] == 6 for r in out)
+    assert [r["running_total"] for r in out] == [1, 2]
+    assert all(r["snippet"] == "fast hash here" and r["hl_offset"] == 0 for r in out)
+
+    assert search_request(docs, postings, dictionary, slots, dists,
+                          skip=10, until=20).count() == 0
+
+
 def test_snippets_edges(spark):
     """Snippet windows clamp at document boundaries; hl_offset tracks the
     match inside the snippet; running_total is (doc_id, pos)-ordered."""
