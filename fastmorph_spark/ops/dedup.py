@@ -264,3 +264,75 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 8, n: int = 2,
     return cand.withColumn("hamming", hamming.cast("int")) \
         .filter(F.col("hamming") <= max_hamming) \
         .select("doc_a", "doc_b", "hamming")
+
+
+def dup_groups(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id,
+    group_rep) for every doc that appears in a pair, group_rep = the
+    smallest doc_id reachable (the canonical representative a training
+    pipeline keeps; everything else is dropped).
+
+    Iterative min-label propagation — the standard distributed CC shape:
+    each round joins current labels across the (symmetrized, persisted)
+    edge list and keeps the elementwise min; rounds = O(component
+    diameter), which for near-dup graphs is tiny (dup clusters are dense).
+    Every step is a key-partitioned join/agg — no driver-side graph, no
+    assumption the component fits anywhere."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    while True:
+        nbr = (
+            edges.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a").agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, "a", "left")
+            .select("a", F.least("label", F.coalesce("nl", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") != F.col("old")).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("a").alias("doc_id"), F.col("label").alias("group_rep"))
+    edges.unpersist()
+    return out.orderBy("doc_id")
+
+
+def drop_list(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end dedup DECISION a training pipeline consumes:
+    (doc_id, reason) for every doc to DROP — exact duplicates keep the
+    smallest doc_id of each sha256 group (reason 'exact'); near-dup
+    components (MinHash-LSH pairs -> connected components) keep their
+    group_rep (reason 'near'); 'exact' wins when both apply. Everything
+    not listed is kept."""
+    ex = exact_duplicates(df, text_col, id_col)
+    ex_drop = ex.select(
+        F.explode(F.slice("doc_ids", 2, F.size("doc_ids") - 1)).alias("doc_id")
+    )
+    pairs = minhash_lsh_pairs(df, n, num_hashes, bands, threshold, text_col, id_col)
+    near_drop = dup_groups(pairs).filter(F.col("doc_id") != F.col("group_rep")) \
+        .select("doc_id")
+    return (
+        ex_drop.select("doc_id", F.lit("exact").alias("reason"))
+        .unionByName(
+            near_drop.join(ex_drop, "doc_id", "left_anti")
+            .select("doc_id", F.lit("near").alias("reason"))
+        )
+        .orderBy("doc_id")
+    )

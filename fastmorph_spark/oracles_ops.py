@@ -345,3 +345,60 @@ FROM scored
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def _components_ctes(n: int, num_hashes: int, bands: int, threshold: float) -> str:
+    """CTE chain (after WITH RECURSIVE): MinHash-LSH pairs -> symmetrized
+    edges -> transitive closure `reach(a, b)` — the recursive fixture-scale
+    twin of the engine's iterative min-label propagation."""
+    inner = minhash_lsh_pairs_sql(n, num_hashes, bands, threshold).strip()
+    return f"""pairs AS ({inner}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)"""
+
+
+def dup_groups_sql(n: int = 3, num_hashes: int = 16, bands: int = 4,
+                   threshold: float = 0.5) -> str:
+    """Mirror of ops.dedup.dup_groups over minhash_lsh_pairs: connected
+    components as min-reachable doc_id."""
+    return f"""
+WITH RECURSIVE {_components_ctes(n, num_hashes, bands, threshold)}
+SELECT a AS doc_id, least(a, min(b))::BIGINT AS group_rep
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+def drop_list_sql(n: int = 3, num_hashes: int = 16, bands: int = 4,
+                  threshold: float = 0.5) -> str:
+    """Mirror of ops.dedup.drop_list: exact-dup drops (keep min doc_id per
+    sha256 group) + near-dup component drops (keep group_rep), 'exact'
+    taking precedence."""
+    return f"""
+WITH RECURSIVE {_components_ctes(n, num_hashes, bands, threshold)},
+comp AS (
+  SELECT a AS doc_id, least(a, min(b))::BIGINT AS group_rep
+  FROM reach GROUP BY a
+),
+ex_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep,
+           count(*) OVER (PARTITION BY sha256(text)) AS dc
+    FROM documents
+  ) WHERE dc > 1 AND doc_id <> keep
+),
+near_drop AS (
+  SELECT doc_id FROM comp WHERE doc_id <> group_rep
+)
+SELECT doc_id, 'exact' AS reason FROM ex_drop
+UNION ALL
+SELECT doc_id, 'near' AS reason FROM near_drop
+WHERE doc_id NOT IN (SELECT doc_id FROM ex_drop)
+ORDER BY doc_id
+"""

@@ -383,6 +383,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=4, threshold=0.5)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components: each doc in a MinHash-LSH pair gets
+    its component's smallest doc_id as group_rep (the canonical doc a
+    training pipeline keeps). Iterative min-label propagation — rounds =
+    O(component diameter), every step a key-partitioned join."""
+    from fastmorph_spark.ops.dedup import dup_groups, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(read_documents(spark, sf_dir), n=3, num_hashes=16,
+                              bands=4, threshold=0.5)
+    return dup_groups(pairs)
+
+
+def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup DECISION: (doc_id, reason) to drop — exact dups
+    keep the smallest id per sha256 group, near-dup components keep their
+    group_rep; 'exact' wins on overlap."""
+    from fastmorph_spark.ops.dedup import drop_list
+
+    return drop_list(read_documents(spark, sf_dir), n=3, num_hashes=16,
+                     bands=4, threshold=0.5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import simhash
 
@@ -742,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dedup_drop_list": q_dedup_drop_list,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "token_count": q_token_count,
@@ -808,6 +832,8 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_exact": oracles_ops.exact_duplicates_sql(),
         "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_pairs_sql(3, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_pairs_sql(3, 16, 4, 0.5),
+        "dedup_groups": oracles_ops.dup_groups_sql(3, 16, 4, 0.5),
+        "dedup_drop_list": oracles_ops.drop_list_sql(3, 16, 4, 0.5),
         "simhash": oracles_ops.simhash_sql(2),
         "simhash_neardup": oracles_ops.simhash_neardup_sql(2, 8),
         "token_count": oracles_ops.token_count_sql(),

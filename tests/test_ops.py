@@ -222,3 +222,37 @@ def test_simhash_combination_banding_candidates_linear(spark):
     # quadratic banding would give c400 ~= 4*c200; combination keys must do
     # clearly better than 3x growth on this vocabulary
     assert c400 < 3.0 * max(c200, 1), (c200, c400)
+
+
+def test_dup_groups_transitive_chain(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1:
+    several iterations) and keep separate components apart."""
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.ops.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain -> component rep 1
+         (10, 11),                             # pair  -> rep 10
+         (21, 20)],                            # order-insensitive
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["group_rep"] for r in dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_drop_list_exact_precedence(spark):
+    """Byte-identical docs are also near-dups; drop_list must label them
+    'exact' and the merely-similar ones 'near', keeping one rep each."""
+    from fastmorph_spark.ops.dedup import drop_list
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (0, base),
+        (1, base),                        # exact dup of 0
+        (2, base + " iota"),              # near dup of 0/1
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["reason"]) for r in drop_list(docs, n=3, threshold=0.5).collect()]
+    assert got == [(1, "exact"), (2, "near")]
