@@ -102,3 +102,70 @@ def fingerprint(df: DataFrame, n: int = 5, keep: int = 4,
     return d.filter(F.col("n_tok") >= n).select(
         "doc_id", F.concat_ws("|", smallest).alias("fingerprint")
     )
+
+
+def sample_hash(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic reproducible subsampling — the training-pipeline
+    sampler: keep a doc iff the first 8 hex chars of md5(str(doc_id)),
+    read as an integer, fall below rate * 2^32. Engine-agnostic (md5 of
+    the decimal string is identical everywhere), stable under
+    repartitioning, and composable (a 10% sample is a superset of a 5%
+    one). Returns the kept (doc_id)s sorted."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .filter(bucket < int(rate * (1 << 32)))
+        .orderBy("doc_id")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budget sequence packing: assign docs (in doc_id order) to
+    contiguous training shards of ~budget tokens —
+    shard_id = floor(exclusive_prefix_sum(n_tokens) / budget).
+
+    Two-phase distributed cumsum (the with_doc_ids shape — never a global
+    unpartitioned window): docs bucket by contiguous doc_id range; the
+    within-bucket running sum is a window partitioned by bucket (fully
+    distributed), bucket offsets are an exclusive prefix sum over
+    |n_buckets| rows (one tiny task), joined back on the bucket key.
+    Result is independent of partitioning and of n_buckets."""
+    from fastmorph_spark.constants import TOKEN_PATTERN
+
+    max_doc = df.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+    if max_doc is None:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, shard_id long")
+    width = max_doc // n_buckets + 1
+    n = F.regexp_count(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_PATTERN)
+    ).cast("long")
+    t = df.select(
+        F.col(id_col).alias("doc_id"), n.alias("_n"),
+        (F.col(id_col) / width).cast("long").alias("_b"),
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("_b").orderBy("doc_id")
+    local = t.withColumn("_lc", F.sum("_n").over(w_local))  # inclusive cumsum
+    counts = t.groupBy("_b").agg(F.sum("_n").alias("_c"))
+    w_cum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).cast("long").alias("_off")
+    )
+    return (
+        local.join(offsets, "_b")
+        .select(
+            "doc_id",
+            F.col("_n").alias("n_tokens"),
+            F.floor((F.col("_off") + F.col("_lc") - F.col("_n")) / budget_tokens)
+            .cast("long").alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )

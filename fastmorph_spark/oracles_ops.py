@@ -402,3 +402,24 @@ SELECT doc_id, 'near' AS reason FROM near_drop
 WHERE doc_id NOT IN (SELECT doc_id FROM ex_drop)
 ORDER BY doc_id
 """
+
+
+def sample_hash_sql(rate: float) -> str:
+    """Mirror of ops.text.sample_hash."""
+    cut = int(rate * (1 << 32))
+    return f"""
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {cut}
+ORDER BY doc_id
+"""
+
+
+def pack_shards_sql(budget_tokens: int) -> str:
+    """Mirror of ops.text.pack_shards (the window form — the engine's
+    two-phase cumsum computes the identical exclusive prefix sum)."""
+    return f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n FROM documents)
+SELECT doc_id, n AS n_tokens,
+       floor((sum(n) OVER (ORDER BY doc_id) - n) / {budget_tokens})::BIGINT AS shard_id
+FROM t ORDER BY doc_id
+"""

@@ -395,6 +395,23 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_groups(pairs)
 
 
+def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket 10% subsample (reproducible, engine-
+    agnostic, nested: a 10% sample contains every 5% sample)."""
+    from fastmorph_spark.ops.text import sample_hash
+
+    return sample_hash(read_documents(spark, sf_dir), rate=0.10)
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-shard assignment): docs in
+    doc_id order greedily fill ~2000-token shards via a two-phase
+    distributed prefix sum (no global window)."""
+    from fastmorph_spark.ops.text import pack_shards
+
+    return pack_shards(read_documents(spark, sf_dir), budget_tokens=2000)
+
+
 def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed dedup DECISION: (doc_id, reason) to drop — exact dups
     keep the smallest id per sha256 group, near-dup components keep their
@@ -766,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "dedup_drop_list": q_dedup_drop_list,
+        "sample_10pct": q_sample_10pct,
+        "pack_shards": q_pack_shards,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "token_count": q_token_count,
@@ -834,6 +853,8 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_pairs_sql(3, 16, 4, 0.5),
         "dedup_groups": oracles_ops.dup_groups_sql(3, 16, 4, 0.5),
         "dedup_drop_list": oracles_ops.drop_list_sql(3, 16, 4, 0.5),
+        "sample_10pct": oracles_ops.sample_hash_sql(0.10),
+        "pack_shards": oracles_ops.pack_shards_sql(2000),
         "simhash": oracles_ops.simhash_sql(2),
         "simhash_neardup": oracles_ops.simhash_neardup_sql(2, 8),
         "token_count": oracles_ops.token_count_sql(),

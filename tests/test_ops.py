@@ -256,3 +256,45 @@ def test_drop_list_exact_precedence(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = [(r["doc_id"], r["reason"]) for r in drop_list(docs, n=3, threshold=0.5).collect()]
     assert got == [(1, "exact"), (2, "near")]
+
+
+def test_pack_shards_invariants(spark):
+    """Shard assignment: nondecreasing in doc order, every shard except
+    possibly per-doc overflows stays <= budget, and the result is
+    independent of the bucketing width (two-phase cumsum correctness)."""
+    from fastmorph_spark.ops.text import pack_shards
+    from fastmorph_spark.sources import read_documents
+    from tests.conftest import SF0001
+
+    docs = read_documents(spark, SF0001)
+    budget = 500
+    rows = pack_shards(docs, budget_tokens=budget).collect()
+    assert len(rows) == docs.count()
+    shard_ids = [r["shard_id"] for r in rows]
+    assert shard_ids == sorted(shard_ids)
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in rows:
+        totals[r["shard_id"]] += r["n_tokens"]
+    for sid, tot in totals.items():
+        # a shard only exceeds the budget by (at most) its LAST doc's spill
+        assert tot < budget + max(r["n_tokens"] for r in rows), sid
+
+    alt = pack_shards(docs, budget_tokens=budget, n_buckets=7).collect()
+    assert [(r["doc_id"], r["shard_id"]) for r in alt] == \
+           [(r["doc_id"], r["shard_id"]) for r in rows]
+
+
+def test_sample_hash_nested_and_deterministic(spark):
+    """sample(5%) ⊆ sample(10%); repartitioning must not change the set."""
+    from fastmorph_spark.ops.text import sample_hash
+    from fastmorph_spark.sources import read_documents
+    from tests.conftest import SF0001
+
+    docs = read_documents(spark, SF0001)
+    s10 = {r["doc_id"] for r in sample_hash(docs, 0.10).collect()}
+    s5 = {r["doc_id"] for r in sample_hash(docs, 0.05).collect()}
+    assert s5 <= s10 and 0 < len(s5) < len(s10) < 500
+    again = {r["doc_id"] for r in sample_hash(docs.repartition(13), 0.10).collect()}
+    assert again == s10
