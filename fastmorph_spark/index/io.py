@@ -147,3 +147,46 @@ def read_index(spark: SparkSession, path: str) -> Index:
         stats=spark.read.parquet(f"{path}/stats"),
         postings=spark.read.parquet(f"{path}/postings"),
     )
+
+
+def compact_postings(spark: SparkSession, index_path: str) -> dict:
+    """Compact a multi-batch postings layout (postings/batch=N/term_bucket=B/
+    part-*.parquet) into one file set per term_bucket — the small-files
+    answer for long-lived resumable builds: B batches x 64 buckets x W
+    writers leaves O(B·64·W) files; queries then pay a file-open + footer
+    per file per touched bucket. Compaction rewrites rows UNCHANGED (blocks
+    are self-contained — no re-encode, no re-sort needed; the WAND kernel
+    orders blocks itself) into exactly one task per bucket, then swaps the
+    directory atomically (write to .compact-tmp, rename old out, rename in).
+
+    Returns {files_before, files_after, rows}."""
+    import os
+
+    src = f"{index_path}/postings"
+    local = src[len("file://"):] if src.startswith("file://") else src
+
+    def _count_files(p: str) -> int:
+        n = 0
+        for _, _, files in os.walk(p):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = _count_files(local)
+    df = spark.read.parquet(src)
+    if "batch" in df.columns:  # hive-discovered batch=N dirs: incidental
+        df = df.drop("batch")
+    rows = df.count()
+    tmp = f"{index_path}/.postings-compact-tmp"
+    from fastmorph_spark.constants import N_TERM_BUCKETS
+
+    df.repartition(N_TERM_BUCKETS, "term_bucket") \
+        .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
+    old = f"{index_path}/.postings-old"
+    local_tmp = tmp[len("file://"):] if tmp.startswith("file://") else tmp
+    local_old = old[len("file://"):] if old.startswith("file://") else old
+    os.rename(local, local_old)
+    os.rename(local_tmp, local)
+    import shutil
+
+    shutil.rmtree(local_old)
+    return {"files_before": before, "files_after": _count_files(local), "rows": rows}

@@ -87,3 +87,38 @@ def test_lineage_mismatch_not_reused(spark, tmp_path):
     r = build_index_resumable(spark, docs, out, input_path="sf0.001",
                               n_batches=5, doc_shard_size=25, block_size=16)
     assert sorted(r["batches_run"]) == [0, 1, 2, 3, 4]  # all re-ran
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    """compact_postings: multi-batch layout -> one file set per bucket;
+    query results (WAND top-k AND decoded postings) byte-identical, file
+    count strictly reduced, no incidental batch column."""
+    from fastmorph_spark.index.io import compact_postings, read_index
+    from fastmorph_spark.index.manifest import build_index_resumable
+    from fastmorph_spark.search.packed import decoded_postings
+    from fastmorph_spark.search.wand import search_wand
+    from fastmorph_spark.sources import read_documents
+    from tests.conftest import SF0001
+
+    docs = read_documents(spark, SF0001)
+    out = str(tmp_path / "idx")
+    r = build_index_resumable(spark, docs, out, input_path="sf0.001",
+                              n_batches=4, doc_shard_size=100, block_size=16)
+    assert r["complete"]
+
+    idx = read_index(spark, out)
+    before_topk = [tuple(x) for x in search_wand(idx, "fast hash join", k=10).collect()]
+    before_dec = sorted(
+        (x["term"], x["doc_id"], x["tf"]) for x in decoded_postings(idx, ["fast", "join"]).collect()
+    )
+
+    stats = compact_postings(spark, out)
+    assert stats["files_after"] < stats["files_before"]
+
+    idx2 = read_index(spark, out)
+    assert "batch" not in idx2.postings.columns
+    assert [tuple(x) for x in search_wand(idx2, "fast hash join", k=10).collect()] == before_topk
+    assert sorted(
+        (x["term"], x["doc_id"], x["tf"]) for x in decoded_postings(idx2, ["fast", "join"]).collect()
+    ) == before_dec
+    assert idx2.postings.count() == stats["rows"]
