@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--shard-size", type=int, default=None)
     ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--compact", action="store_true",
+                    help="after a complete build, merge the batch=N dirs "
+                         "into one file set per term_bucket (atomic swap)")
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed batches from a prior run (default: fresh overwrite)")
     args = ap.parse_args()
@@ -113,6 +116,12 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
 
+    compact_stats = None
+    if args.compact and result["complete"]:
+        from fastmorph_spark.index.io import compact_postings
+
+        compact_stats = compact_postings(spark, args.out)
+
     report = {
         "input": args.inp,
         "n_docs": n_docs,
@@ -124,6 +133,7 @@ def main() -> None:
         "complete": result["complete"],
         "counters": {k: (int(v) if v is not None else 0) for k, v in result["counters"].items()},
         "timings": result.get("timings", {}),
+        "compact": compact_stats,
     }
     print(json.dumps(report))
     if args.report:
