@@ -89,8 +89,8 @@ def build_lang_indexes(
     BM25. Subcorpus semantics recompute N/avgdl/df over the FILTERED set
     (SURVEY.md §4), so a lang-filtered query cannot reuse corpus-global
     impacts; a per-lang index bakes the right stats in and the query-time
-    filter becomes an index CHOICE (at rest: write each under
-    {path}/lang=<v>/ — partition pruning picks the directory). Keeps the
+    filter becomes an index CHOICE — at rest via write_lang_indexes /
+    read_lang_indexes ({path}/lang=<v>/, a directory pick). Keeps the
     lang-filtered path off the full-corpus re-aggregation that made it
     the latency tail (BENCH/query_latency.json round 1)."""
     langs = [r[0] for r in documents.select(lang_col).distinct().collect()]
@@ -190,3 +190,42 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
 
     shutil.rmtree(local_old)
     return {"files_before": before, "files_after": _count_files(local), "rows": rows}
+
+
+def write_lang_indexes(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    doc_shard_size: int = DOC_SHARD_SIZE,
+    block_size: int = BLOCK_SIZE,
+) -> dict[str, dict]:
+    """Persist one full index per language under {out_path}/lang=<v>/ —
+    the at-rest form of build_lang_indexes: a lang-filtered query becomes
+    a DIRECTORY choice (no corpus-wide scan, no runtime filter), each
+    sub-index carries its own subcorpus-correct stats/impacts. Returns
+    per-lang build counters."""
+    langs = sorted(
+        r[0] for r in documents.select(lang_col).distinct().collect() if r[0] is not None
+    )
+    return {
+        lang: write_index(
+            spark, documents.filter(F.col(lang_col) == lang),
+            f"{out_path}/lang={lang}", text_col, id_col, doc_shard_size, block_size,
+        )
+        for lang in langs
+    }
+
+
+def read_lang_indexes(spark: SparkSession, path: str) -> dict[str, "Index"]:
+    """Discover and open the per-lang indexes written by write_lang_indexes."""
+    import os
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    out = {}
+    for d in sorted(os.listdir(local)):
+        if d.startswith("lang="):
+            out[d[len("lang="):]] = read_index(spark, f"{path}/{d}")
+    return out

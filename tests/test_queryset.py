@@ -100,3 +100,23 @@ def test_lang_index_wand_matches_golden(spark, lang_ctx, golden, spec):
     assert [r["doc_id"] for r in rows] == [g["doc_id"] for g in exp], spec["qid"]
     for r, g in zip(rows, exp):
         assert math.isclose(r["score"], float(g["score"]), rel_tol=1e-9), spec["qid"]
+
+
+def test_lang_indexes_roundtrip_disk(spark, lang_ctx, golden, tmp_path_factory):
+    """write_lang_indexes -> read_lang_indexes: the at-rest per-lang
+    layout answers the lang-filtered golden queries rank-identically to
+    the in-memory per-lang indexes."""
+    from fastmorph_spark.index.io import read_lang_indexes, write_lang_indexes
+
+    docs, _ = lang_ctx
+    out = str(tmp_path_factory.mktemp("li") / "idx")
+    counters = write_lang_indexes(spark, docs, out, doc_shard_size=100, block_size=16)
+    assert set(counters) == {r[0] for r in docs.select("lang").distinct().collect()}
+    disk = read_lang_indexes(spark, out)
+    assert set(disk) == set(counters)
+    for spec in LANG_SPECS:
+        rows = run_query(spec, docs, lang_indexes=disk).collect()
+        exp = golden[spec["qid"]]
+        assert [r["doc_id"] for r in rows] == [g["doc_id"] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["score"], float(g["score"]), rel_tol=1e-9), spec["qid"]
