@@ -50,8 +50,14 @@ def main() -> None:
     warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
     warm.count()
     bm25_topk_expression(warm, "fast hash join", k=5).count()
-    widx = build_index_frames(warm, doc_shard_size=100, block_size=16,
-                              pack_partitions=8)
+    # constants must MATCH the timed query's (q_bm25_topk_wand): codegen
+    # caches on generated source, and literals (shard size, block size,
+    # partition count) are embedded in it — mismatched constants force a
+    # recompile inside the timed section
+    widx = build_index_frames(
+        warm, doc_shard_size=1000, block_size=64,
+        pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+    )
     widx.postings = widx.postings.persist()
     search_wand(widx, "fast hash join", k=5).count()
     widx.postings.unpersist()
