@@ -19,5 +19,33 @@ compression), and the capability contract in BASELINE.json.
 
 from fastmorph_spark.constants import BM25_B, BM25_K1, TOKEN_PATTERN
 
-__all__ = ["BM25_K1", "BM25_B", "TOKEN_PATTERN"]
-__version__ = "0.1.0"
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import fastmorph_spark` free of a
+    SparkSession/pyspark.sql import cascade until first use)."""
+    lazy = {
+        "build_index_frames": ("fastmorph_spark.index.io", "build_index_frames"),
+        "write_index": ("fastmorph_spark.index.io", "write_index"),
+        "read_index": ("fastmorph_spark.index.io", "read_index"),
+        "compact_postings": ("fastmorph_spark.index.io", "compact_postings"),
+        "build_index_resumable": ("fastmorph_spark.index.manifest", "build_index_resumable"),
+        "search_wand": ("fastmorph_spark.search.wand", "search_wand"),
+        "bm25_topk_expression": ("fastmorph_spark.search.bm25", "bm25_topk_expression"),
+        "slot_search": ("fastmorph_spark.search.engine", "slot_search"),
+        "search_request": ("fastmorph_spark.search.engine", "search_request"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "BM25_K1", "BM25_B", "TOKEN_PATTERN",
+    "build_index_frames", "write_index", "read_index", "compact_postings",
+    "build_index_resumable", "search_wand", "bm25_topk_expression",
+    "slot_search", "search_request",
+]
+__version__ = "0.2.0"
