@@ -117,3 +117,48 @@ def test_case_sensitive_slot_requires_cs_index(tables):
     p, d, *_ = tables
     with pytest.raises(ValueError):
         slot_search(p, d, [{"term": "FAST", "case": True}], [])
+
+
+def test_slot_search_randomized_vs_oracle(spark):
+    """Seeded randomized equivalence: engine.slot_search == the
+    brute-force oracle matcher on random corpora x random slot specs
+    (terms / wildcards / stems, 2-4 slots, random distance ranges incl.
+    negative lower bounds). Guards the HOF predicate chain against edge
+    cases fixtures don't hit."""
+    import random
+
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.search.engine import slot_search
+    from tests.oracle_bm25 import OracleIndex
+
+    rng = random.Random(20260817)
+    vocab = ["fast", "fasts", "fasting", "hash", "hashing", "join", "joins",
+             "joined", "scan", "scans", "the", "a", "keyed", "keys"]
+
+    for trial in range(12):
+        docs_py = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+            for d in range(rng.randint(5, 25))
+        }
+        n_slots = rng.randint(2, 4)
+        slots = []
+        for _ in range(n_slots):
+            kind = rng.choice(["term", "pattern", "stem"])
+            if kind == "term":
+                slots.append({"term": rng.choice(vocab)})
+            elif kind == "pattern":
+                slots.append({"pattern": rng.choice(["fa*", "h*", "jo?n*", "s*", "k*s"])})
+            else:
+                slots.append({"stem": rng.choice(["joins", "fasts", "scanning", "keyed"])})
+        dists = []
+        for _ in range(n_slots - 1):
+            lo = rng.randint(-2, 3)
+            dists.append((lo, lo + rng.randint(0, 4)))
+
+        sdf = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
+        postings = build_postings(sdf)
+        dictionary = build_dictionary(postings)
+        got = [(r["doc_id"], r["n_matches"], r["match_starts"])
+               for r in slot_search(postings, dictionary, slots, dists).collect()]
+        want = OracleIndex(docs_py).slot_docs(slots, dists)
+        assert got == want, (trial, slots, dists)
