@@ -33,11 +33,10 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + composite score:
-    - mean token length, alpha ratio (alnum chars / chars),
-    - stopword ratio (en list), distinct-token ratio,
-    - composite: 0.25*each, clamped ratios. Deterministic arithmetic."""
+def _quality_features(text_col: str):
+    """(mean_len, alpha_ratio, stop_ratio, distinct_ratio, composite)
+    column expressions — shared by quality_score and the streaming
+    quality gate so the pinned semantics exist once."""
     toks = tokenize_expr(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -50,6 +49,21 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok).otherwise(F.lit(0.0))
     mean_len_norm = F.least(mean_len / F.lit(8.0), F.lit(1.0))
     comp = (mean_len_norm + alpha_ratio + stop_ratio + distinct_ratio) / F.lit(4.0)
+    return mean_len, alpha_ratio, stop_ratio, distinct_ratio, comp
+
+
+def quality_expr(text_col: str = "text"):
+    """The composite quality score as ONE column expression (codegen;
+    usable on batch or streaming frames without a join)."""
+    return _quality_features(text_col)[4]
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score:
+    - mean token length, alpha ratio (alnum chars / chars),
+    - stopword ratio (en list), distinct-token ratio,
+    - composite: 0.25*each, clamped ratios. Deterministic arithmetic."""
+    mean_len, alpha_ratio, stop_ratio, distinct_ratio, comp = _quality_features(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.round(mean_len, SCORE_DECIMALS).alias("mean_token_len"),
