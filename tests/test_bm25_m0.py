@@ -94,3 +94,27 @@ def test_partition_local_postings_equals_shuffle_groupby(spark):
         got_rows = build_postings(docs.repartition(parts)).collect()
         got = {(r.term, r.doc_id): (r.tf, r.positions) for r in got_rows}
         assert got == want
+
+
+@pytest.mark.parametrize("q", ["", "   ", "!!! ??? ...", None])
+def test_degenerate_queries_all_paths(spark, q):
+    """Empty / whitespace / punctuation-only / None queries: every query
+    path returns 0 rows — never a crash (verify-skill probes)."""
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.search import engine
+    from fastmorph_spark.search.bm25 import bm25_topk_expression
+    from fastmorph_spark.search.wand import search_wand
+
+    docs = read_documents(spark, SF0001).limit(50)
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    qs = q if q is not None else ""
+    assert bm25_topk_expression(docs, qs, k=5).count() == 0
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=4)
+    assert search_wand(idx, qs, k=5).count() == 0
+    assert engine.and_search(postings, qs).count() == 0
+    assert engine.or_search(postings, qs).count() == 0
+    assert engine.phrase_search(postings, qs).count() == 0
+    assert engine.stem_search(postings, dictionary, "zzznot").count() == 0
