@@ -47,6 +47,7 @@ def main() -> None:
     from fastmorph_spark.search.bm25 import bm25_topk_expression
     from fastmorph_spark.search.wand import search_wand
 
+    t_warm = time.perf_counter()
     warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
     warm.count()
     bm25_topk_expression(warm, "fast hash join", k=5).count()
@@ -63,6 +64,7 @@ def main() -> None:
     widx.postings.unpersist()
     minhash_lsh_pairs(warm, 3, 16, 4, 0.5).count()
     warm.unpersist()
+    warmup_sec = round(time.perf_counter() - t_warm, 4)
 
     all_queries = registry.queries()
     names = [n for n in registry.HEADLINE_QUERIES if n in all_queries]
@@ -75,11 +77,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)
+    # `value` is the WARM anchor (long-lived-cluster analogy, one-time
+    # JIT/import costs excluded); `warmup_sec` makes the COLD anchor
+    # reconstructible as value + warmup_sec so the two numbers never
+    # diverge silently again (VERDICT r02 what's-wrong #4 / next #8)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warmup_sec": warmup_sec,
         "sf": sf,
     }))
     spark.stop()

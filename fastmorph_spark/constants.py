@@ -16,6 +16,17 @@ TOKEN_SPLIT_PATTERN = r"[^a-z0-9_]+"
 # case flags [PK-high]). The char classes fold onto each other under ASCII
 # lower(), so token BOUNDARIES — and therefore positions — are identical
 # between the folded and preserved tokenizations of the same text.
+#
+# ASCII-ONLY CONTRACT (ADVICE r02): the boundary identity holds because
+# both tokenizers treat every non-[A-Za-z0-9_] byte as a separator AND
+# ASCII lower() is length- and class-preserving. Unicode case mappings
+# that change length or class (e.g. 'İ'.lower() -> 'i' + combining dot)
+# would make the FOLDED tokenizer emit a token ('i') at a position the
+# CS tokenizer never sees — shared position space dies. Non-ASCII input
+# is safe for every case-FOLDED operator (non-ASCII chars are separators
+# in both engines); only per-slot case-SENSITIVE matching (slot_search
+# with case=True) requires that any non-ASCII letters in the text are
+# not expected to participate in tokens. See engine.slot_search.
 TOKEN_PATTERN_CS = r"[A-Za-z0-9_]+"
 TOKEN_SPLIT_PATTERN_CS = r"[^A-Za-z0-9_]+"
 

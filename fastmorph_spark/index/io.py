@@ -84,6 +84,7 @@ def build_lang_indexes(
     lang_col: str = "lang",
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
+    pack_partitions: int | None = None,
 ) -> dict[str, "Index"]:
     """One Index per subcorpus language — the scale answer to filtered
     BM25. Subcorpus semantics recompute N/avgdl/df over the FILTERED set
@@ -97,7 +98,7 @@ def build_lang_indexes(
     return {
         lang: build_index_frames(
             documents.filter(F.col(lang_col) == lang), text_col, id_col,
-            doc_shard_size, block_size,
+            doc_shard_size, block_size, pack_partitions=pack_partitions,
         )
         for lang in sorted(langs)
     }
@@ -139,7 +140,32 @@ def write_index(
     return counters
 
 
+def _strip_file_scheme(p: str) -> str:
+    return p[len("file://"):] if p.startswith("file://") else p
+
+
+def recover_postings(index_path: str) -> bool:
+    """Crash recovery for the compaction swap: if a crash hit between the
+    two renames in compact_postings, the index has `.postings-old` but no
+    `postings/` — restore the pre-compaction directory. Idempotent; returns
+    True when a recovery happened. Called by read_index and
+    compact_postings for local paths (ADVICE r02: the swap is two renames,
+    not atomic — this closes the window)."""
+    import os
+
+    local = _strip_file_scheme(f"{index_path}/postings")
+    local_old = _strip_file_scheme(f"{index_path}/.postings-old")
+    if not os.path.exists(local) and os.path.isdir(local_old):
+        os.rename(local_old, local)
+        return True
+    return False
+
+
 def read_index(spark: SparkSession, path: str) -> Index:
+    from fastmorph_spark.index.manifest import _is_driver_local
+
+    if _is_driver_local(spark, path):
+        recover_postings(path)
     return Index(
         docs=spark.read.parquet(f"{path}/docs"),
         doc_lens=spark.read.parquet(f"{path}/doc_lens"),
@@ -157,13 +183,32 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
     per file per touched bucket. Compaction rewrites rows UNCHANGED (blocks
     are self-contained — no re-encode, no re-sort needed; the WAND kernel
     orders blocks itself) into exactly one task per bucket, then swaps the
-    directory atomically (write to .compact-tmp, rename old out, rename in).
+    directory in: write to .compact-tmp, VALIDATE the rewritten row count,
+    rename old out, rename in. The two renames are not one atomic op; the
+    crash window between them is closed by recover_postings (read_index
+    runs it), and the swap is journaled in the manifest (status='compacted',
+    partition_id=-2) so a later resumable batch run REFUSES to append
+    batch=N dirs into the flattened layout (mixed hive layouts break
+    parquet discovery — ADVICE r02).
+
+    Driver-local filesystems only (os.rename swap); on a remote defaultFS
+    use a metastore-transactional table format (Iceberg) instead.
 
     Returns {files_before, files_after, rows}."""
     import os
+    import shutil
 
+    from fastmorph_spark.index.manifest import _append_manifest, _is_driver_local, _now
+
+    if not _is_driver_local(spark, index_path):
+        raise NotImplementedError(
+            "compact_postings swaps directories with os.rename and supports "
+            "driver-local (file://) index paths only; for a remote "
+            "filesystem use an Iceberg-backed index table"
+        )
+    recover_postings(index_path)
     src = f"{index_path}/postings"
-    local = src[len("file://"):] if src.startswith("file://") else src
+    local = _strip_file_scheme(src)
 
     def _count_files(p: str) -> int:
         n = 0
@@ -177,17 +222,28 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
         df = df.drop("batch")
     rows = df.count()
     tmp = f"{index_path}/.postings-compact-tmp"
+    local_tmp = _strip_file_scheme(tmp)
+    if os.path.exists(local_tmp):  # stale tmp from a crashed prior attempt
+        shutil.rmtree(local_tmp)
     from fastmorph_spark.constants import N_TERM_BUCKETS
 
     df.repartition(N_TERM_BUCKETS, "term_bucket") \
         .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
-    old = f"{index_path}/.postings-old"
-    local_tmp = tmp[len("file://"):] if tmp.startswith("file://") else tmp
-    local_old = old[len("file://"):] if old.startswith("file://") else old
+    rows_tmp = spark.read.parquet(tmp).count()
+    if rows_tmp != rows:
+        shutil.rmtree(local_tmp)
+        raise RuntimeError(
+            f"compaction validation failed: rewrote {rows_tmp} rows, expected {rows}; "
+            "original postings left untouched"
+        )
+    local_old = _strip_file_scheme(f"{index_path}/.postings-old")
+    if os.path.exists(local_old):
+        shutil.rmtree(local_old)
     os.rename(local, local_old)
-    os.rename(local_tmp, local)
-    import shutil
-
+    os.rename(local_tmp, local)  # crash between these two renames -> recover_postings
+    _append_manifest(spark, index_path, (
+        -2, "compacted", 0, rows, 0, 0, "compaction", 1, 0, _now(),
+    ))
     shutil.rmtree(local_old)
     return {"files_before": before, "files_after": _count_files(local), "rows": rows}
 

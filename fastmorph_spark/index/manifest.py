@@ -74,6 +74,39 @@ def read_manifest(spark: SparkSession, out_path: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+def _resolved_scheme(spark: SparkSession | None, path: str) -> str:
+    """The filesystem scheme `path` RESOLVES to on this deployment.
+
+    An explicit URI scheme wins; a schemeless path resolves against
+    Hadoop's fs.defaultFS — exactly as Spark's readers/writers do. The
+    driver-local pyarrow/os fast paths below must only fire when the
+    resolved scheme is file://: on a cluster whose defaultFS is HDFS/S3 a
+    schemeless out_path means Spark writes postings/docs to the default
+    FS, and writing the manifest/stats to the DRIVER'S LOCAL DISK would
+    split-brain the index (resume re-runs everything, queries read stale
+    stats) — ADVICE r02 (medium)."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m:
+        return m.group(1).lower()
+    if spark is not None:
+        try:
+            default = spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            ) or "file:///"
+        except Exception:  # non-JVM test doubles
+            default = "file:///"
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", default)
+        if m:
+            return m.group(1).lower()
+    return "file"
+
+
+def _is_driver_local(spark: SparkSession | None, path: str) -> bool:
+    return _resolved_scheme(spark, path) == "file"
+
+
 # pyarrow types matching MANIFEST_SCHEMA (Spark int->int32, long->int64)
 _MANIFEST_FIELDS = [
     ("partition_id", "int32"), ("status", "string"), ("n_terms", "int64"),
@@ -95,13 +128,12 @@ def _append_manifest(spark: SparkSession, out_path: str, row: tuple) -> None:
     under the other (observed as FileNotFoundException mid-suite). A 1-row
     commit also doesn't need a Spark job at all — write the parquet file
     driver-side via pyarrow with a unique name, then atomically rename into
-    place. Falls back to a lock-serialized Spark write for non-local paths
-    (hdfs://, s3a://) where the driver can't write directly.
+    place. Falls back to a lock-serialized Spark write for paths that
+    RESOLVE to a non-local filesystem (explicit hdfs://, s3a://, or a
+    schemeless path under a remote fs.defaultFS — see _resolved_scheme).
     """
-    import re
-
     path = f"{out_path}/manifest"
-    if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith("file://"):
+    if not _is_driver_local(spark, path):
         with _manifest_lock:
             spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode(
                 "append"
@@ -136,7 +168,7 @@ def _write_stats(out_path: str, n_docs: int, avgdl: float, spark: SparkSession |
     import pyarrow.parquet as pq
 
     path = f"{out_path}/stats"
-    if "://" in path and not path.startswith("file://"):
+    if not _is_driver_local(spark, path):
         spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
             .coalesce(1).write.mode("overwrite").parquet(path)
         return
@@ -157,19 +189,28 @@ def _manifest_rows(spark: SparkSession, out_path: str) -> list[dict]:
     paths (no Spark job: manifest reads sit on the serial critical path),
     Spark collect otherwise."""
     path = f"{out_path}/manifest"
-    if "://" in path and not path.startswith("file://"):
+    if not _is_driver_local(spark, path):
         return [r.asDict() for r in read_manifest(spark, out_path).collect()]
     import os
 
     local = path[len("file://"):] if path.startswith("file://") else path
     if not os.path.isdir(local):
         return []
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
         return pq.read_table(local).to_pylist()
-    except Exception:
-        return []
+    except FileNotFoundError:
+        return []  # genuinely absent: no checkpoints yet
+    except pa.ArrowInvalid as e:
+        # ignore ONLY the empty-directory case (no parquet files yet);
+        # a corrupt/partially-written manifest must SURFACE — silently
+        # returning [] would discard every checkpoint and re-run the
+        # whole build (ADVICE r02)
+        if "no files" in str(e).lower() or "empty" in str(e).lower():
+            return []
+        raise
 
 
 def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
@@ -212,6 +253,18 @@ def build_index_resumable(
     checkpoints landed).
     """
     snapshot = _snapshot(input_path, doc_shard_size, block_size, n_batches)
+
+    # a compacted index has flattened postings/term_bucket=J dirs; writing
+    # postings/batch=N next to them would mix hive layouts and break
+    # spark.read.parquet discovery (ADVICE r02) — compaction journals
+    # itself in the manifest, so refuse up front
+    if any(r["status"] == "compacted" for r in _manifest_rows(spark, out_path)):
+        raise ValueError(
+            f"{out_path} holds a COMPACTED postings layout (manifest row "
+            "status='compacted'); resumable batch writes into it would mix "
+            "batch=N and term_bucket=J hive layouts. Build into a fresh "
+            "out_path and compact after."
+        )
 
     # per-step wall timings, returned in the result (and surfaced in the
     # bench report) — the scaling gate's diagnosis tool
@@ -322,7 +375,7 @@ def build_index_resumable(
         def _commit_batch(b=b, c=c, t0=t0):
             ts = time.perf_counter()
             bpath = f"{out_path}/postings/batch={b}"
-            if "://" in bpath and not bpath.startswith("file://"):
+            if not _is_driver_local(spark, bpath):
                 n_terms = (
                     spark.read.parquet(bpath)
                     .agg(F.countDistinct("term").alias("t")).collect()[0]["t"]

@@ -137,7 +137,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # the shingle table feeds FOUR subtrees (signatures, set sizes, and
     # both sides of the exact verify) — persist it or tokenize+shingle
-    # the corpus four times (MEMORY_AND_DISK: spills, never recomputes)
+    # the corpus four times (MEMORY_AND_DISK: spills, never recomputes).
+    # Cache lifetime: backs the returned lazy plan, so the CALLER owns it
+    # (clearCache() between pipeline stages in long-lived sessions)
     sh = _shingles(df, n, text_col, id_col).persist()
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
@@ -301,6 +303,10 @@ def dup_groups(pairs: DataFrame) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    # the converged labels stay persisted: they back the returned plan and
+    # their lineage is the whole O(diameter) join chain — unpersisting here
+    # would re-run every round at the caller's first action. Caller owns
+    # the cache (clearCache() in long-lived sessions — ADVICE r02).
     out = labels.select(F.col("a").alias("doc_id"), F.col("label").alias("group_rep"))
     edges.unpersist()
     return out.orderBy("doc_id")

@@ -115,7 +115,10 @@ def bm25_topk_expression(
     # matched is tiny (<= |q| rows per matching doc) but COMPUTING it is a
     # full corpus tokenization — and it feeds two subtrees (the broadcast
     # df agg's job and the scoring join). Persist so the tokenizer kernel
-    # runs once per query, not twice.
+    # runs once per query, not twice. Cache lifetime: the CALLER owns it
+    # (the persisted block backs the returned lazy plan, so unpersisting
+    # here would defeat the reuse) — long-lived sessions issuing many
+    # queries should spark.catalog.clearCache() periodically (ADVICE r02).
     matched = matched.persist()
     df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
 

@@ -22,6 +22,8 @@ sharing the corpus path's DuckDB oracles.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,35 +41,118 @@ DECODED_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 # bloats the plan; the bucket partition filter is then also moot)
 MAX_TERM_PUSHDOWN = 1000
 
+# doc-range block-skip pruning is two tiny metadata aggregations + a
+# broadcast join — ~fixed cost (a few hundred ms of extra stages on a
+# small cluster), with a payoff proportional to the decode volume it can
+# skip. Engage it only when the query's total posting estimate (Σ df from
+# the dictionary lookup we already do) clears this bar; below it the full
+# decode is already cheaper than the metadata pass. At 100 TB any
+# multi-term query clears it by orders of magnitude.
+PRUNE_MIN_POSTINGS = 100_000
+
 
 def _empty(spark) -> DataFrame:
     return spark.createDataFrame([], DECODED_SCHEMA)
 
 
-def decoded_postings(index: Index, terms: list[str]) -> DataFrame:
-    """Pruned scan + varbyte decode: logical `(term, doc_id, tf,
-    positions)` rows for exactly `terms` from the packed index."""
+def pruned_blocks(index: Index, terms: list[str],
+                  groups: list[list[str]] | None = None,
+                  prune_min_postings: int = PRUNE_MIN_POSTINGS) -> DataFrame | None:
+    """The pruned PACKED block scan for `terms` (pre-decode): partition
+    pruning on term_bucket + term pushdown + column pruning, and — when
+    ``groups`` gives the query's AND structure — doc-range BLOCK-SKIP
+    pruning (the position-query analog of WAND's score-based skipping).
+
+    ``groups``: a list of term lists; the query only matches docs that
+    contain >=1 term from EVERY group (phrase/AND: one group per term;
+    slot patterns: one group per slot with its dictionary-expanded terms).
+    Blocks never span a doc_shard (pack groups by (bucket, slice,
+    doc_shard)), so the intersection runs on block METADATA only:
+
+      1. keep a doc_shard only if all groups have >=1 block in it;
+      2. within a kept shard, candidate docs lie in the ENVELOPE
+         [max_g min(first_doc), min_g max(max_doc)] — blocks outside it
+         are skipped before any payload byte is read.
+
+    The metadata pass is a column-pruned scan (term/doc_shard/first_doc/
+    max_doc — no binaries); `keep` is bounded by the RAREST group's shard
+    count, so for selective queries it broadcasts (no payload shuffle).
+    A phrase of two common terms keeps most shards — exactly the case
+    where no doc-range pruning is possible; the envelope still bounds it.
+
+    The pruning engages only when the dictionary's Σ df estimate clears
+    ``prune_min_postings`` (its cost is ~fixed; its payoff scales with the
+    decode volume — see PRUNE_MIN_POSTINGS). Tests force it with
+    prune_min_postings=0.
+
+    Returns None when no query term exists in the dictionary.
+    """
     spark = index.postings.sparkSession
     terms = sorted(set(terms))
     if not terms:
-        return _empty(spark)
+        return None
 
     if len(terms) <= MAX_TERM_PUSHDOWN:
-        # J1-style dictionary lookup: term_bucket rides in the dictionary,
-        # so partition pruning costs one <=|terms|-row driver round-trip
+        # J1-style dictionary lookup: term_bucket (and df, the pruning-
+        # gate estimate) ride in the dictionary, so partition pruning
+        # costs one <=|terms|-row driver round-trip
         drows = index.dictionary.filter(F.col("term").isin(terms)) \
-            .select("term", "term_bucket").collect()
+            .select("term", "term_bucket", "df").collect()
         if not drows:
-            return _empty(spark)
+            return None
         buckets = sorted({int(r["term_bucket"]) for r in drows})
         present = sorted({r["term"] for r in drows})
+        est_postings = sum(int(r["df"]) for r in drows)
         blocks = index.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
         )
     else:
         tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        est_postings = None  # wide expansion: assume big, always prune
         blocks = index.postings.join(F.broadcast(tdf), "term", "left_semi")
+
+    prune_pays = est_postings is None or est_postings >= prune_min_postings
+    if groups is not None and len(groups) >= 2 and prune_pays:
+        pairs = sorted({(t, gi) for gi, g in enumerate(groups) for t in g})
+        tg = spark.createDataFrame(pairs, "term string, grp int")
+        meta = (
+            blocks.select("term", "doc_shard", "first_doc", "max_doc")
+            .join(F.broadcast(tg), "term")
+        )
+        per = meta.groupBy("doc_shard", "grp").agg(
+            F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+        )
+        env = per.groupBy("doc_shard").agg(
+            F.count("*").alias("_ng"),
+            F.max("_lo").alias("_lo"), F.min("_hi").alias("_hi"),
+        )
+        keep = env.filter(
+            (F.col("_ng") == len(groups)) & (F.col("_lo") <= F.col("_hi"))
+        ).select("doc_shard", "_lo", "_hi")
+        blocks = (
+            blocks.join(F.broadcast(keep), "doc_shard")
+            .filter((F.col("max_doc") >= F.col("_lo")) & (F.col("first_doc") <= F.col("_hi")))
+        )
+    return blocks
+
+
+def decoded_postings(index: Index, terms: list[str],
+                     groups: list[list[str]] | None = None,
+                     prune_min_postings: int = PRUNE_MIN_POSTINGS) -> DataFrame:
+    """Pruned scan + varbyte decode: logical `(term, doc_id, tf,
+    positions)` rows for exactly `terms` from the packed index. Pass
+    ``groups`` (see pruned_blocks) to skip blocks whose doc ranges cannot
+    intersect the query's AND structure."""
+    spark = index.postings.sparkSession
+    blocks = pruned_blocks(index, terms, groups, prune_min_postings)
+    if blocks is None:
+        return _empty(spark)
     blocks = blocks.select("term", "doc_gaps", "tfs", "positions")
+    # after pruning only a handful of blocks survive; coalesce so the
+    # decode doesn't inherit the pack exchange's width (a write-path
+    # default of 512 partitions means 512 near-empty Arrow tasks — the
+    # measured 16x packed-query latency tax, VERDICT r02 #1)
+    blocks = blocks.coalesce(max(spark.sparkContext.defaultParallelism, 1))
 
     def _decode(it):
         for pdf in it:
@@ -92,33 +177,43 @@ def decoded_postings(index: Index, terms: list[str]) -> DataFrame:
     return blocks.mapInPandas(_decode, DECODED_SCHEMA)
 
 
-def _expand_slot_terms(index: Index, slots: list[dict]) -> list[str]:
-    """All concrete terms the slots can match, expanded dictionary-first
-    (exact terms pass through; wildcard/stem slots scan the ~|vocab|-row
-    dictionary once)."""
+def _expand_slot_term_groups(index: Index, slots: list[dict]) -> list[list[str]]:
+    """Per-slot concrete term lists, expanded dictionary-first (exact terms
+    pass through; wildcard/stem slots scan the ~|vocab|-row dictionary ONCE
+    for all such slots). The per-slot structure feeds block-skip pruning:
+    a doc must hold >=1 term from every slot."""
     from fastmorph_spark.stem import stem_expr, stem_py
 
-    terms: set[str] = set()
-    conds = []
-    for s in slots:
+    conds = []  # (slot_idx, predicate) for dictionary-expanded slots
+    groups: list[list[str]] = []
+    for i, s in enumerate(slots):
         if s.get("case"):
             raise ValueError(
                 "case-sensitive slots need the case-preserving twin index; "
                 "use engine.slot_search with postings_cs"
             )
         if "term" in s:
-            terms.add(s["term"].lower())
+            groups.append([s["term"].lower()])
         elif "stem" in s:
-            conds.append(stem_expr(F.col("term")) == stem_py(s["stem"].lower()))
+            groups.append([])
+            conds.append((i, stem_expr(F.col("term")) == stem_py(s["stem"].lower())))
         else:
+            groups.append([])
             like = engine.wildcard_pattern_to_like(s["pattern"].lower())
-            conds.append(F.col("term").like(like))
+            conds.append((i, F.col("term").like(like)))
     if conds:
-        pred = conds[0]
-        for c in conds[1:]:
-            pred = pred | c
-        terms |= {r["term"] for r in index.dictionary.filter(pred).select("term").collect()}
-    return sorted(terms)
+        sel = index.dictionary.select(
+            "term", *[c.alias(f"_m{i}") for i, c in conds]
+        ).filter(reduce(lambda a, b: a | b, [F.col(f"_m{i}") for i, _ in conds]))
+        for r in sel.collect():
+            for i, _ in conds:
+                if r[f"_m{i}"]:
+                    groups[i].append(r["term"])
+    return [sorted(set(g)) for g in groups]
+
+
+def _flat(groups: list[list[str]]) -> list[str]:
+    return sorted({t for g in groups for t in g})
 
 
 def packed_slot_search(index: Index, slots: list[dict],
@@ -126,26 +221,55 @@ def packed_slot_search(index: Index, slots: list[dict],
     """engine.slot_search semantics over the PACKED index: one pruned
     block scan + decode for all slots, then the unchanged HOF predicate
     chain. Result-identical to the corpus-built path (shared oracles)."""
-    decoded = decoded_postings(index, _expand_slot_terms(index, slots))
+    groups = _expand_slot_term_groups(index, slots)
+    decoded = decoded_postings(index, _flat(groups), groups)
     return engine.slot_search(decoded, index.dictionary, slots, dists)
 
 
 def packed_phrase_search(index: Index, phrase: str) -> DataFrame:
-    decoded = decoded_postings(index, tokenize_py(phrase))
+    terms = tokenize_py(phrase)
+    decoded = decoded_postings(index, terms, [[t] for t in terms])
     return engine.phrase_search(decoded, phrase)
 
 
 def packed_proximity_search(index: Index, t1: str, t2: str,
                             dist_from: int, dist_to: int) -> DataFrame:
-    decoded = decoded_postings(index, [t1.lower(), t2.lower()])
+    t1, t2 = t1.lower(), t2.lower()
+    decoded = decoded_postings(index, [t1, t2], [[t1], [t2]])
     return engine.proximity_search(decoded, t1, t2, dist_from, dist_to)
 
 
 def packed_and_search(index: Index, query_text: str) -> DataFrame:
-    decoded = decoded_postings(index, tokenize_py(query_text))
+    terms = tokenize_py(query_text)
+    decoded = decoded_postings(index, terms, [[t] for t in terms])
     return engine.and_search(decoded, query_text)
 
 
 def packed_or_search(index: Index, query_text: str) -> DataFrame:
+    # OR semantics: no AND structure, so no doc-range pruning applies
     decoded = decoded_postings(index, tokenize_py(query_text))
     return engine.or_search(decoded, query_text)
+
+
+def packed_search_request(
+    documents: DataFrame,
+    index: Index,
+    slots: list[dict],
+    dists: list[tuple[int, int]],
+    skip: int = 0,
+    until: int = 20,
+    width: int = 2,
+) -> DataFrame:
+    """The FULL fastmorph request lifecycle (engine.search_request, O7)
+    over the PACKED index: the slot pattern's postings are reproduced from
+    the index (pruned block scan + decode — the corpus is touched only by
+    the <= `until`-doc snippet join), then the unchanged request pipeline:
+    pagination in corpus order, per-occurrence snippets/highlights,
+    running + corpus-wide totals. Subcorpus filtering = pass a per-lang
+    index (build_lang_indexes / read_lang_indexes) and the matching
+    filtered `documents`. Result-identical to the corpus-built
+    search_request (shared oracle: driver query `slot_request_packed`)."""
+    groups = _expand_slot_term_groups(index, slots)
+    decoded = decoded_postings(index, _flat(groups), groups)
+    return engine.search_request(documents, decoded, index.dictionary,
+                                 slots, dists, skip=skip, until=until, width=width)

@@ -37,7 +37,15 @@ def main() -> None:
     spark = get_spark(master=f"local[{args.cores}]", shuffle_partitions=2 * args.cores,
                       app_name="fastmorph-bench-query")
     docs = read_documents(spark, args.sf_dir)
-    idx = build_index_frames(docs, doc_shard_size=1024, block_size=128)
+    # pack_partitions: size the in-memory pack exchange to the session —
+    # without it the write-path default (N_PACK_BUCKETS*PACK_SLICES = 512
+    # partitions) makes every decoded_postings mapInPandas launch 512
+    # near-empty Arrow tasks (measured 11.8s vs 0.6s on packed_phrase at
+    # sf0.1 local[8]); registry._packed_index and bench.py already do this
+    idx = build_index_frames(
+        docs, doc_shard_size=1024, block_size=128,
+        pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+    )
     idx.postings = idx.postings.cache()
     idx.dictionary = idx.dictionary.cache()
     idx.stats = idx.stats.cache()
@@ -48,7 +56,10 @@ def main() -> None:
     # latency tail was the filtered path re-aggregating the full corpus)
     from fastmorph_spark.index.io import build_lang_indexes
 
-    lang_idx = build_lang_indexes(docs, doc_shard_size=1024, block_size=128)
+    lang_idx = build_lang_indexes(
+        docs, doc_shard_size=1024, block_size=128,
+        pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+    )
     for li in lang_idx.values():
         li.postings = li.postings.cache()
         li.dictionary = li.dictionary.cache()

@@ -135,6 +135,9 @@ def main() -> None:
     scaling = _load("scaling.json")
     qlat = _load("query_latency.json")
     runs_n = _load("run_n.json")
+    headline = _load("headline.json")
+    ann = _load("ann_recall.json")
+    ab = _load("ab_regression.json")
     lines = [
         "# BENCH/BASELINE.md — measured evidence (BASELINE.md's _measure_ cells)",
         "",
@@ -158,12 +161,28 @@ def main() -> None:
             f"| query latency p50 / p95 | {qlat['p50_ms']} ms / {qlat['p95_ms']} ms | reference query set, k=10, {qlat['sf_dir']}, local[{qlat['cores']}], warm index |",
             f"| warm index build+cache | {qlat['index_build_cache_sec']} s | same session |",
         ]
+    if headline:
+        lines += [
+            f"| headline bench WARM (driver metric `value`) | {headline['value']} s at sf{headline['sf']} | bench.py, local[32]; per-query timings in BENCH/headline.json |",
+            f"| headline bench COLD (warm + one-time warmup) | {round(headline['value'] + headline['warmup_sec'], 2)} s (warmup {headline['warmup_sec']} s) | same run — both anchors reported so they never diverge silently |",
+        ]
+    if ann:
+        best = max(ann["levels"], key=lambda x: x["n_planes"])
+        lines += [
+            f"| ANN LSH at {best['n_planes']} planes ({best['n_buckets']:,} buckets) | recall@{ann['k']} = {best['recall_at_k']}, {best['candidate_frac']*100:.2f}% of {ann['n_vectors']:,} vectors scanned, {best['files_read']}/{best['files_total']} files read (partition pruning engaged) | jobs/bench_ann.py, {ann['n_clusters']}-cluster synthetic set, hamming-{best['probe_hamming']} multi-probe; all levels in BENCH/ann_recall.json |",
+        ]
+    if ab:
+        ph = ab["queries"]["phrase_search"]
+        lines += [
+            f"| r01→r02 headline regressions A/B (3x interleaved, same host) | phrase_search {ph['ratio_r02_over_r01']}x REAL; proximity {ab['queries']['proximity_search']['ratio_r02_over_r01']}x and wildcard {ab['queries']['wildcard_terms']['ratio_r02_over_r01']}x = host noise | BENCH/ab_regression.json; the phrase delta (~0.3 s abs) is superseded by round-3 shared-index memoization |",
+        ]
     lines += [
         f"| index size ratio (raw int64 postings / varbyte payload) | **{report['size_ratio_raw_over_varbyte']}×** | {args.docs:,} docs: {raw_bytes:,} B raw vs {payload:,} B varbyte |",
         f"| resume overhead (re-run of completed build) | {report['resume_noop_sec']} s = {report['resume_overhead_pct_of_build']}% of the {report['full_build_sec']} s build | manifest-scan + finalize only, 8 batches |",
         "",
         "Raw reports: `BENCH/scaling.json`, `BENCH/run_n.json`, `BENCH/run_4n.json`,",
-        "`BENCH/query_latency.json`, `BENCH/report.json`.",
+        "`BENCH/query_latency.json`, `BENCH/report.json`, `BENCH/headline.json`,",
+        "`BENCH/ann_recall.json`, `BENCH/ab_regression.json`.",
     ]
     if runs_n:
         c = runs_n[0]["counters"] if isinstance(runs_n, list) else runs_n["counters"]

@@ -101,3 +101,90 @@ def test_packed_case_slot_rejected(ctx):
     _, idx, *_ = ctx
     with pytest.raises(ValueError):
         packed_slot_search(idx, [{"term": "FAST", "case": True}], [])
+
+
+def test_packed_search_request_parity(ctx):
+    """O7 over the packed index == O7 over corpus-built postings (the
+    full request lifecycle never re-tokenizes the corpus except for the
+    <= until-doc snippet join)."""
+    from fastmorph_spark.search.packed import packed_search_request
+
+    docs, idx, postings, dictionary = ctx
+    slots, dists = [{"term": "fast"}, {"pattern": "h*"}], [(1, 4)]
+    cols = ["rank", "doc_id", "pos", "hl_offset", "snippet",
+            "running_total", "n_matches", "total_docs", "total_matches"]
+    want = [tuple(r[c] for c in cols)
+            for r in engine.search_request(docs, postings, dictionary, slots, dists,
+                                           skip=2, until=12, width=2).collect()]
+    got = [tuple(r[c] for c in cols)
+           for r in packed_search_request(docs, idx, slots, dists,
+                                          skip=2, until=12, width=2).collect()]
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def disjoint_idx(spark):
+    """Constructed corpus where 'aaa' lives only in docs 0..79 and 'bbb'
+    only in docs 200..279 (disjoint doc ranges, several shards apart);
+    'ccc' is everywhere. shard=20 docs, block=8."""
+    rows = []
+    for i in range(80):
+        rows.append((i, "aaa ccc filler"))
+    for i in range(200, 280):
+        rows.append((i, "bbb ccc filler"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index_frames(docs, doc_shard_size=20, block_size=8,
+                             pack_partitions=4)
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    yield docs, idx
+    idx.postings.unpersist()
+
+
+def test_block_skip_disjoint_ranges(disjoint_idx):
+    """Doc-range block-skip pruning: when the query's terms occupy
+    disjoint doc ranges, the metadata intersection skips EVERY block —
+    zero payload decode (VERDICT r02 next-round item #3's done bar)."""
+    from fastmorph_spark.search.packed import pruned_blocks
+
+    _, idx = disjoint_idx
+    total = pruned_blocks(idx, ["aaa", "bbb"]).count()
+    assert total > 0
+    # below the Σdf gate the pruning stays off (fixed cost > payoff)...
+    assert pruned_blocks(idx, ["aaa", "bbb"], [["aaa"], ["bbb"]]).count() == total
+    # ...forced on (prune_min_postings=0 — the at-scale regime), the
+    # metadata intersection skips EVERY block
+    pruned = pruned_blocks(idx, ["aaa", "bbb"], [["aaa"], ["bbb"]],
+                           prune_min_postings=0).count()
+    assert pruned == 0
+    # AND semantics stay correct through the pruned (empty) decode
+    from fastmorph_spark.search import engine
+    from fastmorph_spark.search.packed import decoded_postings
+
+    dec = decoded_postings(idx, ["aaa", "bbb"], [["aaa"], ["bbb"]],
+                           prune_min_postings=0)
+    assert engine.and_search(dec, "aaa bbb").count() == 0
+    assert packed_and_search(idx, "aaa bbb").count() == 0
+
+
+def test_block_skip_common_term_restricted(disjoint_idx):
+    """'rare AND common': the common term's blocks are decoded only in
+    the rare term's shards — the big win at scale."""
+    from fastmorph_spark.search.packed import pruned_blocks
+
+    from fastmorph_spark.search import engine
+    from fastmorph_spark.search.packed import decoded_postings
+
+    _, idx = disjoint_idx
+    all_ccc = pruned_blocks(idx, ["aaa", "ccc"]).filter(F.col("term") == "ccc").count()
+    kept_ccc = pruned_blocks(idx, ["aaa", "ccc"], [["aaa"], ["ccc"]],
+                             prune_min_postings=0) \
+        .filter(F.col("term") == "ccc").count()
+    assert 0 < kept_ccc < all_ccc
+    # and results are unchanged through the forced-pruned decode:
+    # every 'aaa' doc also holds 'ccc'
+    dec = decoded_postings(idx, ["aaa", "ccc"], [["aaa"], ["ccc"]],
+                           prune_min_postings=0)
+    got = sorted(r["doc_id"] for r in engine.and_search(dec, "aaa ccc").collect())
+    assert got == list(range(80))
+    assert sorted(r["doc_id"] for r in packed_and_search(idx, "aaa ccc").collect()) == got

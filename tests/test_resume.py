@@ -122,3 +122,49 @@ def test_compaction_preserves_results(spark, tmp_path):
         (x["term"], x["doc_id"], x["tf"]) for x in decoded_postings(idx2, ["fast", "join"]).collect()
     ) == before_dec
     assert idx2.postings.count() == stats["rows"]
+
+    # compaction is journaled: a later resumable batch run into the
+    # flattened layout must refuse (mixed hive layouts — ADVICE r02)
+    with pytest.raises(ValueError, match="COMPACTED"):
+        build_index_resumable(spark, docs, out, input_path="sf0.001",
+                              n_batches=4, doc_shard_size=100, block_size=16)
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves .postings-old and no
+    postings/ — read_index restores it (recover_postings)."""
+    import os
+
+    from fastmorph_spark.index.io import read_index, recover_postings
+    from fastmorph_spark.search.wand import search_wand
+
+    docs = read_documents(spark, SF0001)
+    out = str(tmp_path / "idx")
+    build_index_resumable(spark, docs, out, input_path="sf0.001",
+                          n_batches=2, doc_shard_size=100, block_size=16)
+    want = [tuple(x) for x in search_wand(read_index(spark, out), "fast hash join", k=5).collect()]
+    # simulate the crash window: postings renamed out, replacement missing
+    os.rename(f"{out}/postings", f"{out}/.postings-old")
+    idx = read_index(spark, out)  # triggers recovery
+    assert os.path.isdir(f"{out}/postings")
+    assert [tuple(x) for x in search_wand(idx, "fast hash join", k=5).collect()] == want
+    assert recover_postings(out) is False  # idempotent no-op now
+
+
+def test_corrupt_manifest_surfaces(spark, tmp_path):
+    """A corrupt (visible, non-parquet) manifest file must raise, not be
+    silently treated as an empty manifest (ADVICE r02: returning [] would
+    discard every checkpoint)."""
+    import os
+
+    import pyarrow as pa
+
+    from fastmorph_spark.index.manifest import _manifest_rows
+
+    out = str(tmp_path / "idx")
+    os.makedirs(f"{out}/manifest")
+    assert _manifest_rows(spark, out) == []  # empty dir: fine
+    with open(f"{out}/manifest/part-bad.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(pa.ArrowInvalid):
+        _manifest_rows(spark, out)

@@ -160,3 +160,24 @@ def test_snippets_edges(spark):
         (1, 1, 1, "we order fast goods", 2),
         (2, 2, 2, "a b order fast", 3),
     ]
+
+
+def test_snippets_running_total_across_buckets(spark):
+    """The two-phase running total (bucketed prefix sum, engine.snippets)
+    is globally (doc_id, pos)-ordered even when matched docs span several
+    SNIPPET_DOC_BUCKET ranges — and survives input repartitioning."""
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.search.engine import SNIPPET_DOC_BUCKET, slot_search, snippets
+
+    B = SNIPPET_DOC_BUCKET
+    ids = [0, 1, B - 1, B, B + 7, 3 * B + 2]  # buckets 0, 0, 0, 1, 1, 3
+    rows = [(i, "order fast order fast") for i in ids]  # 2 matches per doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    m = slot_search(postings, dictionary, [{"term": "order"}, {"term": "fast"}], [(1, 1)])
+    out = snippets(docs, m, match_len=2, width=1).collect()
+    assert [(r["doc_id"], r["pos"]) for r in out] == [
+        (i, p) for i in ids for p in (0, 2)
+    ]
+    assert [r["running_total"] for r in out] == list(range(1, 13))
