@@ -13,6 +13,9 @@ Dispatch:
   and / phrase / prox:d / wildcard -> engine operators on logical postings
   or / stem / slot       -> engine operators (slot specs carry slots+dists)
   phrase_packed          -> decoded-postings path over the packed index
+  slot_packed / and_packed -> same packed path for slot patterns (incl.
+                            wildcard expansion + block-skip pruning) and
+                            conjunctive search
 """
 
 from __future__ import annotations
@@ -73,6 +76,15 @@ def run_query(
         from fastmorph_spark.search.packed import packed_phrase_search
 
         return packed_phrase_search(index, q)
+    if mode == "slot_packed":
+        from fastmorph_spark.search.packed import packed_slot_search
+
+        return packed_slot_search(index, spec["slots"],
+                                  [tuple(d) for d in spec["dists"]])
+    if mode == "and_packed":
+        from fastmorph_spark.search.packed import packed_and_search
+
+        return packed_and_search(index, q)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -106,4 +118,8 @@ def run_query_oracle(spec: dict, oracle) -> list:
         return oracle.slot_docs(spec["slots"], [tuple(d) for d in spec["dists"]])
     if mode == "phrase_packed":
         return oracle.phrase_docs(q)
+    if mode == "slot_packed":
+        return oracle.slot_docs(spec["slots"], [tuple(d) for d in spec["dists"]])
+    if mode == "and_packed":
+        return oracle.and_docs(q)
     raise ValueError(f"unknown mode {mode!r}")

@@ -71,7 +71,7 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert [[r["doc_id"], r["n_terms"], r["total_tf"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "stem":
         assert [[r["doc_id"], r["total_tf"]] for r in rows] == exp, spec["qid"]
-    elif spec["mode"] == "slot":
+    elif spec["mode"] in ("slot", "slot_packed"):
         assert [[r["doc_id"], r["n_matches"], r["match_starts"]] for r in rows] == exp, spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
