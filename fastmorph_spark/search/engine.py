@@ -203,6 +203,12 @@ def slot_search(
         D = dictionary_cs if cs else dictionary
         if cs and P is None:
             raise ValueError("case-sensitive slot needs postings_cs")
+        # dictionary-first expansion (broadcast semi-join) is the default:
+        # the stem/like predicate then runs over the ~|vocab|-row
+        # dictionary, never per-posting. D=None switches to DIRECT
+        # predicates on P's term column — only correct/cheap when P is
+        # already pruned to candidate terms (the packed decode path, where
+        # a huge wildcard expansion must not be collected or broadcast).
         if "term" in s:
             t = s["term"] if cs else s["term"].lower()
             m = P.filter(F.col("term") == t)
@@ -211,17 +217,20 @@ def slot_search(
 
             if cs:
                 raise ValueError("stem slots are case-folded by definition")
-            if D is None:
-                raise ValueError("stem slot needs a dictionary")
             target = stem_py(s["stem"].lower())
-            cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
-            m = P.join(F.broadcast(cand_terms), "term", "left_semi")
-        else:
             if D is None:
-                raise ValueError("wildcard slot needs a dictionary")
+                m = P.filter(stem_expr(F.col("term")) == target)
+            else:
+                cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
+                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        else:
             pat = s["pattern"] if cs else s["pattern"].lower()
-            cand_terms = D.filter(F.col("term").like(wildcard_pattern_to_like(pat))).select("term")
-            m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+            like = wildcard_pattern_to_like(pat)
+            if D is None:
+                m = P.filter(F.col("term").like(like))
+            else:
+                cand_terms = D.filter(F.col("term").like(like)).select("term")
+                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
         parts.append(m.select("doc_id", F.lit(i).alias("slot"), "positions"))
     matched = reduce(DataFrame.unionByName, parts)
     per_slot = matched.groupBy("doc_id", "slot").agg(

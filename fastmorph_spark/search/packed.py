@@ -41,6 +41,14 @@ DECODED_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 # bloats the plan; the bucket partition filter is then also moot)
 MAX_TERM_PUSHDOWN = 1000
 
+# above this many dictionary-matched terms, a wildcard/stem slot is NOT
+# enumerated on the driver at all: the packed scan and the engine's slot
+# predicates run the like/stem expression directly (a `s*` slot over a
+# 10^8-term vocabulary must never collect or broadcast millions of
+# strings). Term-level partition pruning is moot for such a slot anyway —
+# a huge expansion hashes into every term_bucket.
+MAX_SLOT_EXPANSION = 10_000
+
 # doc-range block-skip pruning is two tiny metadata aggregations + a
 # broadcast join — ~fixed cost (a few hundred ms of extra stages on a
 # small cluster), with a payoff proportional to the decode volume it can
@@ -53,6 +61,25 @@ PRUNE_MIN_POSTINGS = 100_000
 
 def _empty(spark) -> DataFrame:
     return spark.createDataFrame([], DECODED_SCHEMA)
+
+
+def _doc_range_prune(blocks: DataFrame, per: DataFrame, n_groups: int) -> DataFrame:
+    """Shared tail of doc-range block-skip pruning: given per-(doc_shard,
+    grp) [lo, hi] doc ranges, keep a shard only if ALL groups reach it and
+    their envelope is non-empty, then drop blocks outside the envelope
+    before any payload byte is read. `per` is bounded by the rarest
+    group's shard count, so `keep` broadcasts (no payload shuffle)."""
+    env = per.groupBy("doc_shard").agg(
+        F.count("*").alias("_ng"),
+        F.max("_lo").alias("_lo"), F.min("_hi").alias("_hi"),
+    )
+    keep = env.filter(
+        (F.col("_ng") == n_groups) & (F.col("_lo") <= F.col("_hi"))
+    ).select("doc_shard", "_lo", "_hi")
+    return (
+        blocks.join(F.broadcast(keep), "doc_shard")
+        .filter((F.col("max_doc") >= F.col("_lo")) & (F.col("first_doc") <= F.col("_hi")))
+    )
 
 
 def pruned_blocks(index: Index, terms: list[str],
@@ -122,31 +149,14 @@ def pruned_blocks(index: Index, terms: list[str],
         per = meta.groupBy("doc_shard", "grp").agg(
             F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
         )
-        env = per.groupBy("doc_shard").agg(
-            F.count("*").alias("_ng"),
-            F.max("_lo").alias("_lo"), F.min("_hi").alias("_hi"),
-        )
-        keep = env.filter(
-            (F.col("_ng") == len(groups)) & (F.col("_lo") <= F.col("_hi"))
-        ).select("doc_shard", "_lo", "_hi")
-        blocks = (
-            blocks.join(F.broadcast(keep), "doc_shard")
-            .filter((F.col("max_doc") >= F.col("_lo")) & (F.col("first_doc") <= F.col("_hi")))
-        )
+        blocks = _doc_range_prune(blocks, per, len(groups))
     return blocks
 
 
-def decoded_postings(index: Index, terms: list[str],
-                     groups: list[list[str]] | None = None,
-                     prune_min_postings: int = PRUNE_MIN_POSTINGS) -> DataFrame:
-    """Pruned scan + varbyte decode: logical `(term, doc_id, tf,
-    positions)` rows for exactly `terms` from the packed index. Pass
-    ``groups`` (see pruned_blocks) to skip blocks whose doc ranges cannot
-    intersect the query's AND structure."""
-    spark = index.postings.sparkSession
-    blocks = pruned_blocks(index, terms, groups, prune_min_postings)
-    if blocks is None:
-        return _empty(spark)
+def _decode_blocks(blocks: DataFrame, spark) -> DataFrame:
+    """Varbyte decode of a (pruned) packed block scan into logical
+    `(term, doc_id, tf, positions)` rows — the shared Arrow kernel behind
+    decoded_postings and decoded_postings_pred."""
     blocks = blocks.select("term", "doc_gaps", "tfs", "positions")
     # after pruning only a handful of blocks survive; coalesce so the
     # decode doesn't inherit the pack exchange's width (a write-path
@@ -177,11 +187,74 @@ def decoded_postings(index: Index, terms: list[str],
     return blocks.mapInPandas(_decode, DECODED_SCHEMA)
 
 
-def _expand_slot_term_groups(index: Index, slots: list[dict]) -> list[list[str]]:
+def decoded_postings(index: Index, terms: list[str],
+                     groups: list[list[str]] | None = None,
+                     prune_min_postings: int = PRUNE_MIN_POSTINGS) -> DataFrame:
+    """Pruned scan + varbyte decode: logical `(term, doc_id, tf,
+    positions)` rows for exactly `terms` from the packed index. Pass
+    ``groups`` (see pruned_blocks) to skip blocks whose doc ranges cannot
+    intersect the query's AND structure."""
+    spark = index.postings.sparkSession
+    blocks = pruned_blocks(index, terms, groups, prune_min_postings)
+    if blocks is None:
+        return _empty(spark)
+    return _decode_blocks(blocks, spark)
+
+
+def _slot_pred(s: dict):
+    """A slot's membership test as a Catalyst predicate on `term` — the
+    no-enumeration twin of _expand_slot_term_groups's dictionary pass."""
+    from fastmorph_spark.stem import stem_expr, stem_py
+
+    if "term" in s:
+        return F.col("term") == s["term"].lower()
+    if "stem" in s:
+        return stem_expr(F.col("term")) == stem_py(s["stem"].lower())
+    like = engine.wildcard_pattern_to_like(s["pattern"].lower())
+    return F.col("term").like(like)
+
+
+def decoded_postings_pred(index: Index, preds: list) -> DataFrame:
+    """Predicate-direct packed scan + decode for slot patterns too wide to
+    enumerate (> MAX_SLOT_EXPANSION dictionary terms): the slot predicates
+    run straight on the block scan's `term` column — no driver collect, no
+    broadcast of an expanded term list. Term-bucket partition pruning is
+    skipped (a huge expansion hashes into every bucket anyway), but
+    doc-range block-skip pruning still applies: group membership is
+    evaluated per metadata row in ONE column-pruned pass (array of matched
+    slot ids, exploded), then the shared shard-intersection + envelope
+    logic drops blocks before any payload byte is read."""
+    spark = index.postings.sparkSession
+    blocks = index.postings.filter(reduce(lambda a, b: a | b, preds))
+    if len(preds) >= 2:
+        arr = F.array_compact(F.array(
+            *[F.when(p, F.lit(i)) for i, p in enumerate(preds)]
+        ))
+        per = (
+            blocks.select("doc_shard", "first_doc", "max_doc", arr.alias("_g"))
+            .select("doc_shard", "first_doc", "max_doc", F.explode("_g").alias("grp"))
+            .groupBy("doc_shard", "grp")
+            .agg(F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi"))
+        )
+        blocks = _doc_range_prune(blocks, per, len(preds))
+    return _decode_blocks(blocks, spark)
+
+
+def _expand_slot_term_groups(
+    index: Index, slots: list[dict],
+    max_expansion: int = MAX_SLOT_EXPANSION,
+) -> list[list[str]] | None:
     """Per-slot concrete term lists, expanded dictionary-first (exact terms
     pass through; wildcard/stem slots scan the ~|vocab|-row dictionary ONCE
     for all such slots). The per-slot structure feeds block-skip pruning:
-    a doc must hold >=1 term from every slot."""
+    a doc must hold >=1 term from every slot.
+
+    Returns None when the expansion exceeds ``max_expansion`` dictionary
+    terms — the caller must then take the predicate-direct path
+    (decoded_postings_pred) instead of materializing the term lists on the
+    driver. The overflow check rides the same dictionary pass (LIMIT
+    max_expansion+1), so the wide case costs one truncated scan, not a
+    count plus a collect."""
     from fastmorph_spark.stem import stem_expr, stem_py
 
     conds = []  # (slot_idx, predicate) for dictionary-expanded slots
@@ -205,7 +278,10 @@ def _expand_slot_term_groups(index: Index, slots: list[dict]) -> list[list[str]]
         sel = index.dictionary.select(
             "term", *[c.alias(f"_m{i}") for i, c in conds]
         ).filter(reduce(lambda a, b: a | b, [F.col(f"_m{i}") for i, _ in conds]))
-        for r in sel.collect():
+        rows = sel.limit(max_expansion + 1).collect()
+        if len(rows) > max_expansion:
+            return None
+        for r in rows:
             for i, _ in conds:
                 if r[f"_m{i}"]:
                     groups[i].append(r["term"])
@@ -216,14 +292,30 @@ def _flat(groups: list[list[str]]) -> list[str]:
     return sorted({t for g in groups for t in g})
 
 
+def _packed_slot_postings(
+    index: Index, slots: list[dict], max_expansion: int,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Decoded logical postings for a slot pattern, choosing between the
+    enumerate path (collect expanded terms, term-level pushdown + exact
+    per-slot groups) and the predicate-direct path (huge wildcard/stem
+    expansions: no collect, no broadcast — VERDICT r02-era hardening).
+    Both feed the unchanged engine; the engine gets dictionary=None on the
+    predicate path so its slot predicates also run direct (the decoded
+    rows are already pruned to candidate terms)."""
+    groups = _expand_slot_term_groups(index, slots, max_expansion)
+    if groups is None:
+        return decoded_postings_pred(index, [_slot_pred(s) for s in slots]), None
+    return decoded_postings(index, _flat(groups), groups), index.dictionary
+
+
 def packed_slot_search(index: Index, slots: list[dict],
-                       dists: list[tuple[int, int]]) -> DataFrame:
+                       dists: list[tuple[int, int]],
+                       max_expansion: int = MAX_SLOT_EXPANSION) -> DataFrame:
     """engine.slot_search semantics over the PACKED index: one pruned
     block scan + decode for all slots, then the unchanged HOF predicate
     chain. Result-identical to the corpus-built path (shared oracles)."""
-    groups = _expand_slot_term_groups(index, slots)
-    decoded = decoded_postings(index, _flat(groups), groups)
-    return engine.slot_search(decoded, index.dictionary, slots, dists)
+    decoded, dictionary = _packed_slot_postings(index, slots, max_expansion)
+    return engine.slot_search(decoded, dictionary, slots, dists)
 
 
 def packed_phrase_search(index: Index, phrase: str) -> DataFrame:
@@ -259,6 +351,7 @@ def packed_search_request(
     skip: int = 0,
     until: int = 20,
     width: int = 2,
+    max_expansion: int = MAX_SLOT_EXPANSION,
 ) -> DataFrame:
     """The FULL fastmorph request lifecycle (engine.search_request, O7)
     over the PACKED index: the slot pattern's postings are reproduced from
@@ -269,7 +362,6 @@ def packed_search_request(
     index (build_lang_indexes / read_lang_indexes) and the matching
     filtered `documents`. Result-identical to the corpus-built
     search_request (shared oracle: driver query `slot_request_packed`)."""
-    groups = _expand_slot_term_groups(index, slots)
-    decoded = decoded_postings(index, _flat(groups), groups)
-    return engine.search_request(documents, decoded, index.dictionary,
+    decoded, dictionary = _packed_slot_postings(index, slots, max_expansion)
+    return engine.search_request(documents, decoded, dictionary,
                                  slots, dists, skip=skip, until=until, width=width)

@@ -97,6 +97,62 @@ def test_packed_boolean_parity(ctx):
     assert got_or == want_or
 
 
+def test_packed_slot_predicate_path_parity(ctx):
+    """Huge-expansion guard: with max_expansion forced to 0 every
+    wildcard/stem slot overflows the driver-side enumeration and the
+    whole query runs predicate-direct (no collect of expanded terms, no
+    broadcast term list; engine gets dictionary=None) — results must be
+    identical to the enumerate path and the corpus path."""
+    from fastmorph_spark.search.packed import _expand_slot_term_groups
+
+    _, idx, postings, dictionary = ctx
+    slots = [{"term": "fast"}, {"pattern": "h*"}, {"stem": "joins"}]
+    dists = [(1, 3), (1, 5)]
+    assert _expand_slot_term_groups(idx, slots, max_expansion=0) is None
+    want = [(r["doc_id"], r["n_matches"], r["match_starts"])
+            for r in engine.slot_search(postings, dictionary, slots, dists).collect()]
+    got = [(r["doc_id"], r["n_matches"], r["match_starts"])
+           for r in packed_slot_search(idx, slots, dists, max_expansion=0).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_packed_request_predicate_path_parity(ctx):
+    """O7 lifecycle on the predicate-direct path == the enumerate path."""
+    from fastmorph_spark.search.packed import packed_search_request
+
+    docs, idx, *_ = ctx
+    slots, dists = [{"term": "fast"}, {"pattern": "h*"}], [(1, 4)]
+    cols = ["rank", "doc_id", "pos", "hl_offset", "snippet",
+            "running_total", "n_matches", "total_docs", "total_matches"]
+    want = [tuple(r[c] for c in cols)
+            for r in packed_search_request(docs, idx, slots, dists,
+                                           skip=2, until=12, width=2).collect()]
+    got = [tuple(r[c] for c in cols)
+           for r in packed_search_request(docs, idx, slots, dists, skip=2,
+                                          until=12, width=2, max_expansion=0).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_predicate_path_block_skip(disjoint_idx):
+    """Doc-range pruning still engages on the predicate-direct path: the
+    single-pass metadata group-membership (array_compact + explode) skips
+    every block for slots with disjoint doc ranges."""
+    from fastmorph_spark.search.packed import _slot_pred, decoded_postings_pred
+
+    _, idx = disjoint_idx
+    slots = [{"term": "aaa"}, {"pattern": "b*"}]
+    dec = decoded_postings_pred(idx, [_slot_pred(s) for s in slots])
+    assert dec.count() == 0
+    assert packed_slot_search(idx, slots, [(1, 10)], max_expansion=0).count() == 0
+    # rare AND common via predicates: 'ccc' decoded only where 'aaa' lives
+    slots2 = [{"term": "aaa"}, {"pattern": "c*"}]
+    dec2 = decoded_postings_pred(idx, [_slot_pred(s) for s in slots2])
+    assert sorted(set(r["doc_id"] for r in dec2.collect())) == list(range(80))
+    got = [r["doc_id"]
+           for r in packed_slot_search(idx, slots2, [(1, 2)], max_expansion=0).collect()]
+    assert got == list(range(80))
+
+
 def test_packed_case_slot_rejected(ctx):
     _, idx, *_ = ctx
     with pytest.raises(ValueError):
