@@ -320,6 +320,19 @@ def q_slot3_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_slot_search(_packed_index(spark, sf_dir), SLOT3_SLOTS, SLOT3_DISTS)
 
 
+def q_slot_wildcard_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_wildcard_search through the packed index on the
+    PREDICATE-DIRECT path: max_expansion=0 forces the huge-expansion
+    regime, so the wildcard slot is never enumerated on the driver — the
+    like predicate runs straight on the block scan and the engine gets
+    dictionary=None. Shares slot_wildcard_search's oracle (must be
+    result-identical to the enumerate and corpus paths)."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_index(spark, sf_dir),
+                              SLOTW_SLOTS, SLOTW_DISTS, max_expansion=0)
+
+
 def q_slot_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete fastmorph request in one call [PK-high, §3.1]:
     subcorpus filter (lang) + slot pattern + pagination (ranks 3..12 in
@@ -805,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lang_source": q_rollup_lang_source,
         "corpus_setops": q_corpus_setops,
         "slot_request_packed": q_slot_request_packed,
+        "slot_wildcard_packed": q_slot_wildcard_packed,
         # --- FTS core
         "bm25_topk": q_bm25_topk,
         "bm25_topk_lang": q_bm25_topk_lang,
@@ -886,6 +900,7 @@ def oracle_sqls() -> dict[str, str]:
         ),
         "phrase_search_packed": oracles.phrase_search_sql(PHRASE_QUERY),
         "slot3_search_packed": oracles.slot_search_sql(SLOT3_SLOTS, SLOT3_DISTS),
+        "slot_wildcard_packed": oracles.slot_search_sql(SLOTW_SLOTS, SLOTW_DISTS),
         "or_search": oracles.or_search_sql(FLAGSHIP_QUERY),
         "stem_search": oracles.stem_search_sql(STEM_QUERY),
         "slot_stem_search": oracles.slot_search_sql(SLOT_STEM_SLOTS, SLOT_STEM_DISTS),
