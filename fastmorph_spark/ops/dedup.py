@@ -244,16 +244,29 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 8, n: int = 2,
         for i in range(m)
     ]
     combos = list(itertools.combinations(range(m), m - k))
-    combo_cols = F.array(*[
+    # codegen shape: the m band values are computed ONCE into an array
+    # column and the C(m, m-k) combinations are a literal-only array of
+    # index lists, with the key assembled by a transform/element_at HOF.
+    # Inlining the band expressions into every combination struct (the
+    # naive form) emits C(m,k)*(m-k) shift/mod/concat expression trees
+    # into one generated method — at k=8 (m=11, 165 combos) that breaks
+    # Janino's 64 KB method limit and drops the whole banding stage to
+    # interpreted execution.
+    bands = F.array(*[band_val[i].cast("string") for i in range(m)])
+    combo_idx = F.array(*[
         F.struct(
             F.lit(ci).alias("combo"),
-            F.concat_ws("_", *[band_val[i].cast("string") for i in c]).alias("key"),
+            F.array(*[F.lit(int(i)) for i in c]).alias("idx"),
         )
         for ci, c in enumerate(combos)
     ])
     sh = simhash(df, n, text_col, id_col)
-    bk = sh.select("doc_id", "simhash", F.explode(combo_cols).alias("b")) \
-        .select("doc_id", "simhash", F.col("b.combo").alias("combo"), F.col("b.key").alias("key"))
+    key = F.concat_ws("_", F.transform(
+        F.col("b.idx"), lambda i: F.element_at(F.col("_bands"), i + 1)
+    ))
+    bk = sh.select("doc_id", "simhash", bands.alias("_bands"),
+                   F.explode(combo_idx).alias("b")) \
+        .select("doc_id", "simhash", F.col("b.combo").alias("combo"), key.alias("key"))
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, (F.col("a.combo") == F.col("b.combo")) & (F.col("a.key") == F.col("b.key"))
