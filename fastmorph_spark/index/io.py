@@ -41,6 +41,15 @@ class Index:
     dictionary: DataFrame
     stats: DataFrame
     postings: DataFrame  # packed blocks
+    # case-preserving twin (per-slot case-SENSITIVE match, P5): packed
+    # blocks + dictionary over the case-preserving tokenization. Token
+    # boundaries are identical to the folded tokenization under the ASCII
+    # contract (constants.TOKEN_PATTERN_CS), so positions — and therefore
+    # doc_shard values — share one space with the folded twin, and
+    # cross-twin doc-range pruning (search/packed.py) is sound. None when
+    # the index was built without case_sensitive=True.
+    postings_cs: DataFrame | None = None
+    dictionary_cs: DataFrame | None = None
     _stats_row: dict | None = None
 
     def stats_row(self) -> dict:
@@ -61,8 +70,18 @@ def build_index_frames(
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
     pack_partitions: int | None = None,
+    case_sensitive: bool = False,
 ) -> Index:
-    """Corpus -> all index DataFrames (lazy, unwritten)."""
+    """Corpus -> all index DataFrames (lazy, unwritten).
+
+    ``case_sensitive=True`` additionally packs the case-PRESERVING twin
+    (VERDICT r03 #1): a second build_postings(fold_case=False) +
+    pack_postings pass sharing the folded twin's stats (token boundaries —
+    hence dl, n_docs, avgdl, doc_shard — are identical under the ASCII
+    contract), so a {"case": True} slot at 100 TB reads pruned cs blocks
+    instead of re-tokenizing the corpus. The cs dictionary derives from cs
+    block metadata alone (dictionary_from_packed — no extra logical pass).
+    """
     docs = build_docs(documents, id_col=id_col)
     # slim pre-encoded variant: dictionary/doc_lens need only (term, tf,
     # doc_id), and the pack shuffle carries bytes instead of int arrays
@@ -74,7 +93,17 @@ def build_index_frames(
     packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size,
                            n_partitions=pack_partitions)
     dict_final = dictionary_with_max_score(dictionary, packed, stats)
-    return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats, postings=packed)
+    packed_cs = dict_cs = None
+    if case_sensitive:
+        from fastmorph_spark.index.pack import dictionary_from_packed
+
+        postings_cs = build_postings(documents, text_col=text_col, id_col=id_col,
+                                     fold_case=False, positions_vb=True)
+        packed_cs = pack_postings(postings_cs, doc_lens, stats, doc_shard_size,
+                                  block_size, n_partitions=pack_partitions)
+        dict_cs = dictionary_from_packed(packed_cs, stats)
+    return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats,
+                 postings=packed, postings_cs=packed_cs, dictionary_cs=dict_cs)
 
 
 def build_lang_indexes(
@@ -85,6 +114,7 @@ def build_lang_indexes(
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
     pack_partitions: int | None = None,
+    case_sensitive: bool = False,
 ) -> dict[str, "Index"]:
     """One Index per subcorpus language — the scale answer to filtered
     BM25. Subcorpus semantics recompute N/avgdl/df over the FILTERED set
@@ -99,6 +129,7 @@ def build_lang_indexes(
         lang: build_index_frames(
             documents.filter(F.col(lang_col) == lang), text_col, id_col,
             doc_shard_size, block_size, pack_partitions=pack_partitions,
+            case_sensitive=case_sensitive,
         )
         for lang in sorted(langs)
     }
@@ -113,13 +144,17 @@ def write_index(
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
     mode: str = "overwrite",
+    case_sensitive: bool = False,
 ) -> dict:
     """Build + persist the index; returns build counters.
 
     The packed postings are cached before the two consumers (postings
     write + dictionary max_score) so packing runs once.
+    ``case_sensitive=True`` persists the case-preserving twin under
+    postings_cs/ + dictionary_cs/ (read_index auto-discovers them).
     """
-    idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size)
+    idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size,
+                             case_sensitive=case_sensitive)
     idx.postings.persist()
     try:
         # each pack task holds one term_bucket (see pack_postings) — the
@@ -129,6 +164,12 @@ def write_index(
         idx.docs.write.mode(mode).parquet(f"{out_path}/docs")
         idx.doc_lens.write.mode(mode).parquet(f"{out_path}/doc_lens")
         idx.stats.write.mode(mode).parquet(f"{out_path}/stats")
+        if idx.postings_cs is not None:
+            idx.postings_cs.persist()
+            idx.postings_cs.write.partitionBy("term_bucket").mode(mode) \
+                .parquet(f"{out_path}/postings_cs")
+            idx.dictionary_cs.write.mode(mode).parquet(f"{out_path}/dictionary_cs")
+            idx.postings_cs.unpersist()
         counters = idx.postings.agg(
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("n_postings"),
@@ -156,22 +197,46 @@ def recover_postings(index_path: str) -> bool:
     local = _strip_file_scheme(f"{index_path}/postings")
     local_old = _strip_file_scheme(f"{index_path}/.postings-old")
     if not os.path.exists(local) and os.path.isdir(local_old):
-        os.rename(local_old, local)
+        try:
+            os.rename(local_old, local)
+        except OSError:
+            # two concurrent readers can both pass the exists/isdir checks
+            # and race the rename (ADVICE r03 #3); the loser's failure is
+            # benign iff the winner restored postings/ — re-check instead
+            # of propagating, so concurrent recovery is idempotent
+            if os.path.exists(local):
+                return False
+            raise
         return True
     return False
 
 
 def read_index(spark: SparkSession, path: str) -> Index:
+    import os
+
     from fastmorph_spark.index.manifest import _is_driver_local
 
-    if _is_driver_local(spark, path):
+    local = _is_driver_local(spark, path)
+    if local:
         recover_postings(path)
+    postings_cs = dictionary_cs = None
+    # cs-twin discovery: local paths check the directory; remote paths
+    # probe with a read attempt (a missing optional twin is not an error)
+    has_cs = os.path.isdir(_strip_file_scheme(f"{path}/postings_cs")) if local else True
+    if has_cs:
+        try:
+            postings_cs = spark.read.parquet(f"{path}/postings_cs")
+            dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
+        except Exception:
+            postings_cs = dictionary_cs = None
     return Index(
         docs=spark.read.parquet(f"{path}/docs"),
         doc_lens=spark.read.parquet(f"{path}/doc_lens"),
         dictionary=spark.read.parquet(f"{path}/dictionary"),
         stats=spark.read.parquet(f"{path}/stats"),
         postings=spark.read.parquet(f"{path}/postings"),
+        postings_cs=postings_cs,
+        dictionary_cs=dictionary_cs,
     )
 
 
@@ -239,6 +304,17 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
     local_old = _strip_file_scheme(f"{index_path}/.postings-old")
     if os.path.exists(local_old):
         shutil.rmtree(local_old)
+    # journal the INTENT row BEFORE the swap (ADVICE r03 #1): a crash
+    # between the second rename and a post-swap journal would leave a
+    # fully flattened term_bucket=J layout with no manifest marker, so
+    # build_index_resumable would happily append batch=N dirs into it —
+    # the exact mixed-hive-layout corruption the guard exists to prevent.
+    # The guard refuses on 'compacting' AND 'compacted'; a crash after
+    # this row but before the swap merely makes the refusal conservative
+    # (the batch layout is still intact and readable).
+    _append_manifest(spark, index_path, (
+        -2, "compacting", 0, rows, 0, 0, "compaction", 1, 0, _now(),
+    ))
     os.rename(local, local_old)
     os.rename(local_tmp, local)  # crash between these two renames -> recover_postings
     _append_manifest(spark, index_path, (

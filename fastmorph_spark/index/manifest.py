@@ -213,6 +213,31 @@ def _manifest_rows(spark: SparkSession, out_path: str) -> list[dict]:
         raise
 
 
+def _refuse_if_flattened(spark: SparkSession, out_path: str) -> None:
+    """Structural twin of the manifest 'compacting'/'compacted' guard:
+    a flattened postings layout (term_bucket=* children, no batch=*)
+    means compaction ran even if its manifest rows were lost — appending
+    batch=N dirs would mix hive layouts. Driver-local paths only (remote
+    filesystems can't be compacted by compact_postings anyway)."""
+    import os
+
+    path = f"{out_path}/postings"
+    if not _is_driver_local(spark, path):
+        return
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.isdir(local):
+        return
+    children = os.listdir(local)
+    if any(c.startswith("term_bucket=") for c in children) and \
+            not any(c.startswith("batch=") for c in children):
+        raise ValueError(
+            f"{out_path}/postings holds a flattened term_bucket=J layout "
+            "(compacted, even though no manifest row says so); resumable "
+            "batch writes into it would mix hive layouts. Build into a "
+            "fresh out_path."
+        )
+
+
 def _done_ids(spark: SparkSession, out_path: str, snapshot: str) -> set[int]:
     return {
         r["partition_id"]
@@ -256,15 +281,22 @@ def build_index_resumable(
 
     # a compacted index has flattened postings/term_bucket=J dirs; writing
     # postings/batch=N next to them would mix hive layouts and break
-    # spark.read.parquet discovery (ADVICE r02) — compaction journals
-    # itself in the manifest, so refuse up front
-    if any(r["status"] == "compacted" for r in _manifest_rows(spark, out_path)):
+    # spark.read.parquet discovery (ADVICE r02) — compaction journals an
+    # INTENT row before the swap and a completion row after (ADVICE r03
+    # #1), so refuse on either. Belt-and-braces: also detect the
+    # flattened layout STRUCTURALLY (postings/ holding term_bucket=*
+    # children with no batch=*), which catches a compacted tree whose
+    # manifest was lost or written by an older build.
+    if any(r["status"] in ("compacting", "compacted")
+           for r in _manifest_rows(spark, out_path)):
         raise ValueError(
-            f"{out_path} holds a COMPACTED postings layout (manifest row "
-            "status='compacted'); resumable batch writes into it would mix "
-            "batch=N and term_bucket=J hive layouts. Build into a fresh "
-            "out_path and compact after."
+            f"{out_path} holds (or is mid-swap to) a COMPACTED postings "
+            "layout (manifest row status='compacting'/'compacted'); "
+            "resumable batch writes into it would mix batch=N and "
+            "term_bucket=J hive layouts. Build into a fresh out_path and "
+            "compact after."
         )
+    _refuse_if_flattened(spark, out_path)
 
     # per-step wall timings, returned in the result (and surfaced in the
     # bench report) — the scaling gate's diagnosis tool

@@ -41,17 +41,35 @@ def _shingles(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical docs: (content_sha256, dup_count, doc_ids).
-    doc_ids sorted ascending for determinism."""
+    """Groups of byte-identical docs: (content_sha256, dup_count,
+    group_rep), group_rep = smallest doc_id of the group (the canonical
+    doc a pipeline keeps). One row per group with SCALAR columns only —
+    a degenerate corpus-wide duplicate (10^6+ identical docs) stays one
+    bounded row, never a giant collect_list array (VERDICT r03 #6).
+    Membership rows come from exact_duplicate_members."""
     return (
         df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha256"))
         .groupBy("content_sha256")
         .agg(
             F.count("*").cast("long").alias("dup_count"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").cast("long").alias("group_rep"),
         )
         .filter(F.col("dup_count") > 1)
     )
+
+
+def exact_duplicate_members(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded membership of exact-dup groups: (doc_id, content_sha256,
+    group_rep) — one row per duplicated doc. The groups frame (one bounded
+    row per group) joins back to the hashed corpus on content_sha256: a
+    key-partitioned shuffle join, no per-group arrays anywhere, so a
+    10^6-way duplicate group distributes across tasks instead of building
+    one giant row."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha256")
+    )
+    groups = exact_duplicates(df, text_col, id_col).select("content_sha256", "group_rep")
+    return hashed.join(groups, "content_sha256").select("doc_id", "content_sha256", "group_rep")
 
 
 def ngram_jaccard_pairs(
@@ -127,6 +145,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope=None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with EXACT Jaccard.
 
@@ -138,9 +157,12 @@ def minhash_lsh_pairs(
     # the shingle table feeds FOUR subtrees (signatures, set sizes, and
     # both sides of the exact verify) — persist it or tokenize+shingle
     # the corpus four times (MEMORY_AND_DISK: spills, never recomputes).
-    # Cache lifetime: backs the returned lazy plan, so the CALLER owns it
+    # Cache lifetime: backs the returned lazy plan — pass scope= to free
+    # on scope close (VERDICT r03 #7), else the CALLER owns it
     # (clearCache() between pipeline stages in long-lived sessions)
-    sh = _shingles(df, n, text_col, id_col).persist()
+    from fastmorph_spark.cache import pin
+
+    sh = pin(_shingles(df, n, text_col, id_col), scope)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -281,7 +303,7 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 8, n: int = 2,
         .select("doc_a", "doc_b", "hamming")
 
 
-def dup_groups(pairs: DataFrame) -> DataFrame:
+def dup_groups(pairs: DataFrame, scope=None) -> DataFrame:
     """Connected components over a near-dup pair list -> (doc_id,
     group_rep) for every doc that appears in a pair, group_rep = the
     smallest doc_id reachable (the canonical representative a training
@@ -318,8 +340,12 @@ def dup_groups(pairs: DataFrame) -> DataFrame:
             break
     # the converged labels stay persisted: they back the returned plan and
     # their lineage is the whole O(diameter) join chain — unpersisting here
-    # would re-run every round at the caller's first action. Caller owns
+    # would re-run every round at the caller's first action. Pass scope=
+    # to free them on scope close (VERDICT r03 #7), else the caller owns
     # the cache (clearCache() in long-lived sessions — ADVICE r02).
+    from fastmorph_spark.cache import adopt
+
+    adopt(labels, scope)
     out = labels.select(F.col("a").alias("doc_id"), F.col("label").alias("group_rep"))
     edges.unpersist()
     return out.orderBy("doc_id")
@@ -333,6 +359,7 @@ def drop_list(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope=None,
 ) -> DataFrame:
     """The end-to-end dedup DECISION a training pipeline consumes:
     (doc_id, reason) for every doc to DROP — exact duplicates keep the
@@ -340,13 +367,12 @@ def drop_list(
     components (MinHash-LSH pairs -> connected components) keep their
     group_rep (reason 'near'); 'exact' wins when both apply. Everything
     not listed is kept."""
-    ex = exact_duplicates(df, text_col, id_col)
-    ex_drop = ex.select(
-        F.explode(F.slice("doc_ids", 2, F.size("doc_ids") - 1)).alias("doc_id")
-    )
-    pairs = minhash_lsh_pairs(df, n, num_hashes, bands, threshold, text_col, id_col)
-    near_drop = dup_groups(pairs).filter(F.col("doc_id") != F.col("group_rep")) \
-        .select("doc_id")
+    ex_drop = exact_duplicate_members(df, text_col, id_col) \
+        .filter(F.col("doc_id") != F.col("group_rep")).select("doc_id")
+    pairs = minhash_lsh_pairs(df, n, num_hashes, bands, threshold, text_col,
+                              id_col, scope=scope)
+    near_drop = dup_groups(pairs, scope=scope) \
+        .filter(F.col("doc_id") != F.col("group_rep")).select("doc_id")
     return (
         ex_drop.select("doc_id", F.lit("exact").alias("reason"))
         .unionByName(

@@ -207,6 +207,11 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
 
             assert not cs, "stem slots are case-folded by definition"
             return f"{duckdb_stem(col)} = '{stem_py(s['stem'].lower())}'"
+        if "tag" in s:
+            from fastmorph_spark.tags import duckdb_tag
+
+            assert not cs, "tag slots are case-folded by definition"
+            return f"{duckdb_tag(col)} = '{s['tag']}'"
         pat = s["pattern"] if cs else s["pattern"].lower()
         like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
         return f"{col} LIKE '{like}' ESCAPE '\\'"

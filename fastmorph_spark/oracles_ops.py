@@ -29,10 +29,12 @@ sh AS (
 
 
 def exact_duplicates_sql() -> str:
+    """Mirror of ops.dedup.exact_duplicates: one bounded row per group
+    (group_rep = min doc_id), no per-group arrays."""
     return """
 SELECT sha256(text) AS content_sha256,
        count(*)::BIGINT AS dup_count,
-       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+       min(doc_id)::BIGINT AS group_rep
 FROM documents
 GROUP BY sha256(text)
 HAVING count(*) > 1

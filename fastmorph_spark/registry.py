@@ -64,6 +64,10 @@ CASE_TEXT_SQL = "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END"
 STEM_QUERY = "joins"                 # stem 'join': joins/joined/joining/join
 SLOT_STEM_SLOTS = [{"term": "fast"}, {"stem": "joins"}]
 SLOT_STEM_DISTS = [(1, 5)]
+# token-class (tag) layer — the morph-tag analog (fastmorph_spark.tags):
+# `fast <keyword>` within distance 1..2 (keyword = join/sort/scan/...)
+SLOT_TAG_SLOTS = [{"term": "fast"}, {"tag": "keyword"}]
+SLOT_TAG_DISTS = [(1, 2)]
 SNIPPET_WIDTH = 2                    # context tokens either side of a match
 # full request lifecycle (SURVEY.md §3.1): slots + subcorpus + pagination
 REQ_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
@@ -268,6 +272,62 @@ def q_slot_stem_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.slot_search(postings, dictionary, SLOT_STEM_SLOTS, SLOT_STEM_DISTS)
 
 
+def q_slot_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-class slot (the morph-tag analog, VERDICT r03 #3): exact
+    `fast` followed within distance 1..2 by any KEYWORD-class token —
+    fastmorph's tag-constrained slots [PK-high] over the deterministic
+    classifier, expanded dictionary-first like stems."""
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, SLOT_TAG_SLOTS, SLOT_TAG_DISTS)
+
+
+def q_slot_tag_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_tag_search through the PACKED index: the classifier runs over
+    the dictionary (dictionary-first expansion), the expanded keyword
+    terms drive the pruned block scan + block-skip pruning. Shares
+    slot_tag_search's oracle (must be result-identical)."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_index(spark, sf_dir), SLOT_TAG_SLOTS, SLOT_TAG_DISTS)
+
+
+def _packed_case_index(spark: SparkSession, sf_dir: str):
+    """case_sensitive=True packed index over the deterministically
+    case-varied corpus (the slot_case_search convention: every 3rd doc
+    upper-cased) — memoized like _packed_index."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        docs = read_documents(spark, sf_dir).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+        )
+        idx = build_index_frames(
+            docs, doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+            case_sensitive=True,
+        )
+        idx.postings = idx.postings.persist()
+        idx.postings_cs = idx.postings_cs.persist()
+        return idx
+
+    return _memo(spark, ("packed_case", sf_dir), build)
+
+
+def q_slot_case_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_case_search through the PACKED index (VERDICT r03 #1): the
+    case-SENSITIVE slot expands against the case-preserving twin
+    dictionary and reads pruned cs blocks; the folded slot reads the
+    folded twin; cross-twin doc-range pruning intersects both (shared
+    doc_id/position space). Shares slot_case_search's oracle (must be
+    result-identical) — at 100 TB this replaces a corpus re-tokenize
+    with a pruned twin-index scan."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_case_index(spark, sf_dir),
+                              CASE_SLOTS, CASE_DISTS)
+
+
 def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result assembly (SURVEY.md §3.1): per-occurrence token-window
     snippets with highlight offsets and running totals for the phrase
@@ -412,11 +472,8 @@ def query_vec() -> list[float]:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import exact_duplicates
 
-    d = exact_duplicates(read_documents(spark, sf_dir))
-    return d.select(
-        "content_sha256", "dup_count",
-        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
-    )
+    return exact_duplicates(read_documents(spark, sf_dir)) \
+        .select("content_sha256", "dup_count", "group_rep")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,27 +856,33 @@ def _neardup_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordering is deliberate (round-2's CORRECTNESS run recorded only the
-    FIRST 50 of 55 keys — budget-capped): (a) keys with no prior green
-    driver row come FIRST (multimodal has never been driver-verified;
-    events_json / rollup_lang_source / corpus_setops were green in r01 but
-    dropped in r02; slot_request_packed is new this round); (b) the TAIL
-    holds only keys whose correctness is independently attested if the cap
-    recurs — bm25_topk_indexed / ann_cosine_topk share a byte-identical
-    oracle with an earlier sibling and are pytest-pinned equal to it;
-    phrase3_search / wildcard_docs / phrase_highlight / dedup_groups are
-    the same operator code as an earlier key under a different constant,
-    each also pytest-pinned."""
+    """ROTATING ordering (the driver's CORRECTNESS run records only the
+    FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
+    driver-green row EVER come first (this round: the new
+    slot_case_packed / slot_tag_search / slot_tag_packed); (b) then the
+    keys that missed the PREVIOUS round's cap (r03 casualties:
+    dedup_groups .. events_window — all r02-green), so every key re-earns
+    a green row at least every other round; (c) keys whose code paths
+    CHANGED this round run in the body (dedup_exact's new group_rep
+    schema, every packed path through the refactored twin decode); (d)
+    the TAIL holds only r03-GREEN keys untouched this round and pinned by
+    pytest (pure column-expression ops in test_ops / relational fixtures
+    in test_entry), so a capped-out tail key is still attested green in
+    CORRECTNESS_r03 ∪ the test suite."""
     return {
-        # --- no prior green driver row: run first
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "events_json": q_events_json,
-        "rollup_lang_source": q_rollup_lang_source,
-        "corpus_setops": q_corpus_setops,
-        "slot_request_packed": q_slot_request_packed,
-        "slot_wildcard_packed": q_slot_wildcard_packed,
-        # --- FTS core
+        # --- (a) no driver-green row ever: run first
+        "slot_case_packed": q_slot_case_packed,
+        "slot_tag_search": q_slot_tag_search,
+        "slot_tag_packed": q_slot_tag_packed,
+        # --- (b) missed r03's 50-key cap (all r02-green): re-earn now
+        "dedup_groups": q_dedup_groups,
+        "phrase_highlight": q_phrase_highlight,
+        "wildcard_docs": q_wildcard_docs,
+        "phrase3_search": q_phrase3_search,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
+        "events_window": q_events_window,
+        # --- (c) FTS core (packed paths changed this round: twin decode)
         "bm25_topk": q_bm25_topk,
         "bm25_topk_lang": q_bm25_topk_lang,
         "doc_stats": q_doc_stats,
@@ -836,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_case_search": q_slot_case_search,
         "phrase_search_packed": q_phrase_search_packed,
         "slot3_search_packed": q_slot3_search_packed,
+        "slot_wildcard_packed": q_slot_wildcard_packed,
+        "slot_request_packed": q_slot_request_packed,
         "or_search": q_or_search,
         "stem_search": q_stem_search,
         "slot_stem_search": q_slot_stem_search,
@@ -843,36 +908,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_request": q_slot_request,
         "wildcard_terms": q_wildcard_terms,
         "pagination": q_pagination,
-        # --- training-data pipeline ops
+        # --- (c) training-data pipeline ops (dedup_exact changed)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_drop_list": q_dedup_drop_list,
-        "sample_10pct": q_sample_10pct,
         "pack_shards": q_pack_shards,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_neardup": q_cosine_neardup,
-        # --- relational / window / JSON fixture coverage
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "events_json": q_events_json,
+        "rollup_lang_source": q_rollup_lang_source,
+        # --- (d) tail: r03-green, untouched this round, pytest-pinned
+        "corpus_setops": q_corpus_setops,
+        "sample_10pct": q_sample_10pct,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "region_brand_revenue": q_region_brand_revenue,
         "top_customers_per_nation": q_top_customers_per_nation,
-        "events_window": q_events_window,
-        # --- tail: independently attested (see docstring)
-        "dedup_groups": q_dedup_groups,
-        "phrase_highlight": q_phrase_highlight,
-        "wildcard_docs": q_wildcard_docs,
-        "phrase3_search": q_phrase3_search,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "bm25_topk_indexed": q_bm25_topk_indexed,
     }
 
 
@@ -894,6 +956,10 @@ def oracle_sqls() -> dict[str, str]:
         "slot3_search": oracles.slot_search_sql(SLOT3_SLOTS, SLOT3_DISTS),
         "slot_wildcard_search": oracles.slot_search_sql(SLOTW_SLOTS, SLOTW_DISTS),
         "slot_case_search": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
+        # packed cs-twin path must be result-identical to the corpus path
+        "slot_case_packed": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
+        "slot_tag_search": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
+        "slot_tag_packed": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
         "phrase_highlight": oracles.slot_search_sql(
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),

@@ -96,6 +96,7 @@ def bm25_topk_expression(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_score: bool = False,
+    scope=None,
 ) -> DataFrame:
     """Top-k docs for an OR (disjunctive) BM25 query, index-free.
 
@@ -115,11 +116,13 @@ def bm25_topk_expression(
     # matched is tiny (<= |q| rows per matching doc) but COMPUTING it is a
     # full corpus tokenization — and it feeds two subtrees (the broadcast
     # df agg's job and the scoring join). Persist so the tokenizer kernel
-    # runs once per query, not twice. Cache lifetime: the CALLER owns it
-    # (the persisted block backs the returned lazy plan, so unpersisting
-    # here would defeat the reuse) — long-lived sessions issuing many
-    # queries should spark.catalog.clearCache() periodically (ADVICE r02).
-    matched = matched.persist()
+    # runs once per query, not twice. Cache lifetime: the persisted block
+    # backs the returned lazy plan, so unpersisting here would defeat the
+    # reuse — pass scope=CacheScope() to free it on scope close (VERDICT
+    # r03 #7), else the CALLER owns it (clearCache() between bursts).
+    from fastmorph_spark.cache import pin
+
+    matched = pin(matched, scope)
     df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (

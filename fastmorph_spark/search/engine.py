@@ -169,6 +169,14 @@ def slot_search(
                                    realized with the deterministic rule
                                    stemmer (fastmorph_spark.stem); expanded
                                    dictionary-first like wildcards
+        {"tag": "keyword"}         TOKEN-CLASS slot: matches every token
+                                   whose class (fastmorph_spark.tags —
+                                   number/keyword/stopword/ident) equals
+                                   the value — the morph-tag-constrained
+                                   slots fastmorph offers [PK-high],
+                                   realized with the pinned deterministic
+                                   classifier; expanded dictionary-first
+                                   like stems
         + optional "case": True    case-SENSITIVE match (P5 case flags);
                                    requires the case-preserving twin index
                                    (postings_cs/dictionary_cs — same doc_id
@@ -222,6 +230,18 @@ def slot_search(
                 m = P.filter(stem_expr(F.col("term")) == target)
             else:
                 cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
+                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        elif "tag" in s:
+            from fastmorph_spark.tags import TAG_CLASSES, tag_expr
+
+            if cs:
+                raise ValueError("tag slots are case-folded by definition")
+            if s["tag"] not in TAG_CLASSES:
+                raise ValueError(f"unknown tag class {s['tag']!r}")
+            if D is None:
+                m = P.filter(tag_expr(F.col("term")) == s["tag"])
+            else:
+                cand_terms = D.filter(tag_expr(F.col("term")) == s["tag"]).select("term")
                 m = P.join(F.broadcast(cand_terms), "term", "left_semi")
         else:
             pat = s["pattern"] if cs else s["pattern"].lower()
@@ -383,8 +403,13 @@ def snippets(
     w_local = Window.partitionBy("_b").orderBy(id_col, "pos")
     # per-bucket occurrence counts come from matches.n_matches (==
     # size(match_starts) by slot_search construction): no second pass
-    # through the explode or the tokenize join
-    counts = matches.groupBy(
+    # through the explode or the tokenize join. The semi-join against the
+    # documents ids (column-pruned scan, no tokenize) keeps the counts
+    # consistent with the emitted rows when `documents` covers only a
+    # subset of the matched docs — otherwise occurrences dropped by the
+    # inner join above would still be counted in _off and leave gaps in
+    # running_total for later buckets (ADVICE r03 #2)
+    counts = matches.join(documents.select(id_col), id_col, "left_semi").groupBy(
         (F.col(id_col) / SNIPPET_DOC_BUCKET).cast("long").alias("_b")
     ).agg(F.sum("n_matches").alias("_c"))
     w_cum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
@@ -420,6 +445,7 @@ def search_request(
     width: int = 2,
     postings_cs: DataFrame | None = None,
     dictionary_cs: DataFrame | None = None,
+    scope=None,
 ) -> DataFrame:
     """The FULL fastmorph request lifecycle in one call (SURVEY.md §3.1
     entry point 2 [PK-high]): slot pattern -> matches -> pagination window
@@ -438,11 +464,15 @@ def search_request(
     the page read it twice); the page is pre-pruned with orderBy+limit
     (TakeOrderedAndProject) before any window; only <= until docs reach
     the snippet join against the documents scan. Cache lifetime: the
-    persisted match set backs the returned lazy plan, so the CALLER owns
-    it — long-lived sessions should clearCache() between request bursts
-    (ADVICE r02)."""
-    m = slot_search(postings, dictionary, slots, dists,
-                    postings_cs=postings_cs, dictionary_cs=dictionary_cs).persist()
+    persisted match set backs the returned lazy plan; pass a
+    ``fastmorph_spark.cache.CacheScope`` as ``scope`` to have it freed
+    when the scope closes (consume the result inside it), else the CALLER
+    owns it — long-lived sessions should clearCache() between request
+    bursts (ADVICE r02, VERDICT r03 #7)."""
+    from fastmorph_spark.cache import pin
+
+    m = pin(slot_search(postings, dictionary, slots, dists,
+                        postings_cs=postings_cs, dictionary_cs=dictionary_cs), scope)
     tot = m.agg(
         F.count("*").cast("long").alias("total_docs"),
         F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("total_matches"),

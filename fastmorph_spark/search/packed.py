@@ -63,23 +63,58 @@ def _empty(spark) -> DataFrame:
     return spark.createDataFrame([], DECODED_SCHEMA)
 
 
-def _doc_range_prune(blocks: DataFrame, per: DataFrame, n_groups: int) -> DataFrame:
-    """Shared tail of doc-range block-skip pruning: given per-(doc_shard,
-    grp) [lo, hi] doc ranges, keep a shard only if ALL groups reach it and
-    their envelope is non-empty, then drop blocks outside the envelope
-    before any payload byte is read. `per` is bounded by the rarest
-    group's shard count, so `keep` broadcasts (no payload shuffle)."""
+def _base_blocks(spark, postings: DataFrame, dictionary: DataFrame,
+                 terms: list[str]) -> tuple[DataFrame | None, int | None]:
+    """The shared head of the pruned packed scan (twin-index capable):
+    term-pushdown block scan + the Σdf pruning-gate estimate. Returns
+    (blocks, est_postings); (None, 0) when no term exists in the
+    dictionary; est None for wide expansions (assume big, always prune)."""
+    terms = sorted(set(terms))
+    if not terms:
+        return None, 0
+    if len(terms) <= MAX_TERM_PUSHDOWN:
+        # J1-style dictionary lookup: term_bucket (and df, the pruning-
+        # gate estimate) ride in the dictionary, so partition pruning
+        # costs one <=|terms|-row driver round-trip
+        drows = dictionary.filter(F.col("term").isin(terms)) \
+            .select("term", "term_bucket", "df").collect()
+        if not drows:
+            return None, 0
+        buckets = sorted({int(r["term_bucket"]) for r in drows})
+        present = sorted({r["term"] for r in drows})
+        est = sum(int(r["df"]) for r in drows)
+        return postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+        ), est
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return postings.join(F.broadcast(tdf), "term", "left_semi"), None
+
+
+def _envelope_keep(per: DataFrame, n_groups: int) -> DataFrame:
+    """Doc-range envelope per shard: keep a shard only if ALL groups reach
+    it and their [max lo, min hi] envelope is non-empty. `per` is bounded
+    by the rarest group's shard count, so the result broadcasts."""
     env = per.groupBy("doc_shard").agg(
         F.count("*").alias("_ng"),
         F.max("_lo").alias("_lo"), F.min("_hi").alias("_hi"),
     )
-    keep = env.filter(
+    return env.filter(
         (F.col("_ng") == n_groups) & (F.col("_lo") <= F.col("_hi"))
     ).select("doc_shard", "_lo", "_hi")
+
+
+def _apply_keep(blocks: DataFrame, keep: DataFrame) -> DataFrame:
+    """Drop blocks outside the kept shards/envelopes BEFORE any payload
+    byte is read (broadcast join on metadata columns only)."""
     return (
         blocks.join(F.broadcast(keep), "doc_shard")
         .filter((F.col("max_doc") >= F.col("_lo")) & (F.col("first_doc") <= F.col("_hi")))
     )
+
+
+def _doc_range_prune(blocks: DataFrame, per: DataFrame, n_groups: int) -> DataFrame:
+    """Shared tail of doc-range block-skip pruning (see _envelope_keep)."""
+    return _apply_keep(blocks, _envelope_keep(per, n_groups))
 
 
 def pruned_blocks(index: Index, terms: list[str],
@@ -115,28 +150,9 @@ def pruned_blocks(index: Index, terms: list[str],
     Returns None when no query term exists in the dictionary.
     """
     spark = index.postings.sparkSession
-    terms = sorted(set(terms))
-    if not terms:
+    blocks, est_postings = _base_blocks(spark, index.postings, index.dictionary, terms)
+    if blocks is None:
         return None
-
-    if len(terms) <= MAX_TERM_PUSHDOWN:
-        # J1-style dictionary lookup: term_bucket (and df, the pruning-
-        # gate estimate) ride in the dictionary, so partition pruning
-        # costs one <=|terms|-row driver round-trip
-        drows = index.dictionary.filter(F.col("term").isin(terms)) \
-            .select("term", "term_bucket", "df").collect()
-        if not drows:
-            return None
-        buckets = sorted({int(r["term_bucket"]) for r in drows})
-        present = sorted({r["term"] for r in drows})
-        est_postings = sum(int(r["df"]) for r in drows)
-        blocks = index.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
-        )
-    else:
-        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-        est_postings = None  # wide expansion: assume big, always prune
-        blocks = index.postings.join(F.broadcast(tdf), "term", "left_semi")
 
     prune_pays = est_postings is None or est_postings >= prune_min_postings
     if groups is not None and len(groups) >= 2 and prune_pays:
@@ -207,10 +223,16 @@ def _slot_pred(s: dict):
     from fastmorph_spark.stem import stem_expr, stem_py
 
     if "term" in s:
-        return F.col("term") == s["term"].lower()
+        t = s["term"] if s.get("case") else s["term"].lower()
+        return F.col("term") == t
     if "stem" in s:
         return stem_expr(F.col("term")) == stem_py(s["stem"].lower())
-    like = engine.wildcard_pattern_to_like(s["pattern"].lower())
+    if "tag" in s:
+        from fastmorph_spark.tags import tag_expr
+
+        return tag_expr(F.col("term")) == s["tag"]
+    pat = s["pattern"] if s.get("case") else s["pattern"].lower()
+    like = engine.wildcard_pattern_to_like(pat)
     return F.col("term").like(like)
 
 
@@ -240,14 +262,23 @@ def decoded_postings_pred(index: Index, preds: list) -> DataFrame:
     return _decode_blocks(blocks, spark)
 
 
+def _require_cs(index: Index) -> None:
+    if index.postings_cs is None or index.dictionary_cs is None:
+        raise ValueError(
+            "case-sensitive slots need the case-preserving twin index: "
+            "build_index_frames(..., case_sensitive=True)"
+        )
+
+
 def _expand_slot_term_groups(
     index: Index, slots: list[dict],
     max_expansion: int = MAX_SLOT_EXPANSION,
 ) -> list[list[str]] | None:
     """Per-slot concrete term lists, expanded dictionary-first (exact terms
-    pass through; wildcard/stem slots scan the ~|vocab|-row dictionary ONCE
-    for all such slots). The per-slot structure feeds block-skip pruning:
-    a doc must hold >=1 term from every slot.
+    pass through; wildcard/stem/tag slots scan the ~|vocab|-row dictionary
+    ONCE for all such slots — case-SENSITIVE slots scan the cs twin
+    dictionary instead, VERDICT r03 #1). The per-slot structure feeds
+    block-skip pruning: a doc must hold >=1 term from every slot.
 
     Returns None when the expansion exceeds ``max_expansion`` dictionary
     terms — the caller must then take the predicate-direct path
@@ -257,32 +288,45 @@ def _expand_slot_term_groups(
     count plus a collect."""
     from fastmorph_spark.stem import stem_expr, stem_py
 
-    conds = []  # (slot_idx, predicate) for dictionary-expanded slots
+    # (slot_idx, predicate), split by which dictionary they expand against
+    conds: dict[bool, list] = {False: [], True: []}
     groups: list[list[str]] = []
     for i, s in enumerate(slots):
-        if s.get("case"):
-            raise ValueError(
-                "case-sensitive slots need the case-preserving twin index; "
-                "use engine.slot_search with postings_cs"
-            )
+        cs = bool(s.get("case"))
+        if cs:
+            _require_cs(index)
         if "term" in s:
-            groups.append([s["term"].lower()])
+            groups.append([s["term"] if cs else s["term"].lower()])
         elif "stem" in s:
+            if cs:
+                raise ValueError("stem slots are case-folded by definition")
             groups.append([])
-            conds.append((i, stem_expr(F.col("term")) == stem_py(s["stem"].lower())))
+            conds[cs].append((i, stem_expr(F.col("term")) == stem_py(s["stem"].lower())))
+        elif "tag" in s:
+            from fastmorph_spark.tags import TAG_CLASSES, tag_expr
+
+            if cs:
+                raise ValueError("tag slots are case-folded by definition")
+            if s["tag"] not in TAG_CLASSES:
+                raise ValueError(f"unknown tag class {s['tag']!r}")
+            groups.append([])
+            conds[cs].append((i, tag_expr(F.col("term")) == s["tag"]))
         else:
             groups.append([])
-            like = engine.wildcard_pattern_to_like(s["pattern"].lower())
-            conds.append((i, F.col("term").like(like)))
-    if conds:
-        sel = index.dictionary.select(
-            "term", *[c.alias(f"_m{i}") for i, c in conds]
-        ).filter(reduce(lambda a, b: a | b, [F.col(f"_m{i}") for i, _ in conds]))
+            pat = s["pattern"] if cs else s["pattern"].lower()
+            conds[cs].append((i, F.col("term").like(engine.wildcard_pattern_to_like(pat))))
+    for cs_side, clist in conds.items():
+        if not clist:
+            continue
+        D = index.dictionary_cs if cs_side else index.dictionary
+        sel = D.select(
+            "term", *[c.alias(f"_m{i}") for i, c in clist]
+        ).filter(reduce(lambda a, b: a | b, [F.col(f"_m{i}") for i, _ in clist]))
         rows = sel.limit(max_expansion + 1).collect()
         if len(rows) > max_expansion:
             return None
         for r in rows:
-            for i, _ in conds:
+            for i, _ in clist:
                 if r[f"_m{i}"]:
                     groups[i].append(r["term"])
     return [sorted(set(g)) for g in groups]
@@ -292,30 +336,130 @@ def _flat(groups: list[list[str]]) -> list[str]:
     return sorted({t for g in groups for t in g})
 
 
+def _grouped_decode_two(index: Index, groups: list[list[str]],
+                        cs_flags: list[bool],
+                        prune_min_postings: int = PRUNE_MIN_POSTINGS,
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Pruned scan + decode across BOTH twins (folded + case-preserving)
+    with CROSS-TWIN doc-range block-skip pruning: the two tokenizations
+    share one doc_id/position/doc_shard space (ASCII contract, Index
+    docstring), so the shard-intersection + envelope metadata pass runs
+    over the UNION of both twins' per-(shard, slot) doc ranges — a shard
+    is kept only if every slot (whichever twin serves it) reaches it.
+    Returns (decoded_folded, decoded_cs) logical posting frames."""
+    spark = index.postings.sparkSession
+    f_terms = [t for g, c in zip(groups, cs_flags) if not c for t in g]
+    c_terms = [t for g, c in zip(groups, cs_flags) if c for t in g]
+    bf, est_f = _base_blocks(spark, index.postings, index.dictionary, f_terms) \
+        if f_terms else (None, 0)
+    bc, est_c = _base_blocks(spark, index.postings_cs, index.dictionary_cs, c_terms) \
+        if c_terms else (None, 0)
+    # a slot whose whole expansion is absent from its dictionary makes the
+    # AND pattern unsatisfiable
+    if (f_terms and bf is None) or (c_terms and bc is None):
+        return _empty(spark), _empty(spark)
+    n_groups = len(groups)
+    est_known = est_f is not None and est_c is not None
+    prune_pays = (not est_known) or (est_f + est_c) >= prune_min_postings
+    if n_groups >= 2 and prune_pays:
+        pers = []
+        for blocks, side_cs in ((bf, False), (bc, True)):
+            if blocks is None:
+                continue
+            pairs = sorted({
+                (t, gi) for gi, (g, c) in enumerate(zip(groups, cs_flags))
+                if c == side_cs for t in g
+            })
+            tg = spark.createDataFrame(pairs, "term string, grp int")
+            pers.append(
+                blocks.select("term", "doc_shard", "first_doc", "max_doc")
+                .join(F.broadcast(tg), "term")
+                .groupBy("doc_shard", "grp")
+                .agg(F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi"))
+            )
+        keep = _envelope_keep(reduce(DataFrame.unionByName, pers), n_groups)
+        bf = _apply_keep(bf, keep) if bf is not None else None
+        bc = _apply_keep(bc, keep) if bc is not None else None
+    return (
+        _decode_blocks(bf, spark) if bf is not None else _empty(spark),
+        _decode_blocks(bc, spark) if bc is not None else _empty(spark),
+    )
+
+
+def _pred_decode_two(index: Index, slots: list[dict]) -> tuple[DataFrame, DataFrame]:
+    """Predicate-direct twin of _grouped_decode_two (wide expansions: no
+    driver collect, no broadcast term lists — see decoded_postings_pred).
+    Slot predicates run straight on each twin's block scan; cross-twin
+    doc-range pruning unions the per-(shard, slot) metadata exactly like
+    the enumerate path."""
+    spark = index.postings.sparkSession
+    sides = {False: [], True: []}  # cs -> [(slot_idx, predicate)]
+    for i, s in enumerate(slots):
+        sides[bool(s.get("case"))].append((i, _slot_pred(s)))
+    if sides[True]:
+        _require_cs(index)
+    scans = {}
+    for side_cs, plist in sides.items():
+        if not plist:
+            continue
+        P = index.postings_cs if side_cs else index.postings
+        scans[side_cs] = (P.filter(reduce(lambda a, b: a | b, [p for _, p in plist])), plist)
+    if len(slots) >= 2:
+        pers = []
+        for blocks, plist in scans.values():
+            arr = F.array_compact(F.array(
+                *[F.when(p, F.lit(i)) for i, p in plist]
+            ))
+            pers.append(
+                blocks.select("doc_shard", "first_doc", "max_doc", arr.alias("_g"))
+                .select("doc_shard", "first_doc", "max_doc", F.explode("_g").alias("grp"))
+                .groupBy("doc_shard", "grp")
+                .agg(F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi"))
+            )
+        keep = _envelope_keep(reduce(DataFrame.unionByName, pers), len(slots))
+        scans = {cs: (_apply_keep(b, keep), pl) for cs, (b, pl) in scans.items()}
+    return (
+        _decode_blocks(scans[False][0], spark) if False in scans else _empty(spark),
+        _decode_blocks(scans[True][0], spark) if True in scans else _empty(spark),
+    )
+
+
 def _packed_slot_postings(
     index: Index, slots: list[dict], max_expansion: int,
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None, DataFrame | None]:
     """Decoded logical postings for a slot pattern, choosing between the
     enumerate path (collect expanded terms, term-level pushdown + exact
     per-slot groups) and the predicate-direct path (huge wildcard/stem
     expansions: no collect, no broadcast — VERDICT r02-era hardening).
-    Both feed the unchanged engine; the engine gets dictionary=None on the
-    predicate path so its slot predicates also run direct (the decoded
-    rows are already pruned to candidate terms)."""
+    Case-sensitive slots route through the case-preserving twin index
+    (VERDICT r03 #1) on either path. Returns (postings, dictionary,
+    postings_cs, dictionary_cs) for engine.slot_search; dictionaries are
+    None on the predicate path so the engine's slot predicates also run
+    direct (the decoded rows are already pruned to candidate terms)."""
+    cs_flags = [bool(s.get("case")) for s in slots]
     groups = _expand_slot_term_groups(index, slots, max_expansion)
     if groups is None:
-        return decoded_postings_pred(index, [_slot_pred(s) for s in slots]), None
-    return decoded_postings(index, _flat(groups), groups), index.dictionary
+        if any(cs_flags):
+            pf, pc = _pred_decode_two(index, slots)
+            return pf, None, pc, None
+        return decoded_postings_pred(index, [_slot_pred(s) for s in slots]), None, None, None
+    if any(cs_flags):
+        pf, pc = _grouped_decode_two(index, groups, cs_flags)
+        return pf, index.dictionary, pc, index.dictionary_cs
+    return decoded_postings(index, _flat(groups), groups), index.dictionary, None, None
 
 
 def packed_slot_search(index: Index, slots: list[dict],
                        dists: list[tuple[int, int]],
                        max_expansion: int = MAX_SLOT_EXPANSION) -> DataFrame:
     """engine.slot_search semantics over the PACKED index: one pruned
-    block scan + decode for all slots, then the unchanged HOF predicate
-    chain. Result-identical to the corpus-built path (shared oracles)."""
-    decoded, dictionary = _packed_slot_postings(index, slots, max_expansion)
-    return engine.slot_search(decoded, dictionary, slots, dists)
+    block scan + decode for all slots (per twin when case flags are
+    present), then the unchanged HOF predicate chain. Result-identical to
+    the corpus-built path (shared oracles)."""
+    decoded, dictionary, decoded_cs, dictionary_cs = \
+        _packed_slot_postings(index, slots, max_expansion)
+    return engine.slot_search(decoded, dictionary, slots, dists,
+                              postings_cs=decoded_cs, dictionary_cs=dictionary_cs)
 
 
 def packed_phrase_search(index: Index, phrase: str) -> DataFrame:
@@ -352,6 +496,7 @@ def packed_search_request(
     until: int = 20,
     width: int = 2,
     max_expansion: int = MAX_SLOT_EXPANSION,
+    scope=None,
 ) -> DataFrame:
     """The FULL fastmorph request lifecycle (engine.search_request, O7)
     over the PACKED index: the slot pattern's postings are reproduced from
@@ -362,6 +507,9 @@ def packed_search_request(
     index (build_lang_indexes / read_lang_indexes) and the matching
     filtered `documents`. Result-identical to the corpus-built
     search_request (shared oracle: driver query `slot_request_packed`)."""
-    decoded, dictionary = _packed_slot_postings(index, slots, max_expansion)
+    decoded, dictionary, decoded_cs, dictionary_cs = \
+        _packed_slot_postings(index, slots, max_expansion)
     return engine.search_request(documents, decoded, dictionary,
-                                 slots, dists, skip=skip, until=until, width=width)
+                                 slots, dists, skip=skip, until=until, width=width,
+                                 postings_cs=decoded_cs, dictionary_cs=dictionary_cs,
+                                 scope=scope)

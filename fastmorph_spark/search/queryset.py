@@ -81,6 +81,25 @@ def run_query(
 
         return packed_slot_search(index, spec["slots"],
                                   [tuple(d) for d in spec["dists"]])
+    if mode == "slot_packed_direct":
+        # predicate-direct regime (VERDICT r03 #8): max_expansion=0 forces
+        # the no-driver-enumeration path — wide wildcard slots run their
+        # predicate straight on the block scan, the at-scale shape
+        from fastmorph_spark.search.packed import packed_slot_search
+
+        return packed_slot_search(index, spec["slots"],
+                                  [tuple(d) for d in spec["dists"]],
+                                  max_expansion=0)
+    if mode == "request_packed":
+        # the full request lifecycle over the packed index — the path a
+        # serving deployment actually hits (VERDICT r03 #8)
+        from fastmorph_spark.search.packed import packed_search_request
+
+        return packed_search_request(
+            documents, index, spec["slots"], [tuple(d) for d in spec["dists"]],
+            skip=spec.get("skip", 0), until=spec.get("until", 20),
+            width=spec.get("width", 2),
+        )
     if mode == "and_packed":
         from fastmorph_spark.search.packed import packed_and_search
 
@@ -118,8 +137,31 @@ def run_query_oracle(spec: dict, oracle) -> list:
         return oracle.slot_docs(spec["slots"], [tuple(d) for d in spec["dists"]])
     if mode == "phrase_packed":
         return oracle.phrase_docs(q)
-    if mode == "slot_packed":
+    if mode in ("slot_packed", "slot_packed_direct"):
         return oracle.slot_docs(spec["slots"], [tuple(d) for d in spec["dists"]])
+    if mode == "request_packed":
+        return _oracle_request_rows(
+            oracle, spec["slots"], [tuple(d) for d in spec["dists"]],
+            spec.get("skip", 0), spec.get("until", 20),
+        )
     if mode == "and_packed":
         return oracle.and_docs(q)
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _oracle_request_rows(oracle, slots, dists, skip, until):
+    """Pure-Python twin of search_request's NON-SNIPPET columns, one row
+    per occurrence in the page: (rank, doc_id, pos, running_total,
+    n_matches, total_docs, total_matches). Snippet text itself is pinned
+    by the driver oracle (slot_request/slot_request_packed SQL)."""
+    matches = oracle.slot_docs(slots, dists)  # (doc_id, n_matches, starts) doc_id-asc
+    total_docs = len(matches)
+    total_matches = sum(n for _, n, _ in matches)
+    rows, running = [], 0
+    for rank, (d, n, starts) in enumerate(matches[:until], start=1):
+        if rank <= skip:
+            continue
+        for pos in (int(x) for x in starts.split(",")):
+            running += 1
+            rows.append([rank, d, pos, running, n, total_docs, total_matches])
+    return rows

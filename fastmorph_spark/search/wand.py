@@ -64,8 +64,19 @@ def _topk_merge(cand_docs: np.ndarray, cand_scores: np.ndarray, k: int,
 
 
 def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
-                      n_docs: float, avgdl: float, k: int, prune: bool = True):
-    """term_meta: term -> (idf, max_score). Returns the applyInPandas fn."""
+                      n_docs: float, avgdl: float, k: int, prune: bool = True,
+                      impact_slack: float = 1.0):
+    """term_meta: term -> (idf, max_score). Returns the applyInPandas fn.
+
+    ``impact_slack`` >= 1 loosens the block upper bounds by that factor:
+    stored block_max_impact values were computed with the PACK-time avgdl,
+    and impact is monotonically increasing in avgdl with
+    impact(avgdl_now) <= impact(avgdl_pack) * avgdl_now/avgdl_pack
+    (denominator bound: denom(avgdl_now) >= denom(avgdl_pack) *
+    avgdl_pack/avgdl_now termwise). An incrementally-extended index whose
+    avgdl GREW since packing therefore stays EXACT under WAND by scaling
+    bounds with slack = max(1, avgdl_now/min_pack_avgdl) — pruning gets
+    slightly weaker, never unsafe (streaming/incremental.py)."""
 
     terms = sorted(term_meta)
     t_index = {t: i for i, t in enumerate(terms)}
@@ -79,7 +90,8 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
         maxes = pdf["max_doc"].to_numpy(dtype=np.int64)
         idf_arr = np.array([term_meta[t][0] for t in terms], dtype=np.float64)
         # block max SCORE = idf(term) * stored idf-free block max impact
-        bmax = idf_arr[t_ids] * pdf["block_max_impact"].to_numpy(dtype=np.float64)
+        # (x impact_slack when the index grew past its pack-time avgdl)
+        bmax = impact_slack * idf_arr[t_ids] * pdf["block_max_impact"].to_numpy(dtype=np.float64)
         gaps_col = pdf["doc_gaps"].to_numpy()
         tfs_col = pdf["tfs"].to_numpy()
         dls_col = pdf["dls"].to_numpy()
@@ -186,10 +198,15 @@ def search_wand(
         return empty
     srow = index.stats_row()
     n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+    # incremental index: stats carry the smallest avgdl any live block was
+    # packed with; scale all impact-derived bounds so pruning stays exact
+    # (see make_shard_kernel docstring). Batch-built index: slack == 1.
+    min_pack_avgdl = float(srow.get("min_pack_avgdl") or avgdl)
+    impact_slack = max(1.0, avgdl / min_pack_avgdl)
     term_meta = {
         r["term"]: (
             float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))),
-            float(r["max_score"]),
+            float(r["max_score"]) * impact_slack,
         )
         for r in drows
     }
@@ -208,7 +225,8 @@ def search_wand(
     ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_impact",
              "doc_gaps", "tfs", "dls")
 
-    kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune)
+    kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune,
+                               impact_slack=impact_slack)
     local = blocks.groupBy("doc_shard").applyInPandas(
         lambda key, pdf: kernel(pdf), TOPK_SCHEMA
     )

@@ -129,6 +129,26 @@ def oracle_stem(t: str) -> str:
     return t
 
 
+_ORACLE_KEYWORDS = {
+    "agg", "filter", "from", "group", "hash", "join", "limit", "merge",
+    "order", "scan", "select", "sort", "union", "where", "window",
+}
+_ORACLE_STOPWORDS = {"a", "an", "and", "at", "in", "is", "of", "on", "or", "the", "to"}
+
+
+def oracle_tag(t: str) -> str:
+    """INDEPENDENT re-implementation of the pinned token classifier
+    (fastmorph_spark/tags.py) — str.isdigit + literal sets instead of the
+    regex/isin forms, so the oracle double-checks them."""
+    if t and all(c in "0123456789" for c in t):
+        return "number"
+    if t in _ORACLE_KEYWORDS:
+        return "keyword"
+    if t in _ORACLE_STOPWORDS:
+        return "stopword"
+    return "ident"
+
+
 def _wildcard_re(pattern: str):
     return re.compile(
         pattern.lower().replace("?", "[a-z0-9_]").replace("*", "[a-z0-9_]*") + "$"
@@ -174,6 +194,9 @@ def _slot_docs(self, slots: list[dict], dists: list) -> list[tuple[int, int, str
         if "stem" in s:
             target = oracle_stem(s["stem"].lower())
             return lambda tok: oracle_stem(tok) == target
+        if "tag" in s:
+            target = s["tag"]
+            return lambda tok: oracle_tag(tok) == target
         pat = _wildcard_re(s["pattern"])
         return lambda tok: bool(pat.match(tok))
 

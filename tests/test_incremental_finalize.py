@@ -1,0 +1,159 @@
+"""Incremental packed finalize (VERDICT r03 #5): a second drain APPENDS
+only the new batches' blocks — the first pass's parquet files are
+byte-untouched — and queries stay rank-identical to a full repack, with
+WAND exactness preserved via the min_pack_avgdl bound scaling."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from fastmorph_spark.index.io import read_index
+from fastmorph_spark.search.wand import search_wand
+from fastmorph_spark.streaming import finalize_from_logical, stream_ingest
+from tests.oracle_bm25 import OracleIndex
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _postings_files(out: str) -> dict[str, float]:
+    files = {}
+    for root, _, names in os.walk(f"{out}/postings"):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files[p] = os.path.getmtime(p)
+    return files
+
+
+VOCAB = ["fast", "hash", "join", "scan", "sort", "merge", "the", "a",
+         "order", "group", "filter", "window", "union", "select"]
+
+
+def _rows(ids, words_per_doc):
+    rng_words = []
+    for d in ids:
+        toks = [VOCAB[(d * 7 + j) % len(VOCAB)] for j in range(words_per_doc + d % 3)]
+        rng_words.append((d, " ".join(toks), "en"))
+    return rng_words
+
+
+def _drain(spark, src, out, ckpt, docs):
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = stream_ingest(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+
+def test_second_drain_appends_only(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("inc")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+
+    batch_a = _rows(range(0, 300), 8)
+    batch_b = _rows(range(300, 450), 9)  # similar lengths: small drift
+
+    _drain(spark, src, out, ckpt, _mkdocs(spark, batch_a))
+    r1 = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r1["mode"] == "repack"
+    before = _postings_files(out)
+    assert before
+
+    _drain(spark, src, out, ckpt, _mkdocs(spark, batch_b))
+    r2 = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r2["mode"] == "append"
+
+    after = _postings_files(out)
+    # every first-pass file survives, unmodified (mtime equal) — the
+    # drain touched ONLY new data
+    for p, mt in before.items():
+        assert p in after and after[p] == mt, p
+    assert len(after) > len(before)
+
+    # rank identity: the appended index == a from-scratch full repack,
+    # and both == the pure-Python oracle over the combined corpus
+    idx = read_index(spark, out)
+    queries = ["fast hash join", "sort merge", "the", "group window"]
+    got_append = {q: [(r["doc_id"], round(r["score"], 9))
+                      for r in search_wand(idx, q, k=10).collect()]
+                  for q in queries}
+    oracle = OracleIndex({d: t for d, t, _ in batch_a + batch_b})
+    for q in queries:
+        assert [d for d, _ in got_append[q]] == \
+            [d for d, _ in oracle.topk(q, 10)], q
+
+    r3 = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16,
+                               incremental=False)
+    assert r3["mode"] == "repack"
+    idx2 = read_index(spark, out)
+    for q in queries:
+        assert [(r["doc_id"], round(r["score"], 9))
+                for r in search_wand(idx2, q, k=10).collect()] == got_append[q], q
+
+
+def test_noop_when_no_new_batches(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("inc_noop")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 100), 6)))
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "repack"
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "noop"
+
+
+def test_avgdl_drift_forces_repack(spark, tmp_path_factory):
+    """When the new batch drags avgdl past the bound, the finalize falls
+    back to a full repack (tight impacts beat loose scaled bounds)."""
+    base = tmp_path_factory.mktemp("inc_drift")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 100), 4)))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    # 100 docs of ~4 tokens, then 100 of ~40 -> avgdl roughly 5x
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(100, 200), 40)))
+    r = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r["mode"] == "repack"
+    idx = read_index(spark, out)
+    oracle = OracleIndex({d: t for d, t, _ in _rows(range(0, 100), 4) + _rows(range(100, 200), 40)})
+    got = [r["doc_id"] for r in search_wand(idx, "fast hash join", k=10).collect()]
+    assert got == [d for d, _ in oracle.topk("fast hash join", 10)]
+
+
+def test_non_monotone_ids_force_repack(spark, tmp_path_factory):
+    """New doc_ids below the packed max would interleave block doc ranges
+    (the WAND covering step assumes per-term disjoint blocks) — the
+    finalize must detect it and repack."""
+    base = tmp_path_factory.mktemp("inc_mono")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(1000, 1100), 8)))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 50), 8)))
+    r = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r["mode"] == "repack"
+    idx = read_index(spark, out)
+    oracle = OracleIndex({d: t for d, t, _ in _rows(range(1000, 1100), 8) + _rows(range(0, 50), 8)})
+    got = [r["doc_id"] for r in search_wand(idx, "fast hash", k=10).collect()]
+    assert got == [d for d, _ in oracle.topk("fast hash", 10)]
+
+
+def test_wand_slack_bounds_stay_exact_under_growth(spark, tmp_path_factory):
+    """Append a batch whose docs are LONGER (avgdl grows, within bound):
+    old blocks' stored impacts under-estimate at the new avgdl; the
+    min_pack_avgdl slack must keep pruning exact (rank-identity vs the
+    brute-force oracle AND vs prune=False)."""
+    base = tmp_path_factory.mktemp("inc_slack")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 200), 8)))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(200, 300), 9)))
+    r = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r["mode"] == "append"
+    idx = read_index(spark, out)
+    srow = idx.stats_row()
+    assert srow["min_pack_avgdl"] is not None
+    assert float(srow["avgdl"]) >= float(srow["min_pack_avgdl"])
+    for q in ["fast hash join", "sort merge the"]:
+        pruned = [(r["doc_id"], r["score"]) for r in search_wand(idx, q, k=10).collect()]
+        full = [(r["doc_id"], r["score"])
+                for r in search_wand(idx, q, k=10, prune=False).collect()]
+        assert pruned == full, q

@@ -36,9 +36,27 @@ def docs_with_dups(spark):
 
 def test_exact_duplicates(spark, docs_with_dups):
     df, d0, _ = docs_with_dups
-    groups = {tuple(r["doc_ids"]): r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
-    assert (d0, 10001, 10002) in groups
-    assert groups[(d0, 10001, 10002)] == 3
+    groups = {r["group_rep"]: r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
+    assert groups[d0] == 3
+    members = {(r["doc_id"], r["group_rep"])
+               for r in dedup.exact_duplicate_members(df).collect()}
+    assert {(d0, d0), (10001, d0), (10002, d0)} <= members
+
+
+def test_exact_duplicates_bounded_on_huge_group(spark):
+    """A 10^5-way duplicate group must stay ONE scalar row (no per-group
+    array) and its membership must distribute — VERDICT r03 #6."""
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same text every row").alias("text")
+    )
+    rows = dedup.exact_duplicates(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dup_count"] == 100_000 and r["group_rep"] == 0
+    assert set(r.asDict()) == {"content_sha256", "dup_count", "group_rep"}
+    drops = dedup.exact_duplicate_members(df) \
+        .filter(F.col("doc_id") != F.col("group_rep")).count()
+    assert drops == 99_999
 
 
 def test_ngram_jaccard_finds_neardup(spark, docs_with_dups):

@@ -244,3 +244,85 @@ def test_block_skip_common_term_restricted(disjoint_idx):
     got = sorted(r["doc_id"] for r in engine.and_search(dec, "aaa ccc").collect())
     assert got == list(range(80))
     assert sorted(r["doc_id"] for r in packed_and_search(idx, "aaa ccc").collect()) == got
+
+
+@pytest.fixture(scope="module")
+def case_ctx(spark):
+    """Deterministically case-varied corpus (every 3rd doc upper-cased —
+    the slot_case_search convention) + its case_sensitive=True packed
+    index and the corpus-built twin tables."""
+    docs = read_documents(spark, SF0001).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=8, case_sensitive=True)
+    idx.postings = idx.postings.persist()
+    idx.postings_cs = idx.postings_cs.persist()
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    postings_cs = build_postings(docs, fold_case=False).persist()
+    dictionary_cs = build_dictionary(postings_cs)
+    yield docs, idx, postings, dictionary, postings_cs, dictionary_cs
+    for df in (idx.postings, idx.postings_cs, postings, postings_cs):
+        df.unpersist()
+
+
+def test_packed_case_slot_parity(case_ctx):
+    """{"case": True} slots over the PACKED cs twin == the corpus path
+    (VERDICT r03 #1): cs exact term + folded wildcard, enumerate path."""
+    _, idx, postings, dictionary, postings_cs, dictionary_cs = case_ctx
+    slots = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+    dists = [(1, 4)]
+    want = [tuple(r) for r in engine.slot_search(
+        postings, dictionary, slots, dists,
+        postings_cs=postings_cs, dictionary_cs=dictionary_cs).collect()]
+    got = [tuple(r) for r in packed_slot_search(idx, slots, dists).collect()]
+    assert got == want and len(got) > 0
+    # predicate-direct regime (max_expansion=0): no driver enumeration,
+    # cs + folded predicates run straight on each twin's block scan
+    direct = [tuple(r) for r in
+              packed_slot_search(idx, slots, dists, max_expansion=0).collect()]
+    assert direct == want
+
+
+def test_packed_case_wildcard_slot_parity(case_ctx):
+    """A case-SENSITIVE WILDCARD slot (cs dictionary expansion): `FA*`
+    matches only the upper-cased docs' tokens."""
+    _, idx, postings, dictionary, postings_cs, dictionary_cs = case_ctx
+    slots = [{"pattern": "FA*", "case": True}, {"term": "join"}]
+    dists = [(1, 5)]
+    want = [tuple(r) for r in engine.slot_search(
+        postings, dictionary, slots, dists,
+        postings_cs=postings_cs, dictionary_cs=dictionary_cs).collect()]
+    got = [tuple(r) for r in packed_slot_search(idx, slots, dists).collect()]
+    assert got == want and len(got) > 0
+    direct = [tuple(r) for r in
+              packed_slot_search(idx, slots, dists, max_expansion=0).collect()]
+    assert direct == want
+
+
+def test_packed_case_requires_cs_twin(spark):
+    """Without the cs twin the packed path must refuse loudly (never
+    silently fold)."""
+    docs = read_documents(spark, SF0001)
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=8)
+    with pytest.raises(ValueError, match="case-preserving twin"):
+        packed_slot_search(idx, [{"term": "FAST", "case": True}], [])
+
+
+def test_packed_case_request_parity(case_ctx):
+    """packed_search_request with a cs slot == engine.search_request —
+    the full lifecycle routes through the twin decode."""
+    docs, idx, postings, dictionary, postings_cs, dictionary_cs = case_ctx
+    slots = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+    dists = [(1, 4)]
+    from fastmorph_spark.search.packed import packed_search_request
+
+    want = [tuple(r) for r in engine.search_request(
+        docs, postings, dictionary, slots, dists, skip=0, until=10, width=2,
+        postings_cs=postings_cs, dictionary_cs=dictionary_cs).collect()]
+    got = [tuple(r) for r in packed_search_request(
+        docs, idx, slots, dists, skip=0, until=10, width=2).collect()]
+    assert got == want and len(got) > 0

@@ -71,8 +71,14 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert [[r["doc_id"], r["n_terms"], r["total_tf"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "stem":
         assert [[r["doc_id"], r["total_tf"]] for r in rows] == exp, spec["qid"]
-    elif spec["mode"] in ("slot", "slot_packed"):
+    elif spec["mode"] in ("slot", "slot_packed", "slot_packed_direct"):
         assert [[r["doc_id"], r["n_matches"], r["match_starts"]] for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "request_packed":
+        # snippet/hl text is pinned by the driver oracle; the query-set
+        # golden pins the structural columns per occurrence
+        assert [[r["rank"], r["doc_id"], r["pos"], r["running_total"],
+                 r["n_matches"], r["total_docs"], r["total_matches"]]
+                for r in rows] == exp, spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
 
