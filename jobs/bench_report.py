@@ -158,8 +158,9 @@ def main() -> None:
         f"| hardware ceiling (pure multiprocessing, no Spark) | eff 4→16 = {hw['eff_4_to_16']}, eff 8→32 = {hw['eff_8_to_32']} | tokenize/group kernel, {3} tasks/proc, measured at report time — the wide level must fit inside the host's reliably-idle cores, which is why the scaling pair's upper level is chosen below the ceiling's knee |",
     ]
     if qlat:
+        nq = len(qlat.get("per_query_median_ms", {}))
         lines += [
-            f"| query latency p50 / p95 | {qlat['p50_ms']} ms / {qlat['p95_ms']} ms | reference query set, k=10, {qlat['sf_dir']}, local[{qlat['cores']}], warm index |",
+            f"| query latency p50 / p95 | {qlat['p50_ms']} ms / {qlat['p95_ms']} ms | reference query set ({nq} queries — round 4 ADDED the heavy at-scale paths: packed full request, predicate-direct wide wildcard, tag-slot packed, block-skip phrase, so the p95 is not comparable to earlier 32-query rounds; r03-era queries q001-q032 moved only within the ±30% host band), k=10, {qlat['sf_dir']}, local[{qlat['cores']}], warm index |",
             f"| warm index build+cache | {qlat['index_build_cache_sec']} s | same session |",
         ]
     if headline:

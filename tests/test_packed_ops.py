@@ -326,3 +326,35 @@ def test_packed_case_request_parity(case_ctx):
     got = [tuple(r) for r in packed_search_request(
         docs, idx, slots, dists, skip=0, until=10, width=2).collect()]
     assert got == want and len(got) > 0
+
+
+def test_case_twin_disk_roundtrip(spark, tmp_path_factory):
+    """write_index(case_sensitive=True) -> read_index rediscovers the cs
+    twin and answers case-slot queries identically to the in-memory
+    build; an index written WITHOUT the twin reads back with
+    postings_cs=None and refuses case slots loudly."""
+    from fastmorph_spark.index.io import read_index, write_index
+
+    docs = read_documents(spark, SF0001).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    out = str(tmp_path_factory.mktemp("cs_idx") / "idx")
+    write_index(spark, docs, out, doc_shard_size=100, block_size=16,
+                case_sensitive=True)
+    idx = read_index(spark, out)
+    assert idx.postings_cs is not None and idx.dictionary_cs is not None
+    slots = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+    dists = [(1, 4)]
+    mem = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=8, case_sensitive=True)
+    want = [tuple(r) for r in packed_slot_search(mem, slots, dists).collect()]
+    got = [tuple(r) for r in packed_slot_search(idx, slots, dists).collect()]
+    assert got == want and len(got) > 0
+
+    out2 = str(tmp_path_factory.mktemp("cs_idx") / "plain")
+    write_index(spark, docs, out2, doc_shard_size=100, block_size=16)
+    idx2 = read_index(spark, out2)
+    assert idx2.postings_cs is None
+    with pytest.raises(ValueError, match="case-preserving twin"):
+        packed_slot_search(idx2, slots, dists)
