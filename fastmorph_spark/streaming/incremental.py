@@ -42,12 +42,17 @@ def stream_ingest(
     schema: str = "doc_id long, text string, lang string",
     text_col: str = "text",
     available_now: bool = True,
+    case_sensitive: bool = False,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
     Each micro-batch appends postings_logical/stream_batch=<id>/ plus doc
     registry rows; the Structured Streaming checkpoint provides
-    exactly-once file-source progress (a re-run never re-ingests)."""
+    exactly-once file-source progress (a re-run never re-ingests).
+    ``case_sensitive=True`` additionally logs the case-PRESERVING
+    tokenization per batch (postings_logical_stream_cs/) so the finalize
+    can pack the cs twin — streamed indexes then serve {"case": True}
+    slots exactly like batch-built ones (same P5 surface)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -55,6 +60,11 @@ def stream_ingest(
         postings = build_postings(batch_df, text_col=text_col, id_col="doc_id")
         postings.withColumn("stream_batch", F.lit(int(batch_id))) \
             .write.mode("append").parquet(f"{out_path}/postings_logical_stream")
+        if case_sensitive:
+            build_postings(batch_df, text_col=text_col, id_col="doc_id",
+                           fold_case=False) \
+                .withColumn("stream_batch", F.lit(int(batch_id))) \
+                .write.mode("append").parquet(f"{out_path}/postings_logical_stream_cs")
         build_docs(batch_df, id_col="doc_id").withColumn("stream_batch", F.lit(int(batch_id))) \
             .write.mode("append").parquet(f"{out_path}/docs_stream")
 
@@ -77,6 +87,18 @@ def read_stream_postings(spark: SparkSession, out_path: str) -> DataFrame:
 # drain appends ONLY the new batches' blocks: at 100 TB a drain touches
 # new data, not the whole index.
 AVGDL_DRIFT_BOUND = 1.25
+
+
+def _has_cs_log(out_path: str) -> bool:
+    """Whether the stream was ingested with case_sensitive=True. The
+    flag must be CONSISTENT across the stream's lifetime (every batch
+    logs both tokenizations or neither) — enabling it mid-stream would
+    leave the cs twin missing earlier batches' postings."""
+    import os
+
+    from fastmorph_spark.index.io import _strip_file_scheme
+
+    return os.path.isdir(_strip_file_scheme(f"{out_path}/postings_logical_stream_cs"))
 
 
 def _finalize_state_path(out_path: str) -> str:
@@ -138,6 +160,11 @@ def finalize_from_logical(
     Fallback to full repack also when doc_ids did not grow monotonically
     (new ids below the packed max would interleave doc ranges inside a
     term's block list, which the WAND covering step assumes disjoint).
+
+    When the stream was ingested with ``case_sensitive=True`` the
+    case-preserving twin (postings_cs/ + dictionary_cs/) is packed and
+    appended the same way, so read_index serves {"case": True} slots
+    from the streamed index exactly like a batch-built one.
     """
     from fastmorph_spark.constants import N_TERM_BUCKETS
     from fastmorph_spark.index.pack import dictionary_from_packed
@@ -183,6 +210,16 @@ def finalize_from_logical(
         all_packed = spark.read.parquet(f"{out_path}/postings")
         dictionary_from_packed(all_packed, stats) \
             .write.mode("overwrite").parquet(f"{out_path}/dictionary")
+        if _has_cs_log(out_path):
+            new_cs = spark.read.parquet(f"{out_path}/postings_logical_stream_cs") \
+                .filter(F.col("stream_batch").isin([int(b) for b in new_batches])) \
+                .drop("stream_batch")
+            pack_postings(new_cs, doc_lens, stats, doc_shard_size, block_size) \
+                .repartition(N_TERM_BUCKETS, "term_bucket") \
+                .write.partitionBy("term_bucket").mode("append") \
+                .parquet(f"{out_path}/postings_cs")
+            dictionary_from_packed(spark.read.parquet(f"{out_path}/postings_cs"), stats) \
+                .write.mode("overwrite").parquet(f"{out_path}/dictionary_cs")
         doc_lens.write.mode("overwrite").parquet(f"{out_path}/doc_lens")
         stats_inc.write.mode("overwrite").parquet(f"{out_path}/stats")
         spark.read.parquet(f"{out_path}/docs_stream").drop("stream_batch") \
@@ -212,6 +249,22 @@ def finalize_from_logical(
         spark.read.parquet(f"{out_path}/docs_stream").drop("stream_batch") \
             .dropDuplicates(["doc_id"]) \
             .write.mode("overwrite").parquet(f"{out_path}/docs")
+        if _has_cs_log(out_path):
+            # cs twin (P5 on a streamed index): same shards/blocks over
+            # the case-preserving tokenization; dictionary from metadata
+            packed_cs = pack_postings(
+                spark.read.parquet(f"{out_path}/postings_logical_stream_cs")
+                .drop("stream_batch"),
+                doc_lens, stats, doc_shard_size, block_size,
+            ).persist()
+            try:
+                packed_cs.repartition(N_TERM_BUCKETS, "term_bucket") \
+                    .write.partitionBy("term_bucket").mode("overwrite") \
+                    .parquet(f"{out_path}/postings_cs")
+                dictionary_from_packed(packed_cs, stats) \
+                    .write.mode("overwrite").parquet(f"{out_path}/dictionary_cs")
+            finally:
+                packed_cs.unpersist()
     finally:
         packed.unpersist()
     max_doc = doc_lens.agg(F.max("doc_id").alias("m")).collect()[0]["m"]

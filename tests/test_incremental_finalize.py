@@ -157,3 +157,70 @@ def test_wand_slack_bounds_stay_exact_under_growth(spark, tmp_path_factory):
         full = [(r["doc_id"], r["score"])
                 for r in search_wand(idx, q, k=10, prune=False).collect()]
         assert pruned == full, q
+
+
+def test_streamed_cs_twin_serves_case_slots(spark, tmp_path_factory):
+    """stream_ingest(case_sensitive=True) + incremental finalize pack the
+    case-preserving twin: a {"case": True} slot over the streamed index
+    matches the corpus-built engine path, the second drain only APPENDS
+    to the cs layout, and read_index rediscovers both twins."""
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.search import engine
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    base = tmp_path_factory.mktemp("inc_cs")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+
+    def case_rows(ids, wpd):
+        # every 3rd doc upper-cased (the slot_case_search convention)
+        return [(d, t.upper() if d % 3 == 0 else t, lang)
+                for d, t, lang in _rows(ids, wpd)]
+
+    batch_a = case_rows(range(0, 200), 8)
+    batch_b = case_rows(range(200, 300), 9)
+    slots = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+    dists = [(1, 4)]
+
+    def drain(rows):
+        _mkdocs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        q = stream_ingest(spark, src, out, ckpt, case_sensitive=True)
+        q.awaitTermination(120)
+
+    drain(batch_a)
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "repack"
+    idx1 = read_index(spark, out)
+    assert idx1.postings_cs is not None
+
+    def corpus_want(rows):
+        docs = _mkdocs(spark, rows)
+        p = build_postings(docs)
+        d = build_dictionary(p)
+        pc = build_postings(docs, fold_case=False)
+        dc = build_dictionary(pc)
+        return [tuple(r) for r in
+                engine.slot_search(p, d, slots, dists,
+                                   postings_cs=pc, dictionary_cs=dc).collect()]
+
+    got1 = [tuple(r) for r in packed_slot_search(idx1, slots, dists).collect()]
+    want1 = corpus_want(batch_a)
+    assert got1 == want1 and len(got1) > 0
+
+    import os as _os
+    cs_files_before = {}
+    for root, _, names in _os.walk(f"{out}/postings_cs"):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = _os.path.join(root, n)
+                cs_files_before[p] = _os.path.getmtime(p)
+
+    drain(batch_b)
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "append"
+    for p, mt in cs_files_before.items():
+        assert _os.path.getmtime(p) == mt, p  # cs first-pass files untouched
+
+    idx2 = read_index(spark, out)
+    got2 = [tuple(r) for r in packed_slot_search(idx2, slots, dists).collect()]
+    want2 = corpus_want(batch_a + batch_b)
+    assert got2 == want2 and len(got2) > len(got1)
