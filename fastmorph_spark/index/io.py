@@ -187,28 +187,32 @@ def _strip_file_scheme(p: str) -> str:
 
 def recover_postings(index_path: str) -> bool:
     """Crash recovery for the compaction swap: if a crash hit between the
-    two renames in compact_postings, the index has `.postings-old` but no
-    `postings/` — restore the pre-compaction directory. Idempotent; returns
-    True when a recovery happened. Called by read_index and
-    compact_postings for local paths (ADVICE r02: the swap is two renames,
-    not atomic — this closes the window)."""
+    two renames in compact_postings, the index has `.<subdir>-old` but no
+    `<subdir>/` — restore the pre-compaction directory (postings and, when
+    present, the postings_cs twin). Idempotent; returns True when any
+    recovery happened. Called by read_index and compact_postings for local
+    paths (ADVICE r02: the swap is two renames, not atomic — this closes
+    the window)."""
     import os
 
-    local = _strip_file_scheme(f"{index_path}/postings")
-    local_old = _strip_file_scheme(f"{index_path}/.postings-old")
-    if not os.path.exists(local) and os.path.isdir(local_old):
-        try:
-            os.rename(local_old, local)
-        except OSError:
-            # two concurrent readers can both pass the exists/isdir checks
-            # and race the rename (ADVICE r03 #3); the loser's failure is
-            # benign iff the winner restored postings/ — re-check instead
-            # of propagating, so concurrent recovery is idempotent
-            if os.path.exists(local):
-                return False
-            raise
-        return True
-    return False
+    recovered = False
+    for subdir in ("postings", "postings_cs"):
+        local = _strip_file_scheme(f"{index_path}/{subdir}")
+        local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
+        if not os.path.exists(local) and os.path.isdir(local_old):
+            try:
+                os.rename(local_old, local)
+            except OSError:
+                # two concurrent readers can both pass the exists/isdir
+                # checks and race the rename (ADVICE r03 #3); the loser's
+                # failure is benign iff the winner restored the dir —
+                # re-check instead of propagating, so concurrent recovery
+                # is idempotent
+                if os.path.exists(local):
+                    continue
+                raise
+            recovered = True
+    return recovered
 
 
 def read_index(spark: SparkSession, path: str) -> Index:
@@ -272,8 +276,6 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
             "filesystem use an Iceberg-backed index table"
         )
     recover_postings(index_path)
-    src = f"{index_path}/postings"
-    local = _strip_file_scheme(src)
 
     def _count_files(p: str) -> int:
         n = 0
@@ -281,47 +283,59 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
-    before = _count_files(local)
-    df = spark.read.parquet(src)
-    if "batch" in df.columns:  # hive-discovered batch=N dirs: incidental
-        df = df.drop("batch")
-    rows = df.count()
-    tmp = f"{index_path}/.postings-compact-tmp"
-    local_tmp = _strip_file_scheme(tmp)
-    if os.path.exists(local_tmp):  # stale tmp from a crashed prior attempt
-        shutil.rmtree(local_tmp)
-    from fastmorph_spark.constants import N_TERM_BUCKETS
+    def _compact_dir(subdir: str) -> dict:
+        src = f"{index_path}/{subdir}"
+        local = _strip_file_scheme(src)
+        before = _count_files(local)
+        df = spark.read.parquet(src)
+        if "batch" in df.columns:  # hive-discovered batch=N dirs: incidental
+            df = df.drop("batch")
+        rows = df.count()
+        tmp = f"{index_path}/.{subdir}-compact-tmp"
+        local_tmp = _strip_file_scheme(tmp)
+        if os.path.exists(local_tmp):  # stale tmp from a crashed prior attempt
+            shutil.rmtree(local_tmp)
+        from fastmorph_spark.constants import N_TERM_BUCKETS
 
-    df.repartition(N_TERM_BUCKETS, "term_bucket") \
-        .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
-    rows_tmp = spark.read.parquet(tmp).count()
-    if rows_tmp != rows:
-        shutil.rmtree(local_tmp)
-        raise RuntimeError(
-            f"compaction validation failed: rewrote {rows_tmp} rows, expected {rows}; "
-            "original postings left untouched"
-        )
-    local_old = _strip_file_scheme(f"{index_path}/.postings-old")
-    if os.path.exists(local_old):
+        df.repartition(N_TERM_BUCKETS, "term_bucket") \
+            .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
+        rows_tmp = spark.read.parquet(tmp).count()
+        if rows_tmp != rows:
+            shutil.rmtree(local_tmp)
+            raise RuntimeError(
+                f"compaction validation failed on {subdir}: rewrote {rows_tmp} "
+                f"rows, expected {rows}; original left untouched"
+            )
+        local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
+        if os.path.exists(local_old):
+            shutil.rmtree(local_old)
+        # journal the INTENT row BEFORE the swap (ADVICE r03 #1): a crash
+        # between the second rename and a post-swap journal would leave a
+        # fully flattened term_bucket=J layout with no manifest marker, so
+        # build_index_resumable would happily append batch=N dirs into it —
+        # the exact mixed-hive-layout corruption the guard exists to
+        # prevent. The guard refuses on 'compacting' AND 'compacted'; a
+        # crash after this row but before the swap merely makes the
+        # refusal conservative (the batch layout is still intact and
+        # readable).
+        _append_manifest(spark, index_path, (
+            -2, "compacting", 0, rows, 0, 0, f"compaction:{subdir}", 1, 0, _now(),
+        ))
+        os.rename(local, local_old)
+        os.rename(local_tmp, local)  # crash between these renames -> recover_postings
+        _append_manifest(spark, index_path, (
+            -2, "compacted", 0, rows, 0, 0, f"compaction:{subdir}", 1, 0, _now(),
+        ))
         shutil.rmtree(local_old)
-    # journal the INTENT row BEFORE the swap (ADVICE r03 #1): a crash
-    # between the second rename and a post-swap journal would leave a
-    # fully flattened term_bucket=J layout with no manifest marker, so
-    # build_index_resumable would happily append batch=N dirs into it —
-    # the exact mixed-hive-layout corruption the guard exists to prevent.
-    # The guard refuses on 'compacting' AND 'compacted'; a crash after
-    # this row but before the swap merely makes the refusal conservative
-    # (the batch layout is still intact and readable).
-    _append_manifest(spark, index_path, (
-        -2, "compacting", 0, rows, 0, 0, "compaction", 1, 0, _now(),
-    ))
-    os.rename(local, local_old)
-    os.rename(local_tmp, local)  # crash between these two renames -> recover_postings
-    _append_manifest(spark, index_path, (
-        -2, "compacted", 0, rows, 0, 0, "compaction", 1, 0, _now(),
-    ))
-    shutil.rmtree(local_old)
-    return {"files_before": before, "files_after": _count_files(local), "rows": rows}
+        return {"files_before": before, "files_after": _count_files(local), "rows": rows}
+
+    out = _compact_dir("postings")
+    # the case-preserving twin (batch case_sensitive=True builds or
+    # streamed cs ingest) accumulates small files the same way — compact
+    # it in the same call so the two layouts never diverge
+    if os.path.isdir(_strip_file_scheme(f"{index_path}/postings_cs")):
+        out["cs"] = _compact_dir("postings_cs")
+    return out
 
 
 def write_lang_indexes(

@@ -224,3 +224,52 @@ def test_streamed_cs_twin_serves_case_slots(spark, tmp_path_factory):
     got2 = [tuple(r) for r in packed_slot_search(idx2, slots, dists).collect()]
     want2 = corpus_want(batch_a + batch_b)
     assert got2 == want2 and len(got2) > len(got1)
+
+
+def test_compact_then_keep_draining(spark, tmp_path_factory):
+    """The long-lived streamed-index lifecycle: drain, drain (append),
+    COMPACT the accumulated small files (both twins), then drain again —
+    compaction must shrink file counts without changing any result, and
+    the post-compaction drain must still append-only."""
+    from fastmorph_spark.index.io import compact_postings
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    base = tmp_path_factory.mktemp("inc_compact")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+
+    def case_rows(ids, wpd):
+        return [(d, t.upper() if d % 3 == 0 else t, lang)
+                for d, t, lang in _rows(ids, wpd)]
+
+    def drain(rows):
+        _mkdocs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        q = stream_ingest(spark, src, out, ckpt, case_sensitive=True)
+        q.awaitTermination(120)
+
+    drain(case_rows(range(0, 200), 8))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    drain(case_rows(range(200, 300), 8))
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "append"
+
+    idx = read_index(spark, out)
+    slots = [{"term": "FAST", "case": True}, {"pattern": "h*"}]
+    want_slot = [tuple(r) for r in packed_slot_search(idx, slots, [(1, 4)]).collect()]
+    want_topk = [tuple(r) for r in search_wand(idx, "fast hash join", k=10).collect()]
+
+    st = compact_postings(spark, out)
+    assert st["files_after"] < st["files_before"]
+    assert "cs" in st and st["cs"]["files_after"] < st["cs"]["files_before"]
+
+    idx2 = read_index(spark, out)
+    assert [tuple(r) for r in packed_slot_search(idx2, slots, [(1, 4)]).collect()] == want_slot
+    assert [tuple(r) for r in search_wand(idx2, "fast hash join", k=10).collect()] == want_topk
+
+    # draining after compaction still appends (same flat hive layout)
+    drain(case_rows(range(300, 360), 8))
+    assert finalize_from_logical(spark, out, doc_shard_size=100,
+                                 block_size=16)["mode"] == "append"
+    idx3 = read_index(spark, out)
+    got3 = [tuple(r) for r in packed_slot_search(idx3, slots, [(1, 4)]).collect()]
+    assert len(got3) >= len(want_slot)
+    assert search_wand(idx3, "fast hash join", k=10).count() == 10
