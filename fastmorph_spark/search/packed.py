@@ -449,15 +449,35 @@ def _packed_slot_postings(
     return decoded_postings(index, _flat(groups), groups), index.dictionary, None, None
 
 
+def _pin_decoded(decoded, decoded_cs, slots, scope):
+    """engine.slot_search scans its postings frame once PER SLOT (one
+    union branch each); on the packed path that frame is the Arrow
+    varbyte decode, so without a persist the decode kernel re-runs
+    n_slots times (measured 2x the whole-query latency at 2 slots,
+    sf0.1). Persist when >= 2 slots share it. Cache lifetime: backs the
+    returned lazy plan — caller-owned by default (clearCache between
+    bursts), or pass scope=CacheScope (fastmorph_spark.cache)."""
+    if len(slots) < 2:
+        return decoded, decoded_cs
+    from fastmorph_spark.cache import pin
+
+    decoded = pin(decoded, scope)
+    if decoded_cs is not None:
+        decoded_cs = pin(decoded_cs, scope)
+    return decoded, decoded_cs
+
+
 def packed_slot_search(index: Index, slots: list[dict],
                        dists: list[tuple[int, int]],
-                       max_expansion: int = MAX_SLOT_EXPANSION) -> DataFrame:
+                       max_expansion: int = MAX_SLOT_EXPANSION,
+                       scope=None) -> DataFrame:
     """engine.slot_search semantics over the PACKED index: one pruned
     block scan + decode for all slots (per twin when case flags are
     present), then the unchanged HOF predicate chain. Result-identical to
     the corpus-built path (shared oracles)."""
     decoded, dictionary, decoded_cs, dictionary_cs = \
         _packed_slot_postings(index, slots, max_expansion)
+    decoded, decoded_cs = _pin_decoded(decoded, decoded_cs, slots, scope)
     return engine.slot_search(decoded, dictionary, slots, dists,
                               postings_cs=decoded_cs, dictionary_cs=dictionary_cs)
 
@@ -509,6 +529,7 @@ def packed_search_request(
     search_request (shared oracle: driver query `slot_request_packed`)."""
     decoded, dictionary, decoded_cs, dictionary_cs = \
         _packed_slot_postings(index, slots, max_expansion)
+    decoded, decoded_cs = _pin_decoded(decoded, decoded_cs, slots, scope)
     return engine.search_request(documents, decoded, dictionary,
                                  slots, dists, skip=skip, until=until, width=width,
                                  postings_cs=decoded_cs, dictionary_cs=dictionary_cs,
