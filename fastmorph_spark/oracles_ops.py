@@ -130,6 +130,19 @@ SELECT doc_id, array_to_string(hs[1:{keep}], '|') AS fingerprint FROM h
 """
 
 
+def exact_duplicate_members_sql() -> str:
+    """Mirror of ops.dedup.exact_duplicate_members: groups (bounded rows)
+    hash-joined back to the corpus for exploded membership."""
+    return """
+WITH g AS (
+  SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS group_rep
+  FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, g.content_sha256, g.group_rep
+FROM documents d JOIN g ON sha256(d.text) = g.content_sha256
+"""
+
+
 def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8,
                             shingle_df_cap: int | None = 5000) -> str:
     cap_cte = ""

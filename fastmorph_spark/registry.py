@@ -476,6 +476,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content_sha256", "dup_count", "group_rep")
 
 
+def q_dedup_exact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded membership of exact-dup groups (VERDICT r03 #6 companion
+    surface): one row per duplicated doc, via a key-partitioned hash join
+    back to the corpus — never a per-group array."""
+    from fastmorph_spark.ops.dedup import exact_duplicate_members
+
+    return exact_duplicate_members(read_documents(spark, sf_dir)) \
+        .select("doc_id", "content_sha256", "group_rep")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -910,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         # --- (c) training-data pipeline ops (dedup_exact changed)
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_members": q_dedup_exact_members,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_drop_list": q_dedup_drop_list,
@@ -988,6 +999,7 @@ def oracle_sqls() -> dict[str, str]:
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),
         "pagination": oracles.pagination_sql(FLAGSHIP_QUERY, PAGE_SKIP, PAGE_UNTIL),
         "dedup_exact": oracles_ops.exact_duplicates_sql(),
+        "dedup_exact_members": oracles_ops.exact_duplicate_members_sql(),
         "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_pairs_sql(3, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_pairs_sql(3, 16, 4, 0.5),
         "dedup_groups": oracles_ops.dup_groups_sql(3, 16, 4, 0.5),
