@@ -135,6 +135,17 @@ def build_lang_indexes(
     }
 
 
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API — scheme-agnostic
+    (file://, hdfs://, s3a://), silent no-op when the path is absent."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_index(
     spark: SparkSession,
     documents: DataFrame,
@@ -170,6 +181,14 @@ def write_index(
                 .parquet(f"{out_path}/postings_cs")
             idx.dictionary_cs.write.mode(mode).parquet(f"{out_path}/dictionary_cs")
             idx.postings_cs.unpersist()
+        elif mode == "overwrite":
+            # an earlier case_sensitive=True write may have left a cs twin
+            # here; overwriting only the folded dirs would silently pair
+            # THIS corpus's folded index with the OLD corpus's cs twin in
+            # read_index — delete the stale twin (Hadoop FS: works on any
+            # scheme, no-op when absent)
+            _delete_dir(spark, f"{out_path}/postings_cs")
+            _delete_dir(spark, f"{out_path}/dictionary_cs")
         counters = idx.postings.agg(
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("n_postings"),
@@ -228,10 +247,15 @@ def read_index(spark: SparkSession, path: str) -> Index:
     # probe with a read attempt (a missing optional twin is not an error)
     has_cs = os.path.isdir(_strip_file_scheme(f"{path}/postings_cs")) if local else True
     if has_cs:
+        from pyspark.errors import AnalysisException
+
         try:
             postings_cs = spark.read.parquet(f"{path}/postings_cs")
             dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
-        except Exception:
+        except AnalysisException:
+            # missing optional twin (remote-path probe) — NOT an error;
+            # anything else (corruption, permissions, transient IO) must
+            # propagate loudly rather than silently degrade to cs=None
             postings_cs = dictionary_cs = None
     return Index(
         docs=spark.read.parquet(f"{path}/docs"),
@@ -347,6 +371,7 @@ def write_lang_indexes(
     lang_col: str = "lang",
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
+    case_sensitive: bool = False,
 ) -> dict[str, dict]:
     """Persist one full index per language under {out_path}/lang=<v>/ —
     the at-rest form of build_lang_indexes: a lang-filtered query becomes
@@ -360,6 +385,7 @@ def write_lang_indexes(
         lang: write_index(
             spark, documents.filter(F.col(lang_col) == lang),
             f"{out_path}/lang={lang}", text_col, id_col, doc_shard_size, block_size,
+            case_sensitive=case_sensitive,
         )
         for lang in langs
     }

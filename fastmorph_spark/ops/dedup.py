@@ -52,7 +52,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .groupBy("content_sha256")
         .agg(
             F.count("*").cast("long").alias("dup_count"),
-            F.min("doc_id").cast("long").alias("group_rep"),
+            # no cast: id_col is generic (string ids must survive — a
+            # long cast would NULL them and silently empty drop_list)
+            F.min("doc_id").alias("group_rep"),
         )
         .filter(F.col("dup_count") > 1)
     )

@@ -273,3 +273,60 @@ def test_compact_then_keep_draining(spark, tmp_path_factory):
     got3 = [tuple(r) for r in packed_slot_search(idx3, slots, [(1, 4)]).collect()]
     assert len(got3) >= len(want_slot)
     assert search_wand(idx3, "fast hash join", k=10).count() == 10
+
+
+def test_append_crash_recovery_no_double_append(spark, tmp_path_factory):
+    """Idempotent append protocol: if the finalize crashes AFTER the
+    block append commits but BEFORE the state write (the review-flagged
+    window), the re-run must detect the committed pieces via the
+    max-doc-id watermark and NOT append them again."""
+    import json
+
+    from fastmorph_spark.streaming.incremental import (
+        _finalize_state_path,
+        _read_finalize_state,
+    )
+
+    base = tmp_path_factory.mktemp("inc_crash")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 200), 8)))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    pre_state = _read_finalize_state(out)
+
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(200, 300), 8)))
+    r = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r["mode"] == "append"
+    post_state = _read_finalize_state(out)
+    new_batches = [b for b in post_state["packed_batches"]
+                   if b not in set(pre_state["packed_batches"])]
+    assert new_batches
+    rows_after_append = spark.read.parquet(f"{out}/postings").count()
+    dl_after = spark.read.parquet(f"{out}/doc_lens").count()
+
+    # simulate the crash: restore the PRE-append state with the new
+    # batches journaled as in_progress (exactly what the journal write
+    # leaves behind when the process dies mid-sequence)
+    torn = {**pre_state, "in_progress": new_batches}
+    with open(_finalize_state_path(out), "w") as f:
+        json.dump(torn, f)
+
+    r2 = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r2["mode"] == "append"
+    assert spark.read.parquet(f"{out}/postings").count() == rows_after_append
+    assert spark.read.parquet(f"{out}/doc_lens").count() == dl_after
+    clean = _read_finalize_state(out)
+    assert not clean.get("in_progress")
+    assert set(clean["packed_batches"]) == set(post_state["packed_batches"])
+    assert clean["n_docs"] == 300 and clean["max_doc_id"] == 299
+
+    # results still rank-identical to the oracle after recovery
+    idx = read_index(spark, out)
+    oracle = OracleIndex({d: t for d, t, _ in _rows(range(0, 200), 8) + _rows(range(200, 300), 8)})
+    got = [r["doc_id"] for r in search_wand(idx, "fast hash join", k=10).collect()]
+    assert got == [d for d, _ in oracle.topk("fast hash join", 10)]
+    # and the dictionary's df is not double-counted
+    from pyspark.sql import functions as SF
+    df_fast = spark.read.parquet(f"{out}/dictionary") \
+        .filter(SF.col("term") == "fast").collect()[0]["df"]
+    n_fast = oracle.n_docs_with("fast") if hasattr(oracle, "n_docs_with") else len(oracle.postings["fast"])
+    assert df_fast == n_fast
