@@ -462,8 +462,10 @@ def search_request(
 
     Scale shape: the match set is computed ONCE (persisted — totals and
     the page read it twice); the page is pre-pruned with orderBy+limit
-    (TakeOrderedAndProject) before any window; only <= until docs reach
-    the snippet join against the documents scan. Cache lifetime: the
+    (TakeOrderedAndProject) before any window; the page's <= until
+    doc_ids are collected (bounded) and pushed into the documents scan
+    as an In() filter, so the snippet stage reads a few parquet row
+    groups — never the whole corpus. Cache lifetime: the
     persisted match set backs the returned lazy plan; pass a
     ``fastmorph_spark.cache.CacheScope`` as ``scope`` to have it freed
     when the scope closes (consume the result inside it), else the CALLER
@@ -480,7 +482,16 @@ def search_request(
     top = m.orderBy("doc_id").limit(until)
     rank = F.row_number().over(Window.orderBy("doc_id")).cast("long")
     page = top.withColumn("rank", rank).filter(F.col("rank") > skip)
-    snips = snippets(documents, page, match_len=len(slots), width=width)
+    # the snippet stage only ever reads the <= `until` page docs, but an
+    # unfiltered `documents` frame would scan (and tokenize) the WHOLE
+    # corpus to serve the join — at 100 TB that is a full-corpus read per
+    # request. The page is bounded by `until`, so collecting its doc_ids
+    # (one tiny job over the persisted match set) and pushing an In()
+    # predicate into the scan is safe and turns the snippet read into a
+    # few row-group fetches (parquet min/max skipping + AQE broadcast).
+    page_ids = [r["doc_id"] for r in page.select("doc_id").collect()]
+    docs_page = documents.filter(F.col("doc_id").isin(page_ids))
+    snips = snippets(docs_page, page, match_len=len(slots), width=width)
     return (
         snips.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")
         .crossJoin(F.broadcast(tot))
