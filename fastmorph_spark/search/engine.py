@@ -479,18 +479,30 @@ def search_request(
         F.count("*").cast("long").alias("total_docs"),
         F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("total_matches"),
     )
-    top = m.orderBy("doc_id").limit(until)
-    rank = F.row_number().over(Window.orderBy("doc_id")).cast("long")
-    page = top.withColumn("rank", rank).filter(F.col("rank") > skip)
     # the snippet stage only ever reads the <= `until` page docs, but an
     # unfiltered `documents` frame would scan (and tokenize) the WHOLE
     # corpus to serve the join — at 100 TB that is a full-corpus read per
-    # request. The page is bounded by `until`, so collecting its doc_ids
-    # (one tiny job over the persisted match set) and pushing an In()
-    # predicate into the scan is safe and turns the snippet read into a
-    # few row-group fetches (parquet min/max skipping + AQE broadcast).
-    page_ids = [r["doc_id"] for r in page.select("doc_id").collect()]
-    docs_page = documents.filter(F.col("doc_id").isin(page_ids))
+    # request. The page is bounded by `until`, so it is collected ONCE
+    # (TakeOrderedAndProject over the persisted match set — each shard
+    # keeps its local top-`until`, the driver k-merges) and re-planted as
+    # a local frame; its doc_ids push an In() predicate into the scan, so
+    # the snippet read is a few row-group fetches (parquet min/max
+    # skipping) and the final job re-sorts nothing.
+    spark = m.sparkSession
+    page_rows = [
+        (int(r["doc_id"]), i + 1, int(r["n_matches"]), r["match_starts"])
+        for i, r in enumerate(
+            m.select("doc_id", "n_matches", "match_starts")
+            .orderBy("doc_id").limit(until).collect()
+        )
+        if i + 1 > skip
+    ]
+    page = spark.createDataFrame(
+        page_rows, "doc_id long, rank long, n_matches long, match_starts string"
+    )
+    docs_page = documents.filter(
+        F.col("doc_id").isin([d for d, _, _, _ in page_rows])
+    )
     snips = snippets(docs_page, page, match_len=len(slots), width=width)
     return (
         snips.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")
