@@ -33,6 +33,8 @@ def __getattr__(name):
         "bm25_topk_expression": ("fastmorph_spark.search.bm25", "bm25_topk_expression"),
         "slot_search": ("fastmorph_spark.search.engine", "slot_search"),
         "search_request": ("fastmorph_spark.search.engine", "search_request"),
+        "delete_docs": ("fastmorph_spark.index.tombstones", "delete_docs"),
+        "purge_tombstones": ("fastmorph_spark.index.tombstones", "purge_tombstones"),
     }
     if name in lazy:
         import importlib
@@ -46,6 +48,6 @@ __all__ = [
     "BM25_K1", "BM25_B", "TOKEN_PATTERN",
     "build_index_frames", "write_index", "read_index", "compact_postings",
     "build_index_resumable", "search_wand", "bm25_topk_expression",
-    "slot_search", "search_request",
+    "slot_search", "search_request", "delete_docs", "purge_tombstones",
 ]
 __version__ = "0.2.0"

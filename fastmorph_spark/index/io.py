@@ -50,7 +50,13 @@ class Index:
     # the index was built without case_sensitive=True.
     postings_cs: DataFrame | None = None
     dictionary_cs: DataFrame | None = None
+    # live tombstone set (doc_id rows) — docs deleted since the last
+    # purge. Query paths exclude them immediately; BM25 stats stay at
+    # pre-delete values until purge_tombstones (Lucene delete semantics,
+    # index/tombstones.py). None = no live deletes.
+    tombstones: DataFrame | None = None
     _stats_row: dict | None = None
+    _tomb_ids = None  # memoized numpy mirror (tombstones.tombstone_ids)
 
     def stats_row(self) -> dict:
         """(n_docs, avgdl) memoized — one driver round-trip per Index."""
@@ -257,6 +263,8 @@ def read_index(spark: SparkSession, path: str) -> Index:
             # anything else (corruption, permissions, transient IO) must
             # propagate loudly rather than silently degrade to cs=None
             postings_cs = dictionary_cs = None
+    from fastmorph_spark.index.tombstones import read_tombstones
+
     return Index(
         docs=spark.read.parquet(f"{path}/docs"),
         doc_lens=spark.read.parquet(f"{path}/doc_lens"),
@@ -265,6 +273,7 @@ def read_index(spark: SparkSession, path: str) -> Index:
         postings=spark.read.parquet(f"{path}/postings"),
         postings_cs=postings_cs,
         dictionary_cs=dictionary_cs,
+        tombstones=read_tombstones(spark, path),
     )
 
 

@@ -328,6 +328,33 @@ def q_slot_case_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
                               CASE_SLOTS, CASE_DISTS)
 
 
+# deterministic tombstone set for the delete-path driver query: every
+# doc with doc_id % DELETE_MOD == DELETE_REM is deleted (mirrors exactly
+# in the DuckDB oracle as a modulo predicate). mod 7 rem 0 intersects
+# the phrase's match set at BOTH verification scales (6 deleted hits at
+# sf0.01, 10 at sf0.001) so the exclusion is actually exercised, never
+# vacuous.
+DELETE_MOD, DELETE_REM = 7, 0
+
+
+def q_phrase_deleted_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes on the packed path (index/tombstones.py —
+    Lucene's delete model over the block layout): docs with
+    doc_id % 7 == 0 are tombstoned and phrase matches must exclude them
+    IMMEDIATELY, before any purge. Position semantics need no stats
+    correction, so the corpus oracle (phrase matches minus the modulo
+    set) is exact."""
+    import dataclasses
+
+    from fastmorph_spark.search.packed import packed_phrase_search
+
+    idx = _packed_index(spark, sf_dir)
+    tomb = read_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") % DELETE_MOD == F.lit(DELETE_REM))
+    return packed_phrase_search(dataclasses.replace(idx, tombstones=tomb),
+                                PHRASE_QUERY)
+
+
 def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result assembly (SURVEY.md §3.1): per-occurrence token-window
     snippets with highlight offsets and running totals for the phrase
@@ -884,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_case_packed": q_slot_case_packed,
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
+        "phrase_deleted_packed": q_phrase_deleted_packed,
         # --- (b) missed r03's 50-key cap (all r02-green): re-earn now
         "dedup_groups": q_dedup_groups,
         "phrase_highlight": q_phrase_highlight,
@@ -976,6 +1004,10 @@ def oracle_sqls() -> dict[str, str]:
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
         ),
         "phrase_search_packed": oracles.phrase_search_sql(PHRASE_QUERY),
+        "phrase_deleted_packed": (
+            f"SELECT doc_id FROM ({oracles.phrase_search_sql(PHRASE_QUERY)}) t "
+            f"WHERE doc_id % {DELETE_MOD} <> {DELETE_REM} ORDER BY doc_id"
+        ),
         "slot3_search_packed": oracles.slot_search_sql(SLOT3_SLOTS, SLOT3_DISTS),
         "slot_wildcard_packed": oracles.slot_search_sql(SLOTW_SLOTS, SLOTW_DISTS),
         "or_search": oracles.or_search_sql(FLAGSHIP_QUERY),

@@ -169,6 +169,20 @@ def pruned_blocks(index: Index, terms: list[str],
     return blocks
 
 
+def _live(decoded: DataFrame, index: Index) -> DataFrame:
+    """Drop tombstoned docs from decoded logical postings (broadcast
+    anti-join against the live delete set — bounded by purge cadence,
+    index/tombstones.py). Identity when the index has no live deletes.
+    Position/slot/phrase semantics need no stats correction (unlike BM25,
+    which documents stale stats until purge)."""
+    t = getattr(index, "tombstones", None)
+    if t is None:
+        return decoded
+    return decoded.join(
+        F.broadcast(t.select("doc_id").distinct()), "doc_id", "left_anti"
+    )
+
+
 def _decode_blocks(blocks: DataFrame, spark) -> DataFrame:
     """Varbyte decode of a (pruned) packed block scan into logical
     `(term, doc_id, tf, positions)` rows — the shared Arrow kernel behind
@@ -214,7 +228,7 @@ def decoded_postings(index: Index, terms: list[str],
     blocks = pruned_blocks(index, terms, groups, prune_min_postings)
     if blocks is None:
         return _empty(spark)
-    return _decode_blocks(blocks, spark)
+    return _live(_decode_blocks(blocks, spark), index)
 
 
 def _slot_pred(s: dict):
@@ -259,7 +273,7 @@ def decoded_postings_pred(index: Index, preds: list) -> DataFrame:
             .agg(F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi"))
         )
         blocks = _doc_range_prune(blocks, per, len(preds))
-    return _decode_blocks(blocks, spark)
+    return _live(_decode_blocks(blocks, spark), index)
 
 
 def _require_cs(index: Index) -> None:
@@ -381,8 +395,8 @@ def _grouped_decode_two(index: Index, groups: list[list[str]],
         bf = _apply_keep(bf, keep) if bf is not None else None
         bc = _apply_keep(bc, keep) if bc is not None else None
     return (
-        _decode_blocks(bf, spark) if bf is not None else _empty(spark),
-        _decode_blocks(bc, spark) if bc is not None else _empty(spark),
+        _live(_decode_blocks(bf, spark), index) if bf is not None else _empty(spark),
+        _live(_decode_blocks(bc, spark), index) if bc is not None else _empty(spark),
     )
 
 
@@ -419,8 +433,8 @@ def _pred_decode_two(index: Index, slots: list[dict]) -> tuple[DataFrame, DataFr
         keep = _envelope_keep(reduce(DataFrame.unionByName, pers), len(slots))
         scans = {cs: (_apply_keep(b, keep), pl) for cs, (b, pl) in scans.items()}
     return (
-        _decode_blocks(scans[False][0], spark) if False in scans else _empty(spark),
-        _decode_blocks(scans[True][0], spark) if True in scans else _empty(spark),
+        _live(_decode_blocks(scans[False][0], spark), index) if False in scans else _empty(spark),
+        _live(_decode_blocks(scans[True][0], spark), index) if True in scans else _empty(spark),
     )
 
 

@@ -65,8 +65,15 @@ def _topk_merge(cand_docs: np.ndarray, cand_scores: np.ndarray, k: int,
 
 def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
                       n_docs: float, avgdl: float, k: int, prune: bool = True,
-                      impact_slack: float = 1.0):
+                      impact_slack: float = 1.0,
+                      exclude: "np.ndarray | None" = None):
     """term_meta: term -> (idf, max_score). Returns the applyInPandas fn.
+
+    ``exclude``: sorted int64 doc_ids to mask at block-decode time — the
+    live tombstone set (index/tombstones.py). Deleted docs never reach
+    scoring or the top-k heap; block upper bounds only get looser, so
+    WAND pruning stays exact. Stats (n_docs/avgdl/idf) are the
+    PRE-DELETE values until purge — Lucene delete semantics.
 
     ``impact_slack`` >= 1 loosens the block upper bounds by that factor:
     stored block_max_impact values were computed with the PACK-time avgdl,
@@ -139,6 +146,9 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
                         vb_decode(tfs_col[b]), vb_decode(dls_col[b]),
                         term_meta[terms[ti]][0], avgdl,
                     )
+                    if exclude is not None:
+                        keep = ~np.isin(d, exclude)
+                        d, sc = d[keep], sc[keep]
                     decoded[b] = (d, sc)
                 d, sc = decoded[b]
                 a, z = np.searchsorted(d, lo), np.searchsorted(d, hi)
@@ -225,8 +235,11 @@ def search_wand(
     ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_impact",
              "doc_gaps", "tfs", "dls")
 
+    from fastmorph_spark.index.tombstones import tombstone_ids
+
     kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune,
-                               impact_slack=impact_slack)
+                               impact_slack=impact_slack,
+                               exclude=tombstone_ids(index))
     local = blocks.groupBy("doc_shard").applyInPandas(
         lambda key, pdf: kernel(pdf), TOPK_SCHEMA
     )

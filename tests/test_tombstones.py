@@ -1,0 +1,166 @@
+"""Tombstone deletes (index/tombstones.py): immediate exclusion on every
+packed query path with pre-delete stats, then exact stats + physical
+removal at purge — the Lucene delete model over the block layout.
+
+Equivalences pinned here:
+- WAND after delete ≡ full ranking under ORIGINAL stats minus deleted,
+  re-cut to k (stale-stats semantics are part of the contract).
+- slot/phrase after delete ≡ brute-force matches minus deleted (no stats
+  involved — exact).
+- after purge: rank-identical to a FRESH build over the surviving corpus
+  (stats exact again), tombstones gone, only affected shards repacked.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fastmorph_spark.index.io import read_index, write_index
+from fastmorph_spark.index.tombstones import (
+    delete_docs,
+    purge_tombstones,
+    read_tombstones,
+)
+from fastmorph_spark.search.packed import packed_phrase_search, packed_slot_search
+from fastmorph_spark.search.wand import search_wand
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+from tests.oracle_bm25 import OracleIndex, load_documents
+
+SHARD = 100
+BLOCK = 16
+# deletes confined to shard 1 (doc_ids 100..199) so purge's
+# affected-shard accounting is observable
+DELETED = [101, 105, 150, 199]
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tomb") / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK)
+    delete_docs(spark, out, DELETED)
+    return out, read_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(load_documents(SF0001))
+
+
+def _stale_topk(oracle, q, k):
+    """Full ranking under ORIGINAL stats, deleted dropped, cut to k."""
+    full = oracle.topk(q, k=oracle.n_docs)
+    dead = set(DELETED)
+    return [(d, s) for d, s in full if d not in dead][:k]
+
+
+QUERIES = ["fast hash join", "dup", "the", "merge sort scan key order"]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_excludes_deleted_stale_stats(deleted_index, oracle, q):
+    _, idx = deleted_index
+    assert idx.tombstones is not None
+    got = search_wand(idx, q, k=10).collect()
+    assert not {r["doc_id"] for r in got} & set(DELETED)
+    exp = _stale_topk(oracle, q, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_phrase_and_slots_exclude_deleted(deleted_index, oracle):
+    _, idx = deleted_index
+    phrase = "hash join"
+    got = sorted(r["doc_id"] for r in packed_phrase_search(idx, phrase).collect())
+    exp = [d for d in oracle.phrase_docs(phrase) if d not in set(DELETED)]
+    assert got == sorted(exp)
+    # wildcard slot goes through the grouped decode path
+    rows = packed_slot_search(
+        idx, [{"pattern": "ha*"}, {"term": "join"}], [(1, 1)]
+    ).collect()
+    assert not {r["doc_id"] for r in rows} & set(DELETED)
+
+
+def test_delete_noops_and_read_shapes(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tomb_noop") / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK)
+    assert read_tombstones(spark, out) is None
+    assert delete_docs(spark, out, []) == {"n_requested": 0}
+    assert read_tombstones(spark, out) is None
+    # duplicate + never-indexed ids: read side dedups, purge intersects
+    delete_docs(spark, out, [5, 5, 10**9])
+    t = read_tombstones(spark, out)
+    assert sorted(r["doc_id"] for r in t.collect()) == [5, 10**9]
+    r = purge_tombstones(spark, out, doc_shard_size=SHARD, block_size=BLOCK)
+    assert r["n_deleted"] == 1  # only doc 5 was in the index
+    assert read_tombstones(spark, out) is None
+
+
+def test_purge_restores_exact_stats_and_ranks(spark, tmp_path_factory, oracle):
+    out = str(tmp_path_factory.mktemp("tomb_purge") / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK)
+    n_before = read_index(spark, out).n_docs
+    delete_docs(spark, out, DELETED)
+    res = purge_tombstones(spark, out, doc_shard_size=SHARD, block_size=BLOCK)
+    assert res["n_deleted"] == len(DELETED)
+    assert res["n_docs"] == n_before - len(DELETED)
+    # deletes were confined to one doc shard: most blocks pass through
+    assert res["blocks_kept"] > 0 and res["blocks_repacked"] > 0
+
+    idx = read_index(spark, out)
+    assert idx.tombstones is None
+    assert idx.n_docs == n_before - len(DELETED)
+    # rank-identical (scores included) to a FRESH build on the survivors
+    from pyspark.sql import functions as F
+
+    survivors = docs.filter(~F.col("doc_id").isin(DELETED))
+    fresh_out = str(tmp_path_factory.mktemp("tomb_fresh") / "idx")
+    write_index(spark, survivors, fresh_out, doc_shard_size=SHARD, block_size=BLOCK)
+    fresh = read_index(spark, fresh_out)
+    for q in QUERIES:
+        a = search_wand(idx, q, k=10).collect()
+        b = search_wand(fresh, q, k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == \
+               [(r["doc_id"], r["score"]) for r in b], q
+    # dictionary df no longer counts deleted docs
+    surviving_docs = {d: t for d, t in load_documents(SF0001).items()
+                      if d not in set(DELETED)}
+    o2 = OracleIndex(surviving_docs)
+    df_the = idx.dictionary.filter(F.col("term") == "the").collect()
+    assert df_the and df_the[0]["df"] == len(o2.postings["the"])
+    # re-deleting already-purged ids then purging again is a no-op
+    delete_docs(spark, out, DELETED)
+    res2 = purge_tombstones(spark, out, doc_shard_size=SHARD, block_size=BLOCK)
+    assert res2["n_deleted"] == 0
+    assert read_tombstones(spark, out) is None
+    got = [r["doc_id"] for r in search_wand(read_index(spark, out), "the", 10).collect()]
+    assert got == [r["doc_id"] for r in search_wand(fresh, "the", 10).collect()]
+
+
+def test_purge_preserves_cs_twin(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tomb_cs") / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK,
+                case_sensitive=True)
+    # a case-sensitive slot must honor deletes pre-purge...
+    delete_docs(spark, out, DELETED)
+    idx = read_index(spark, out)
+    assert idx.postings_cs is not None and idx.tombstones is not None
+    rows = packed_slot_search(idx, [{"term": "the", "case": True}], []).collect()
+    assert rows and not {r["doc_id"] for r in rows} & set(DELETED)
+    pre = sorted(r["doc_id"] for r in rows)
+    # ...and purge must rewrite BOTH twins consistently
+    purge_tombstones(spark, out, doc_shard_size=SHARD, block_size=BLOCK)
+    idx2 = read_index(spark, out)
+    assert idx2.postings_cs is not None and idx2.tombstones is None
+    post = sorted(
+        r["doc_id"] for r in
+        packed_slot_search(idx2, [{"term": "the", "case": True}], []).collect()
+    )
+    assert post == pre
