@@ -35,6 +35,8 @@ def __getattr__(name):
         "search_request": ("fastmorph_spark.search.engine", "search_request"),
         "delete_docs": ("fastmorph_spark.index.tombstones", "delete_docs"),
         "purge_tombstones": ("fastmorph_spark.index.tombstones", "purge_tombstones"),
+        "handle_request": ("fastmorph_spark.search.protocol", "handle_request"),
+        "parse_request": ("fastmorph_spark.search.protocol", "parse_request"),
     }
     if name in lazy:
         import importlib
@@ -49,5 +51,6 @@ __all__ = [
     "build_index_frames", "write_index", "read_index", "compact_postings",
     "build_index_resumable", "search_wand", "bm25_topk_expression",
     "slot_search", "search_request", "delete_docs", "purge_tombstones",
+    "handle_request", "parse_request",
 ]
 __version__ = "0.2.0"

@@ -1,0 +1,190 @@
+"""JSON request/response protocol — the reference's serving surface.
+
+fastmorph answers search requests as a JSON protocol: parse the slot
+spec (words/lemmas/tags/wildcards/case/distances/subcorpus/pagination),
+run the slot scan, serialize matched sentences + highlight positions +
+total counts [PK-high, SURVEY.md §3.1 entry points 2 and 3]. This module
+is that boundary re-expressed over the Spark engine: a validated request
+dict in, a JSON-serializable response dict out. Transport (socket, HTTP,
+queue) is the caller's business — the protocol layer is transport-free
+by design, which is also what makes it testable.
+
+Request shape (all engine capabilities reachable):
+
+    {
+      "slots": [
+        {"word": "fast"},                # exact token (folded)
+        {"word": "Fast", "case": true},  # case-SENSITIVE exact token
+        {"pattern": "h*sh"},             # wildcard (* and ?)
+        {"lemma": "running"},            # stem-folded match
+        {"tag": "number"},               # token-class slot (tags.py)
+      ],
+      "dists": [[1, 4], ...],            # len(slots)-1 [lo, hi] ranges
+      "skip": 0, "until": 20,            # pagination window (ranks)
+      "width": 2,                        # snippet context tokens
+      "lang": "en",                      # subcorpus filter (optional)
+    }
+
+Response shape (one entry per page doc, occurrences nested in corpus
+order — the sentences/highlights/totals surface):
+
+    {"total_docs": N, "total_matches": M, "skip": s, "until": u,
+     "results": [{"rank": r, "doc_id": d, "n_matches": m,
+                  "matches": [{"pos": p, "hl_offset": h,
+                               "snippet": "...", "running_total": t}]}]}
+
+The response collect is bounded by `until` — the protocol layer never
+materializes an unbounded result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# engine slot spec key -> protocol key (the engine uses "term"/"stem";
+# the protocol speaks the reference's vocabulary: word/lemma)
+_SLOT_KEYS = {"word": "term", "pattern": "pattern", "lemma": "stem", "tag": "tag"}
+_MAX_SLOTS = 8          # fastmorph patterns are "up to ~5 slots" [PK]
+_MAX_UNTIL = 10_000     # pagination window cap: the page is collected
+
+
+class RequestError(ValueError):
+    """Malformed search request; .message is safe to serialize back."""
+
+
+def parse_request(req: dict) -> dict:
+    """Validate + normalize a request dict into engine arguments.
+
+    Raises RequestError with a client-addressable message on any
+    malformed field — the serving boundary must reject bad input loudly,
+    not produce an empty (or wrong) result."""
+    if not isinstance(req, dict):
+        raise RequestError("request must be a JSON object")
+    unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang"}
+    if unknown:
+        raise RequestError(f"unknown request fields: {sorted(unknown)}")
+    raw_slots = req.get("slots")
+    if not isinstance(raw_slots, list) or not raw_slots:
+        raise RequestError("slots must be a non-empty list")
+    if len(raw_slots) > _MAX_SLOTS:
+        raise RequestError(f"at most {_MAX_SLOTS} slots supported")
+    slots = []
+    for i, s in enumerate(raw_slots):
+        if not isinstance(s, dict):
+            raise RequestError(f"slot {i} must be an object")
+        kinds = [k for k in _SLOT_KEYS if k in s]
+        if len(kinds) != 1:
+            raise RequestError(
+                f"slot {i} needs exactly one of {sorted(_SLOT_KEYS)}")
+        extra = set(s) - {kinds[0], "case"}
+        if extra:
+            raise RequestError(f"slot {i} has unknown fields: {sorted(extra)}")
+        kind = kinds[0]
+        if not isinstance(s[kind], str) or not s[kind]:
+            raise RequestError(f"slot {i}: {kind} must be a non-empty string")
+        out = {_SLOT_KEYS[kind]: s[kind]}
+        if s.get("case"):
+            if kind != "word":
+                raise RequestError(
+                    f"slot {i}: case flag applies to word slots only "
+                    f"({kind} slots are case-folded by definition)")
+            out["case"] = True
+        slots.append(out)
+    raw_dists = req.get("dists", [])
+    if not isinstance(raw_dists, list) or len(raw_dists) != len(slots) - 1:
+        raise RequestError(
+            f"dists must list {len(slots) - 1} [lo, hi] ranges "
+            f"(one between each slot pair)")
+    dists = []
+    for i, d in enumerate(raw_dists):
+        ok = (isinstance(d, (list, tuple)) and len(d) == 2
+              and all(isinstance(x, int) and not isinstance(x, bool) for x in d))
+        if not ok or d[0] < 1 or d[1] < d[0]:
+            raise RequestError(
+                f"dists[{i}] must be [lo, hi] with 1 <= lo <= hi")
+        dists.append((int(d[0]), int(d[1])))
+    skip = req.get("skip", 0)
+    until = req.get("until", 20)
+    width = req.get("width", 2)
+    for name, v in (("skip", skip), ("until", until), ("width", width)):
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise RequestError(f"{name} must be a non-negative integer")
+    if until > _MAX_UNTIL:
+        raise RequestError(f"until must be <= {_MAX_UNTIL} (page is collected)")
+    if skip >= until and until > 0:
+        raise RequestError("skip must be < until")
+    lang = req.get("lang")
+    if lang is not None and (not isinstance(lang, str) or not lang):
+        raise RequestError("lang must be a non-empty string")
+    return {"slots": slots, "dists": dists, "skip": skip, "until": until,
+            "width": width, "lang": lang}
+
+
+def _serialize(rows: list, skip: int, until: int) -> dict:
+    """search_request output rows (one per occurrence, doc/pos order) ->
+    the nested response dict."""
+    results: list[dict] = []
+    total_docs = total_matches = 0
+    for r in rows:
+        total_docs, total_matches = int(r["total_docs"]), int(r["total_matches"])
+        if not results or results[-1]["doc_id"] != int(r["doc_id"]):
+            results.append({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                            "n_matches": int(r["n_matches"]), "matches": []})
+        results[-1]["matches"].append({
+            "pos": int(r["pos"]), "hl_offset": int(r["hl_offset"]),
+            "snippet": r["snippet"], "running_total": int(r["running_total"]),
+        })
+    return {"total_docs": total_docs, "total_matches": total_matches,
+            "skip": skip, "until": until, "results": results}
+
+
+def handle_request(documents: DataFrame, index, req: dict | str,
+                   scope=None) -> dict:
+    """Entry point 2 [PK-high]: one serving request over the PACKED
+    index, end to end — parse/validate, packed slot scan + pagination +
+    snippets (packed_search_request), bounded collect, nested response.
+
+    ``index``: an Index (search/packed.py paths; per-lang routing uses a
+    dict lang -> Index from read_lang_indexes when the request carries
+    "lang"). Errors come back as {"error": msg} rather than raising —
+    the serving boundary answers every request. An empty match set is a
+    well-formed response with total_docs == 0, NOT an error."""
+    import json as _json
+
+    from fastmorph_spark.search.packed import packed_search_request
+
+    if isinstance(req, str):
+        try:
+            req = _json.loads(req)
+        except _json.JSONDecodeError as e:
+            return {"error": f"request is not valid JSON: {e.msg}"}
+    try:
+        p = parse_request(req)
+    except RequestError as e:
+        return {"error": str(e)}
+    if isinstance(index, dict):  # per-lang index map (subcorpus routing)
+        if p["lang"] is None:
+            return {"error": "this serving index requires a lang field"}
+        if p["lang"] not in index:
+            return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
+                    "until": p["until"], "results": []}
+        index = index[p["lang"]]
+        from pyspark.sql import functions as F
+
+        documents = documents.filter(F.col("lang") == p["lang"])
+    try:
+        rows = packed_search_request(
+            documents, index, p["slots"], p["dists"],
+            skip=p["skip"], until=p["until"], width=p["width"], scope=scope,
+        ).collect()
+    except ValueError as e:
+        # engine-level contract violations surface as client errors
+        # (e.g. a case-sensitive slot against an index with no cs twin)
+        return {"error": str(e)}
+    return _serialize(rows, p["skip"], p["until"])
+
+
+def to_json(response: dict) -> str:
+    import json as _json
+
+    return _json.dumps(response, ensure_ascii=False, sort_keys=True)

@@ -1,0 +1,140 @@
+"""JSON protocol layer (search/protocol.py) — the reference's serving
+boundary [PK-high, SURVEY.md §3.1 entry point 2]: request validation,
+engine dispatch, nested sentences/highlights/totals serialization."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fastmorph_spark.index.io import build_index_frames
+from fastmorph_spark.search.engine import search_request
+from fastmorph_spark.search.protocol import (
+    RequestError,
+    handle_request,
+    parse_request,
+    to_json,
+)
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+
+REQ = {"slots": [{"word": "fast"}, {"pattern": "h*"}],
+       "dists": [[1, 4]], "skip": 2, "until": 12}
+
+
+# ---------------- validation
+
+@pytest.mark.parametrize("bad,msg", [
+    ("nope", "JSON object"),
+    ({}, "non-empty list"),
+    ({"slots": [], "dists": []}, "non-empty list"),
+    ({"slots": [{"word": "a"}], "dists": [], "foo": 1}, "unknown request fields"),
+    ({"slots": [{"word": "a", "pattern": "b"}], "dists": []}, "exactly one"),
+    ({"slots": [{"wurd": "a"}], "dists": []}, "exactly one"),
+    ({"slots": [{"word": "a", "flags": 1}], "dists": []}, "unknown fields"),
+    ({"slots": [{"word": ""}], "dists": []}, "non-empty string"),
+    ({"slots": [{"lemma": "run", "case": True}], "dists": []}, "word slots only"),
+    ({"slots": [{"word": "a"}, {"word": "b"}], "dists": []}, "1 [lo, hi]"),
+    ({"slots": [{"word": "a"}, {"word": "b"}], "dists": [[0, 3]]}, "1 <= lo <= hi"),
+    ({"slots": [{"word": "a"}, {"word": "b"}], "dists": [[4, 2]]}, "1 <= lo <= hi"),
+    ({"slots": [{"word": "a"}, {"word": "b"}], "dists": [[True, 2]]}, "1 <= lo <= hi"),
+    ({"slots": [{"word": "a"}], "dists": [], "skip": -1}, "non-negative"),
+    ({"slots": [{"word": "a"}], "dists": [], "until": 10**7}, "<="),
+    ({"slots": [{"word": "a"}], "dists": [], "skip": 20, "until": 20}, "skip must be <"),
+    ({"slots": [{"word": "a"}], "dists": [], "lang": ""}, "lang"),
+])
+def test_parse_rejects(bad, msg):
+    with pytest.raises(RequestError, match=None):
+        try:
+            parse_request(bad)
+        except RequestError as e:
+            assert msg in str(e)
+            raise
+
+
+def test_parse_normalizes_to_engine_vocabulary():
+    p = parse_request({
+        "slots": [{"word": "Fast", "case": True}, {"lemma": "running"},
+                  {"tag": "number"}, {"pattern": "h?sh"}],
+        "dists": [[1, 1], [1, 2], [2, 5]], "lang": "en",
+    })
+    assert p["slots"] == [{"term": "Fast", "case": True}, {"stem": "running"},
+                         {"tag": "number"}, {"pattern": "h?sh"}]
+    assert p["dists"] == [(1, 1), (1, 2), (2, 5)]
+    assert (p["skip"], p["until"], p["width"], p["lang"]) == (0, 20, 2, "en")
+
+
+# ---------------- end-to-end over the packed index
+
+@pytest.fixture(scope="module")
+def serving(spark):
+    docs = read_documents(spark, SF0001)
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16)
+    idx.postings = idx.postings.persist()
+    idx.dictionary = idx.dictionary.persist()
+    yield docs, idx
+    idx.postings.unpersist()
+    idx.dictionary.unpersist()
+
+
+def test_response_matches_engine_rows(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, REQ)
+    assert "error" not in resp
+    # flat engine rows (corpus path — the oracle-shared twin)
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+
+    postings = build_postings(docs)
+    rows = search_request(docs, postings, build_dictionary(postings),
+                          [{"term": "fast"}, {"pattern": "h*"}], [(1, 4)],
+                          skip=2, until=12).collect()
+    assert resp["total_docs"] == rows[0]["total_docs"]
+    assert resp["total_matches"] == rows[0]["total_matches"]
+    flat = [(m["pos"], m["hl_offset"], m["snippet"], m["running_total"], r["doc_id"], r["rank"])
+            for r in resp["results"] for m in r["matches"]]
+    want = [(r["pos"], r["hl_offset"], r["snippet"], r["running_total"], r["doc_id"], r["rank"])
+            for r in rows]
+    assert flat == want
+    # ranks are the page window (skip 2, until 12), docs in corpus order
+    ranks = [r["rank"] for r in resp["results"]]
+    assert ranks == sorted(ranks) and ranks[0] == 3
+    assert all(r["n_matches"] == len(r["matches"]) for r in resp["results"])
+    json.loads(to_json(resp))  # serializable
+
+
+def test_request_as_json_string_and_bad_json(spark, serving):
+    docs, idx = serving
+    assert handle_request(docs, idx, json.dumps(REQ)) == handle_request(docs, idx, REQ)
+    assert "error" in handle_request(docs, idx, "{not json")
+
+
+def test_no_matches_is_wellformed_and_cs_without_twin_errors(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"slots": [{"word": "zzzzzzzz"}], "dists": []})
+    assert resp == {"total_docs": 0, "total_matches": 0, "skip": 0,
+                    "until": 20, "results": []}
+    resp = handle_request(docs, idx,
+                          {"slots": [{"word": "Fast", "case": True}], "dists": []})
+    assert "case-preserving twin" in resp.get("error", "")
+
+
+def test_lang_routing(spark, serving):
+    docs, _ = serving
+    from pyspark.sql import functions as F
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    lang = sorted(langs)[0]
+    sub = docs.filter(F.col("lang") == lang)
+    lidx = build_index_frames(sub, doc_shard_size=100, block_size=16)
+    req = {"slots": [{"word": "the"}], "dists": [], "lang": lang, "until": 5}
+    resp = handle_request(docs, {lang: lidx}, req)
+    assert "error" not in resp and resp["results"]
+    got_docs = {r["doc_id"] for r in resp["results"]}
+    sub_ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    assert got_docs <= sub_ids
+    # unknown lang -> empty result, not an error; missing lang -> error
+    assert handle_request(docs, {lang: lidx},
+                          {**req, "lang": "xx"})["results"] == []
+    assert "error" in handle_request(docs, {lang: lidx},
+                                     {"slots": [{"word": "the"}], "dists": []})
