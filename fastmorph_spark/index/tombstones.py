@@ -160,7 +160,10 @@ def purge_tombstones(
     Pass the SAME doc_shard_size/block_size the index was built with
     (like finalize_from_logical). Decode work touches only blocks whose
     doc_shard contains a tombstoned doc; all other block rows pass
-    through unchanged. The rewrite uses compact_postings' swap protocol
+    through unchanged. On a STREAMED index the logical batch log and the
+    finalize-state counters are rewritten consistently too (the log
+    rewrite is full-scan I/O — like any purge/merge, schedule it at
+    compaction cadence). The rewrite uses compact_postings' swap protocol
     (tmp write -> validate -> journaled rename swap), so it shares its
     driver-local-filesystem requirement; clearing tombstones/ is the
     LAST step, making a crashed purge re-runnable end-to-end (re-purging
@@ -289,6 +292,38 @@ def purge_tombstones(
                     spark.read.parquet(f"{index_path}/postings_cs"), stats_out),
                 "dictionary_cs",
             )
+        # STREAMED indexes (streaming/incremental.py) keep a logical
+        # batch log + running counters that the packed layout is derived
+        # from — both must agree with the purge or deleted docs come
+        # back: a later drift-triggered FULL repack re-reads the log
+        # (resurrection), and the next incremental append would add
+        # n_new to a pre-purge n_docs/sum_dl (wrong stats, not just
+        # stale ones). Rewrite the log minus tombstones and patch the
+        # state counters to the post-purge registry.
+        for subdir in ("postings_logical_stream", "postings_logical_stream_cs",
+                       "docs_stream"):
+            if os.path.isdir(_strip_file_scheme(f"{index_path}/{subdir}")):
+                _swap_write(
+                    spark.read.parquet(f"{index_path}/{subdir}")
+                    .join(F.broadcast(tomb), "doc_id", "left_anti"),
+                    subdir,
+                )
+        from fastmorph_spark.streaming.incremental import (
+            _read_finalize_state,
+            _write_finalize_state,
+        )
+
+        state = _read_finalize_state(index_path)
+        if state is not None:
+            reg = spark.read.parquet(f"{index_path}/doc_lens").agg(
+                F.count("*").alias("n"), F.sum("dl").alias("s"),
+            ).collect()[0]
+            _write_finalize_state(index_path, {
+                **state,
+                "n_docs": int(reg["n"]),
+                "sum_dl": int(reg["s"] or 0),
+                "min_pack_avgdl": float(min_pack),
+            })
         n_docs = spark.read.parquet(f"{index_path}/stats").collect()[0]["n_docs"]
     finally:
         tomb.unpersist()

@@ -164,3 +164,45 @@ def test_purge_preserves_cs_twin(spark, tmp_path_factory):
         packed_slot_search(idx2, [{"term": "the", "case": True}], []).collect()
     )
     assert post == pre
+
+
+def test_purge_keeps_streamed_index_consistent(spark, tmp_path_factory):
+    """Streamed-index interplay: purge must rewrite the logical batch log
+    and patch the finalize-state counters, or (a) a later FULL repack
+    resurrects deleted docs from the log and (b) the next incremental
+    append adds its counters to pre-purge n_docs/sum_dl (wrong avgdl)."""
+    from fastmorph_spark.streaming import finalize_from_logical, stream_ingest
+    from fastmorph_spark.streaming.incremental import _read_finalize_state
+    from tests.test_incremental_finalize import _drain, _mkdocs, _rows
+
+    base = tmp_path_factory.mktemp("tomb_stream")
+    src, out, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(0, 200), 8)))
+    finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+
+    dead = [10, 55, 110]
+    delete_docs(spark, out, dead)
+    purge_tombstones(spark, out, doc_shard_size=100, block_size=16)
+    st = _read_finalize_state(out)
+    assert st["n_docs"] == 197
+    log_ids = {r["doc_id"] for r in spark.read.parquet(
+        f"{out}/postings_logical_stream").select("doc_id").distinct().collect()}
+    assert not log_ids & set(dead)
+
+    # next drain takes the APPEND path with exact post-purge counters...
+    _drain(spark, src, out, ckpt, _mkdocs(spark, _rows(range(200, 260), 8)))
+    r = finalize_from_logical(spark, out, doc_shard_size=100, block_size=16)
+    assert r["mode"] == "append"
+    idx = read_index(spark, out)
+    assert idx.n_docs == 257 and idx.tombstones is None
+    # ...and a forced FULL repack does NOT resurrect deleted docs
+    r2 = finalize_from_logical(spark, out, doc_shard_size=100,
+                               block_size=16, incremental=False)
+    assert r2["mode"] == "repack"
+    idx2 = read_index(spark, out)
+    assert idx2.n_docs == 257
+    alive = {d: t for d, t, _ in _rows(range(0, 200), 8) + _rows(range(200, 260), 8)
+             if d not in set(dead)}
+    oracle = OracleIndex(alive)
+    got = [r["doc_id"] for r in search_wand(idx2, "fast hash join", k=10).collect()]
+    assert got == [d for d, _ in oracle.topk("fast hash join", 10)]
