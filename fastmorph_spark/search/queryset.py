@@ -104,6 +104,20 @@ def run_query(
         from fastmorph_spark.search.packed import packed_and_search
 
         return packed_and_search(index, q)
+    if mode == "phrase_deleted_packed":
+        # tombstoned index (index/tombstones.py): docs with
+        # doc_id % delete_mod == delete_rem are deleted; phrase matches
+        # must exclude them immediately, pre-purge
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from fastmorph_spark.search.packed import packed_phrase_search
+
+        tomb = documents.select("doc_id").filter(
+            F.col("doc_id") % spec["delete_mod"] == F.lit(spec["delete_rem"]))
+        return packed_phrase_search(
+            dataclasses.replace(index, tombstones=tomb), q)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -146,6 +160,9 @@ def run_query_oracle(spec: dict, oracle) -> list:
         )
     if mode == "and_packed":
         return oracle.and_docs(q)
+    if mode == "phrase_deleted_packed":
+        m, r = spec["delete_mod"], spec["delete_rem"]
+        return [d for d in oracle.phrase_docs(q) if d % m != r]
     raise ValueError(f"unknown mode {mode!r}")
 
 
