@@ -57,9 +57,29 @@ def parse_request(req: dict) -> dict:
 
     Raises RequestError with a client-addressable message on any
     malformed field — the serving boundary must reject bad input loudly,
-    not produce an empty (or wrong) result."""
+    not produce an empty (or wrong) result.
+
+    Two request forms: a slot-pattern request ({"slots": ...}) and a
+    ranked request ({"bm25": "query text", "k": 10}) — the contract's
+    BM25 top-k surface behind the same boundary."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
+    if "bm25" in req:
+        if "slots" in req:
+            raise RequestError("request must be slot-pattern OR bm25, not both")
+        unknown = set(req) - {"bm25", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        q = req["bm25"]
+        if not isinstance(q, str) or not q.strip():
+            raise RequestError("bm25 must be a non-empty query string")
+        k = req.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"bm25": q, "k": k, "lang": lang}
     unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang"}
     if unknown:
         raise RequestError(f"unknown request fields: {sorted(unknown)}")
@@ -166,12 +186,21 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         if p["lang"] is None:
             return {"error": "this serving index requires a lang field"}
         if p["lang"] not in index:
+            if "bm25" in p:
+                return {"query": p["bm25"], "k": p["k"], "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "bm25" in p:
+        from fastmorph_spark.search.wand import search_wand
+
+        rows = search_wand(index, p["bm25"], k=p["k"]).collect()
+        return {"query": p["bm25"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                             "score": float(r["score"])} for r in rows]}
     try:
         rows = packed_search_request(
             documents, index, p["slots"], p["dists"],

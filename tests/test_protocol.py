@@ -138,3 +138,48 @@ def test_lang_routing(spark, serving):
                           {**req, "lang": "xx"})["results"] == []
     assert "error" in handle_request(docs, {lang: lidx},
                                      {"slots": [{"word": "the"}], "dists": []})
+
+
+# ---------------- ranked (bm25) request form
+
+def test_bm25_request_matches_search_wand(spark, serving):
+    from fastmorph_spark.search.wand import search_wand
+
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"bm25": "fast hash join", "k": 5})
+    assert "error" not in resp and len(resp["results"]) == 5
+    want = [(r["rank"], r["doc_id"], r["score"])
+            for r in search_wand(idx, "fast hash join", k=5).collect()]
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in resp["results"]] == want
+    json.loads(to_json(resp))
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ({"bm25": "x", "slots": []}, "not both"),
+    ({"bm25": ""}, "non-empty query"),
+    ({"bm25": "x", "k": 0}, "k must be"),
+    ({"bm25": "x", "k": True}, "k must be"),
+    ({"bm25": "x", "until": 5}, "unknown request fields"),
+])
+def test_bm25_request_validation(bad, msg):
+    with pytest.raises(RequestError):
+        try:
+            parse_request(bad)
+        except RequestError as e:
+            assert msg in str(e)
+            raise
+
+
+def test_bm25_lang_routing(spark, serving):
+    docs, idx = serving
+    from pyspark.sql import functions as F
+
+    lang = sorted(r["lang"] for r in docs.select("lang").distinct().collect())[0]
+    sub = docs.filter(F.col("lang") == lang)
+    lidx = build_index_frames(sub, doc_shard_size=100, block_size=16)
+    resp = handle_request(docs, {lang: lidx}, {"bm25": "the", "k": 3, "lang": lang})
+    assert "error" not in resp and resp["results"]
+    sub_ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    assert {r["doc_id"] for r in resp["results"]} <= sub_ids
+    assert handle_request(docs, {lang: lidx},
+                          {"bm25": "the", "lang": "xx"})["results"] == []
