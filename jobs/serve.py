@@ -1,0 +1,75 @@
+"""spark-submit entry point: answer protocol requests over a built index.
+
+The batch analog of the reference's socket serving loop [PK-high,
+SURVEY.md §3.1 entry point 2]: read newline-delimited JSON requests,
+answer each through the protocol layer (search/protocol.py) over an
+at-rest packed index (tombstones honored automatically via read_index),
+write newline-delimited JSON responses in request order.
+
+  spark-submit --master local[8] --py-files dist/fts.zip jobs/serve.py \
+      --index /tmp/idx --docs docs:/root/testdata/sf0.001 \
+      --requests reqs.jsonl --out resp.jsonl
+
+--docs accepts docs:<sf_dir> (driver fixture) or a corpus path/table
+(read_corpus). --lang-indexes <path> serves a write_lang_indexes tree
+instead of one index (requests then carry "lang"). Every input line gets
+exactly one output line — malformed requests produce {"error": ...}
+responses, never a crashed server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", help="at-rest index path (read_index)")
+    ap.add_argument("--lang-indexes", help="write_lang_indexes tree (per-lang routing)")
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--requests", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    if bool(args.index) == bool(args.lang_indexes):
+        ap.error("exactly one of --index / --lang-indexes")
+
+    from pyspark.sql import SparkSession
+
+    from fastmorph_spark.index.io import read_index, read_lang_indexes
+    from fastmorph_spark.search.protocol import handle_request, to_json
+    from fastmorph_spark.sources import read_corpus, read_documents
+
+    spark = SparkSession.builder.appName("fastmorph-serve").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.docs.startswith("docs:"):
+        documents = read_documents(spark, args.docs.split(":", 1)[1])
+    else:
+        documents = read_corpus(spark, args.docs)
+    if args.index:
+        index = read_index(spark, args.index)
+        index.postings = index.postings.persist()
+        index.dictionary = index.dictionary.persist()
+    else:
+        index = read_lang_indexes(spark, args.lang_indexes)
+        for idx in index.values():
+            idx.postings = idx.postings.persist()
+            idx.dictionary = idx.dictionary.persist()
+
+    n = 0
+    with open(args.requests) as fin, open(args.out, "w") as fout:
+        for line in fin:
+            line = line.strip()
+            if not line:
+                continue
+            fout.write(to_json(handle_request(documents, index, line)) + "\n")
+            n += 1
+    print(json.dumps({"requests_answered": n, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
