@@ -28,14 +28,16 @@ sh AS (
 )"""
 
 
-def exact_duplicates_sql() -> str:
+def exact_duplicates_sql(src: str = "documents") -> str:
     """Mirror of ops.dedup.exact_duplicates: one bounded row per group
-    (group_rep = min doc_id), no per-group arrays."""
-    return """
+    (group_rep = min doc_id), no per-group arrays. ``src`` lets the
+    registry substitute a derived corpus (e.g. the deterministic
+    dup-augmented one) so the check is non-vacuous at the driver's sf."""
+    return f"""
 SELECT sha256(text) AS content_sha256,
        count(*)::BIGINT AS dup_count,
        min(doc_id)::BIGINT AS group_rep
-FROM documents
+FROM {src} AS documents
 GROUP BY sha256(text)
 HAVING count(*) > 1
 """
@@ -130,16 +132,16 @@ SELECT doc_id, array_to_string(hs[1:{keep}], '|') AS fingerprint FROM h
 """
 
 
-def exact_duplicate_members_sql() -> str:
+def exact_duplicate_members_sql(src: str = "documents") -> str:
     """Mirror of ops.dedup.exact_duplicate_members: groups (bounded rows)
     hash-joined back to the corpus for exploded membership."""
-    return """
+    return f"""
 WITH g AS (
   SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS group_rep
-  FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+  FROM {src} AS documents GROUP BY sha256(text) HAVING count(*) > 1
 )
 SELECT d.doc_id::BIGINT AS doc_id, g.content_sha256, g.group_rep
-FROM documents d JOIN g ON sha256(d.text) = g.content_sha256
+FROM {src} AS d JOIN g ON sha256(d.text) = g.content_sha256
 """
 
 

@@ -496,10 +496,31 @@ def query_vec() -> list[float]:
     return _QUERY_VEC
 
 
+# exact-dedup augmentation: the driver fixture has ZERO byte-identical
+# docs at sf0.01 (its correctness scale), so the raw query was green but
+# VACUOUS every round. Both engines union in a re-keyed copy of every
+# AUG_MOD-th doc (same text, doc_id + AUG_OFFSET) — 50 real dup groups at
+# sf0.01, group_rep always the original (min doc_id), exercising the
+# hash-groupBy and the members join for real.
+DEDUP_AUG_MOD, DEDUP_AUG_OFFSET = 10, 1_000_000_000
+DEDUP_AUG_SRC = (
+    f"(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {DEDUP_AUG_OFFSET}, text FROM documents "
+    f"WHERE doc_id % {DEDUP_AUG_MOD} = 0)"
+)
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    twin = docs.filter(F.col("doc_id") % DEDUP_AUG_MOD == 0) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(DEDUP_AUG_OFFSET))
+    return docs.unionByName(twin)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import exact_duplicates
 
-    return exact_duplicates(read_documents(spark, sf_dir)) \
+    return exact_duplicates(_augmented_docs(spark, sf_dir)) \
         .select("content_sha256", "dup_count", "group_rep")
 
 
@@ -509,7 +530,7 @@ def q_dedup_exact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the corpus — never a per-group array."""
     from fastmorph_spark.ops.dedup import exact_duplicate_members
 
-    return exact_duplicate_members(read_documents(spark, sf_dir)) \
+    return exact_duplicate_members(_augmented_docs(spark, sf_dir)) \
         .select("doc_id", "content_sha256", "group_rep")
 
 
@@ -1030,8 +1051,8 @@ def oracle_sqls() -> dict[str, str]:
         "wildcard_terms": oracles.wildcard_terms_sql(WILDCARD_PATTERN),
         "wildcard_docs": oracles.wildcard_docs_sql(WILDCARD_PATTERN),
         "pagination": oracles.pagination_sql(FLAGSHIP_QUERY, PAGE_SKIP, PAGE_UNTIL),
-        "dedup_exact": oracles_ops.exact_duplicates_sql(),
-        "dedup_exact_members": oracles_ops.exact_duplicate_members_sql(),
+        "dedup_exact": oracles_ops.exact_duplicates_sql(src=DEDUP_AUG_SRC),
+        "dedup_exact_members": oracles_ops.exact_duplicate_members_sql(src=DEDUP_AUG_SRC),
         "dedup_ngram_jaccard": oracles_ops.ngram_jaccard_pairs_sql(3, 0.5),
         "dedup_minhash_lsh": oracles_ops.minhash_lsh_pairs_sql(3, 16, 4, 0.5),
         "dedup_groups": oracles_ops.dup_groups_sql(3, 16, 4, 0.5),
