@@ -1,0 +1,87 @@
+"""jobs/serve.py end-to-end: the spark-submit serving transport over the
+request protocol [PK-high, SURVEY.md §3.1 entry point 2]. Builds a tiny
+at-rest index, runs the job as a real subprocess (its own JVM — exactly
+the deployment shape), and pins: one response line per request line, the
+slot response equal to the in-process handle_request answer, the bm25
+form served, and malformed/invalid requests answered with {"error": ...}
+lines instead of a crashed server."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from fastmorph_spark.index.io import read_index, write_index
+from fastmorph_spark.search.protocol import handle_request
+from fastmorph_spark.sources import read_documents
+from tests.conftest import SF0001
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REQUESTS = [
+    {"slots": [{"word": "fast"}, {"pattern": "h*"}], "dists": [[1, 4]],
+     "skip": 0, "until": 5, "width": 2},
+    {"bm25": "fast hash join", "k": 5},
+    "this line is not json",
+    {"slots": [{"word": "fast", "case": True}], "dists": [], "until": 3},
+    {"frobnicate": 1},
+]
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_cli")
+    idx_path = str(tmp / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, idx_path, doc_shard_size=200, block_size=64)
+    req_path, out_path = str(tmp / "reqs.jsonl"), str(tmp / "resp.jsonl")
+    with open(req_path, "w") as f:
+        for r in REQUESTS:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+        f.write("\n")  # blank lines are skipped, not answered
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "serve.py"),
+         "--index", idx_path, "--docs", f"docs:{SF0001}",
+         "--requests", req_path, "--out", out_path],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    with open(out_path) as f:
+        responses = [json.loads(line) for line in f]
+    return idx_path, summary, responses
+
+
+def test_one_response_per_request(served):
+    _, summary, responses = served
+    assert summary["requests_answered"] == len(REQUESTS)
+    assert len(responses) == len(REQUESTS)
+
+
+def test_slot_response_matches_in_process(spark, served):
+    idx_path, _, responses = served
+    docs = read_documents(spark, SF0001)
+    expected = handle_request(docs, read_index(spark, idx_path), REQUESTS[0])
+    assert responses[0] == expected
+    assert responses[0]["total_docs"] > 0
+    assert all(m["snippet"] for r in responses[0]["results"] for m in r["matches"])
+
+
+def test_bm25_response_served(served):
+    _, _, responses = served
+    r = responses[1]
+    assert r["query"] == "fast hash join" and len(r["results"]) == 5
+    scores = [m["score"] for m in r["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert [m["rank"] for m in r["results"]] == [1, 2, 3, 4, 5]
+
+
+def test_bad_requests_get_error_lines(served):
+    _, _, responses = served
+    assert "not valid JSON" in responses[2]["error"]
+    assert "case-preserving twin" in responses[3]["error"]  # no cs twin built
+    assert "unknown request fields" in responses[4]["error"]
