@@ -409,3 +409,38 @@ SELECT
      HAVING count(DISTINCT term) = (SELECT n_terms FROM nq)
   ))::BIGINT AS docs_and
 """
+
+def collocations_sql(target: str, window: int = 3, min_count: int = 2,
+                     k: int = 20) -> str:
+    """Mirror of search.collocation.collocations (and its packed twin):
+    windowed pair counts + PMI with the pinned parenthesization
+    ln((cooc * total) / (cf_target * cf_n)); rank over the UNROUNDED pmi,
+    output rounded. Distinct terms never share a position, so
+    abs(p - t) <= window needs no lower bound."""
+    return f"""
+WITH {_positions_cte()},
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+tpos AS (SELECT doc_id, pos FROM pos WHERE term = '{target}'),
+pairs AS (
+  SELECT p.term, count(*)::BIGINT AS cooc
+  FROM pos p JOIN tpos t
+    ON p.doc_id = t.doc_id AND abs(p.pos - t.pos) <= {window}
+  WHERE p.term <> '{target}'
+  GROUP BY p.term
+),
+scored AS (
+  SELECT p.term, p.cooc, cf.cf,
+         ln((p.cooc::DOUBLE * tot.total) / (tcf.tcf * cf.cf::DOUBLE)) AS pmi
+  FROM pairs p
+  JOIN cf USING (term)
+  CROSS JOIN tot
+  CROSS JOIN (SELECT cf::DOUBLE AS tcf FROM cf WHERE term = '{target}') tcf
+  WHERE p.cooc >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY pmi DESC, term ASC) AS rank,
+       term, cooc, cf, round(pmi, {SCORE_DECIMALS}) AS pmi
+FROM scored
+ORDER BY pmi DESC, term ASC
+LIMIT {k}
+"""

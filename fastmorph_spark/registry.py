@@ -68,6 +68,9 @@ SLOT_STEM_DISTS = [(1, 5)]
 # `fast <keyword>` within distance 1..2 (keyword = join/sort/scan/...)
 SLOT_TAG_SLOTS = [{"term": "fast"}, {"tag": "keyword"}]
 SLOT_TAG_DISTS = [(1, 2)]
+# collocation profile (search/collocation.py): PMI-ranked ±3-token
+# neighbors of the flagship term, corpus and packed paths, one oracle
+COLLOC_TARGET, COLLOC_WINDOW, COLLOC_MIN, COLLOC_K = "fast", 3, 2, 20
 SNIPPET_WIDTH = 2                    # context tokens either side of a match
 # full request lifecycle (SURVEY.md §3.1): slots + subcorpus + pagination
 REQ_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
@@ -289,6 +292,28 @@ def q_slot_tag_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.search.packed import packed_slot_search
 
     return packed_slot_search(_packed_index(spark, sf_dir), SLOT_TAG_SLOTS, SLOT_TAG_DISTS)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation profile (search/collocation.py): PMI-ranked neighbors
+    of COLLOC_TARGET within ±COLLOC_WINDOW tokens, over logical postings
+    — the corpus-linguistics companion analysis to concordance search."""
+    from fastmorph_spark.search.collocation import collocations
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return collocations(postings, dictionary, COLLOC_TARGET,
+                        window=COLLOC_WINDOW, min_count=COLLOC_MIN, k=COLLOC_K)
+
+
+def q_collocations_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same profile off the PACKED index: neighbor blocks selected by the
+    target's doc-shard envelopes (metadata-only block-skip), decoded once.
+    Shares q_collocations' oracle (must be result-identical)."""
+    from fastmorph_spark.search.collocation import packed_collocations
+
+    return packed_collocations(_packed_index(spark, sf_dir), COLLOC_TARGET,
+                               window=COLLOC_WINDOW, min_count=COLLOC_MIN,
+                               k=COLLOC_K)
 
 
 def _packed_case_index(spark: SparkSession, sf_dir: str):
@@ -917,7 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
     driver-green row EVER come first (this round: the new
-    slot_case_packed / slot_tag_search / slot_tag_packed); (b) then the
+    slot_case_packed / slot_tag_search / slot_tag_packed /
+    phrase_deleted_packed / collocations / collocations_packed); (b) then the
     keys that missed the PREVIOUS round's cap (r03 casualties:
     dedup_groups .. events_window — all r02-green), so every key re-earns
     a green row at least every other round; (c) keys whose code paths
@@ -933,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
         "phrase_deleted_packed": q_phrase_deleted_packed,
+        "collocations": q_collocations,
+        "collocations_packed": q_collocations_packed,
         # --- (b) missed r03's 50-key cap (all r02-green): re-earn now
         "dedup_groups": q_dedup_groups,
         "phrase_highlight": q_phrase_highlight,
@@ -1020,6 +1048,10 @@ def oracle_sqls() -> dict[str, str]:
         "slot_case_packed": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
         "slot_tag_search": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
         "slot_tag_packed": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
+        "collocations": oracles.collocations_sql(
+            COLLOC_TARGET, COLLOC_WINDOW, COLLOC_MIN, COLLOC_K),
+        "collocations_packed": oracles.collocations_sql(
+            COLLOC_TARGET, COLLOC_WINDOW, COLLOC_MIN, COLLOC_K),
         "phrase_highlight": oracles.slot_search_sql(
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),

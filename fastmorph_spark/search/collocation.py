@@ -1,0 +1,162 @@
+"""Windowed collocation statistics — PMI-ranked neighbors of a target term.
+
+Corpus-linguistics standard analysis [LIT: Church & Hanks 1990, "Word
+Association Norms, Mutual Information, and Lexicography"] over the same
+token-position model as the slot/proximity operators (SURVEY.md §1.1 —
+the reference serves a corpus-linguistics portal, where collocation /
+frequency profiles are the canonical companion analysis to concordance
+search [PK-med]).
+
+Semantics (pinned, mirrored exactly by oracles.collocations_sql):
+
+- a PAIR is one (occurrence of `target` at position p_t, occurrence of
+  another term at position p_n) in the same doc with
+  ``1 <= |p_n - p_t| <= window`` (distinct terms can never share a
+  position, so the lower bound is structural);
+- ``cooc(n)`` = total pair count for neighbor term n over the corpus;
+- ``pmi = ln((cooc * total_tokens) / (cf_target * cf_n))`` — pointwise
+  mutual information on pair counts, window-unnormalized (the window
+  factor is constant across neighbors, so it shifts every score equally
+  and cannot reorder);
+- neighbors below ``min_count`` pairs are dropped (PMI's low-frequency
+  instability [LIT]);
+- deterministic order/tie-break: ``(pmi DESC, term ASC)``, rank computed
+  over the UNROUNDED pmi (same discipline as search_topk), output pmi
+  rounded to SCORE_DECIMALS.
+
+Scale shape (corpus/logical path): the target's postings row set is
+df(target) rows; the neighbor side joins postings to it on doc_id —
+broadcast by default (a collocation target is typically selective), with
+``broadcast_target=False`` falling back to a shuffle join for corpus-
+stopword targets. Pair counting is a Catalyst higher-order expression
+over the two position arrays (JVM codegen, no Python); the only other
+shuffle is the final groupBy(term).
+
+Packed path (packed_collocations): the neighbor decode is bounded by the
+TARGET's doc-shard envelopes — only blocks whose (doc_shard,
+[first_doc, max_doc]) can intersect a target posting are decoded, the
+same metadata-only block-skip machinery as search/packed.pruned_blocks.
+For a rare target this touches a small fraction of the index; for a
+corpus-stopword target it degrades toward a full decode, which is the
+honest cost floor of a term-major layout (the corpus-scan path pays the
+same). Tombstoned docs are dropped from both sides; like packed BM25,
+dictionary stats (cf, total) are documented stale until purge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+
+OUT_SCHEMA = "rank long, term string, cooc long, cf long, pmi double"
+
+
+def _pair_counts(postings_rows: DataFrame, target: str, window: int,
+                 broadcast_target: bool = True) -> DataFrame:
+    """(term, cooc) pair counts from logical `(term, doc_id, positions)`
+    rows. One join on doc_id (neighbor rows exist only for docs that
+    contain the target) + one agg on term."""
+    tgt = postings_rows.filter(F.col("term") == target) \
+        .select("doc_id", F.col("positions").alias("_tpos"))
+    if broadcast_target:
+        tgt = F.broadcast(tgt)
+    pairs_expr = F.expr(
+        "aggregate(positions, 0L, (acc, p) -> "
+        "acc + CAST(size(filter(_tpos, q -> abs(p - q) <= {w})) AS BIGINT))"
+        .format(w=int(window))
+    )
+    return (
+        postings_rows.filter(F.col("term") != target)
+        .join(tgt, "doc_id")
+        .select("term", pairs_expr.alias("_pairs"))
+        .groupBy("term")
+        .agg(F.sum("_pairs").alias("cooc"))
+        .filter(F.col("cooc") > 0)
+    )
+
+
+def _score(cooc: DataFrame, dictionary: DataFrame, target: str,
+           min_count: int, k: int) -> DataFrame:
+    """PMI scoring tail shared by the corpus and packed paths. `cooc`
+    is small (distinct neighbor terms); the dictionary join keys on it,
+    the two stats frames are 1-row broadcasts."""
+    tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    scored = (
+        cooc.filter(F.col("cooc") >= min_count)
+        .join(dictionary.select("term", "cf"), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tcf))
+        .withColumn(
+            "pmi",
+            # one pinned parenthesization, mirrored in the oracle SQL:
+            # ln((cooc * total) / (cf_target * cf_n)) — all float64
+            F.log((F.col("cooc").cast("double") * F.col("_total"))
+                  / (F.col("_tcf") * F.col("cf").cast("double"))),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("term")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("pmi"), F.asc("term")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "term",
+        F.col("cooc").cast("long").alias("cooc"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("pmi", SCORE_DECIMALS).alias("pmi"),
+    )
+
+
+def collocations(postings: DataFrame, dictionary: DataFrame, target: str,
+                 window: int = 3, min_count: int = 2, k: int = 20,
+                 broadcast_target: bool = True) -> DataFrame:
+    """PMI-ranked collocations of `target` over logical postings
+    `(term, doc_id, tf, positions)` (index.build_postings output).
+
+    Returns (rank, term, cooc, cf, pmi) — see module docstring for the
+    pinned semantics. Empty result (not an error) when the target is
+    absent from the corpus.
+    """
+    return _score(
+        _pair_counts(postings.select("term", "doc_id", "positions"),
+                     target, window, broadcast_target),
+        dictionary, target, min_count, k,
+    )
+
+
+def packed_collocations(index, target: str, window: int = 3,
+                        min_count: int = 2, k: int = 20,
+                        scope=None) -> DataFrame:
+    """`collocations` off the PACKED index, without corpus re-tokenization.
+
+    Block selection is metadata-only: the target's pruned block scan
+    yields its per-shard [first_doc, max_doc] envelopes; every OTHER
+    block outside those envelopes is skipped before any payload byte is
+    read (search/packed._apply_keep). The surviving blocks are varbyte-
+    decoded ONCE (the decode backs both sides of the pair join, hence the
+    persist — caller-owned by default, or pass scope=CacheScope per the
+    fastmorph_spark.cache contract), then fed to the same pair-count +
+    PMI tail as the corpus path.
+    """
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search.packed import (
+        _apply_keep,
+        _decode_blocks,
+        _live,
+        pruned_blocks,
+    )
+
+    spark = index.postings.sparkSession
+    tgt_blocks = pruned_blocks(index, [target])
+    if tgt_blocks is None:
+        cooc = spark.createDataFrame([], "term string, cooc long")
+        return _score(cooc, index.dictionary, target, min_count, k)
+    keep = tgt_blocks.groupBy("doc_shard").agg(
+        F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+    )
+    blocks = _apply_keep(index.postings, keep)
+    decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
+    cooc = _pair_counts(decoded, target, window)
+    return _score(cooc, index.dictionary, target, min_count, k)

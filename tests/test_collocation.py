@@ -1,0 +1,122 @@
+"""Collocation statistics (search/collocation.py): pinned semantics vs a
+brute-force Python oracle, packed ≡ corpus equivalence, DuckDB oracle
+parity, and edge cases (absent target, min_count gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fastmorph_spark import oracles, registry
+from fastmorph_spark.index import build_dictionary, build_postings
+from fastmorph_spark.search.collocation import collocations, packed_collocations
+from fastmorph_spark.sources import read_documents
+from fastmorph_spark.tokenize import tokenize_py
+from tests.conftest import SF0001, assert_frames_match, register_views
+
+TARGET, WINDOW, MIN_COUNT, K = "fast", 3, 2, 20
+
+
+def _python_collocations(texts: list[str], target: str, window: int,
+                         min_count: int, k: int):
+    """Exhaustive float64 reference: same pair/PMI definitions as the
+    module docstring, no Spark, no SQL."""
+    cf: dict[str, int] = {}
+    cooc: dict[str, int] = {}
+    total = 0
+    for text in texts:
+        toks = tokenize_py(text)
+        total += len(toks)
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        tpos = [i for i, t in enumerate(toks) if t == target]
+        if not tpos:
+            continue
+        for i, t in enumerate(toks):
+            if t == target:
+                continue
+            n = sum(1 for p in tpos if abs(i - p) <= window)
+            if n:
+                cooc[t] = cooc.get(t, 0) + n
+    if target not in cf:
+        return []
+    tcf = float(cf[target])
+    scored = [
+        (t, c, cf[t], math.log((c * float(total)) / (tcf * float(cf[t]))))
+        for t, c in cooc.items() if c >= min_count
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [
+        (i + 1, t, c, f, round(pmi, 6))
+        for i, (t, c, f, pmi) in enumerate(scored[:k])
+    ]
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    docs = read_documents(spark, SF0001)
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    yield docs, postings, dictionary
+    postings.unpersist()
+
+
+def test_collocations_vs_python_oracle(spark, tables):
+    docs, postings, dictionary = tables
+    texts = [r["text"] for r in docs.select("text").orderBy("doc_id").collect()]
+    want = _python_collocations(texts, TARGET, WINDOW, MIN_COUNT, K)
+    got = [
+        (int(r["rank"]), r["term"], int(r["cooc"]), int(r["cf"]), float(r["pmi"]))
+        for r in collocations(postings, dictionary, TARGET, window=WINDOW,
+                              min_count=MIN_COUNT, k=K).collect()
+    ]
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert g[4] == pytest.approx(w[4], abs=1e-6)
+
+
+def test_collocations_duckdb_oracle_parity(spark, duck, tables):
+    _, postings, dictionary = tables
+    register_views(duck, SF0001)
+    assert_frames_match(
+        collocations(postings, dictionary, TARGET, window=WINDOW,
+                     min_count=MIN_COUNT, k=K),
+        duck.sql(oracles.collocations_sql(TARGET, WINDOW, MIN_COUNT, K)),
+    )
+
+
+def test_packed_equals_corpus_path(spark, tables):
+    _, postings, dictionary = tables
+    idx = registry._packed_index(spark, SF0001)
+    corpus = collocations(postings, dictionary, TARGET, window=WINDOW,
+                          min_count=MIN_COUNT, k=K).collect()
+    packed = packed_collocations(idx, TARGET, window=WINDOW,
+                                 min_count=MIN_COUNT, k=K).collect()
+    assert [tuple(r) for r in packed] == [tuple(r) for r in corpus]
+
+
+def test_absent_target_is_empty_not_error(spark, tables):
+    _, postings, dictionary = tables
+    out = collocations(postings, dictionary, "zqxjkvw", window=WINDOW)
+    assert out.count() == 0
+    assert out.columns == ["rank", "term", "cooc", "cf", "pmi"]
+    idx = registry._packed_index(spark, SF0001)
+    pout = packed_collocations(idx, "zqxjkvw", window=WINDOW)
+    assert pout.count() == 0
+    assert pout.columns == ["rank", "term", "cooc", "cf", "pmi"]
+
+
+def test_min_count_gate(spark, tables):
+    """min_count=1 is a superset of min_count=high; every surviving
+    neighbor meets the gate."""
+    _, postings, dictionary = tables
+    hi = collocations(postings, dictionary, TARGET, window=WINDOW,
+                      min_count=50, k=1000).collect()
+    assert all(int(r["cooc"]) >= 50 for r in hi)
+    lo_terms = {
+        r["term"] for r in collocations(postings, dictionary, TARGET,
+                                        window=WINDOW, min_count=1,
+                                        k=100000).collect()
+    }
+    assert {r["term"] for r in hi} <= lo_terms
