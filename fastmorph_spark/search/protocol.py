@@ -35,6 +35,12 @@ order — the sentences/highlights/totals surface):
 
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
+
+Two further request forms share the boundary: ranked top-k
+(``{"bm25": "query text", "k": 10}`` → Block-Max WAND) and the
+collocation profile (``{"collocations": "term", "window": 3,
+"min_count": 2, "k": 20}`` → search/collocation.packed_collocations),
+both bounded by ``k``.
 """
 
 from __future__ import annotations
@@ -59,14 +65,42 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Two request forms: a slot-pattern request ({"slots": ...}) and a
+    Three request forms: a slot-pattern request ({"slots": ...}), a
     ranked request ({"bm25": "query text", "k": 10}) — the contract's
-    BM25 top-k surface behind the same boundary."""
+    BM25 top-k surface — and an analysis request
+    ({"collocations": "term", "window": 3, "min_count": 2, "k": 20}),
+    the PMI collocation profile (search/collocation.py), all behind the
+    same boundary."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
+    forms = [f for f in ("slots", "bm25", "collocations") if f in req]
+    if len(forms) > 1:
+        raise RequestError(
+            f"request must use exactly one form, got {sorted(forms)}")
+    if "collocations" in req:
+        unknown = set(req) - {"collocations", "window", "min_count", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        target = req["collocations"]
+        if not isinstance(target, str) or not target.strip():
+            raise RequestError("collocations must be a non-empty target term")
+        window = req.get("window", 3)
+        if not isinstance(window, int) or isinstance(window, bool) \
+                or not 1 <= window <= 1000:
+            raise RequestError("window must be an integer in [1, 1000]")
+        min_count = req.get("min_count", 2)
+        if not isinstance(min_count, int) or isinstance(min_count, bool) \
+                or min_count < 1:
+            raise RequestError("min_count must be a positive integer")
+        k = req.get("k", 20)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"collocations": target.strip(), "window": window,
+                "min_count": min_count, "k": k, "lang": lang}
     if "bm25" in req:
-        if "slots" in req:
-            raise RequestError("request must be slot-pattern OR bm25, not both")
         unknown = set(req) - {"bm25", "k", "lang"}
         if unknown:
             raise RequestError(f"unknown request fields: {sorted(unknown)}")
@@ -188,12 +222,28 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         if p["lang"] not in index:
             if "bm25" in p:
                 return {"query": p["bm25"], "k": p["k"], "results": []}
+            if "collocations" in p:
+                return {"target": p["collocations"], "window": p["window"],
+                        "min_count": p["min_count"], "k": p["k"],
+                        "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "collocations" in p:
+        from fastmorph_spark.search.collocation import packed_collocations
+
+        rows = packed_collocations(index, p["collocations"],
+                                   window=p["window"],
+                                   min_count=p["min_count"], k=p["k"],
+                                   scope=scope).collect()
+        return {"target": p["collocations"], "window": p["window"],
+                "min_count": p["min_count"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "term": r["term"],
+                             "cooc": int(r["cooc"]), "cf": int(r["cf"]),
+                             "pmi": float(r["pmi"])} for r in rows]}
     if "bm25" in p:
         from fastmorph_spark.search.wand import search_wand
 

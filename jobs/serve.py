@@ -14,7 +14,9 @@ write newline-delimited JSON responses in request order.
 (read_corpus). --lang-indexes <path> serves a write_lang_indexes tree
 instead of one index (requests then carry "lang"). Every input line gets
 exactly one output line — malformed requests produce {"error": ...}
-responses, never a crashed server.
+responses, never a crashed server. All protocol request forms pass
+through: slot patterns, {"bm25": ...} ranked top-k, and
+{"collocations": ...} PMI profiles.
 """
 
 from __future__ import annotations

@@ -155,7 +155,7 @@ def test_bm25_request_matches_search_wand(spark, serving):
 
 
 @pytest.mark.parametrize("bad,msg", [
-    ({"bm25": "x", "slots": []}, "not both"),
+    ({"bm25": "x", "slots": []}, "exactly one form"),
     ({"bm25": ""}, "non-empty query"),
     ({"bm25": "x", "k": 0}, "k must be"),
     ({"bm25": "x", "k": True}, "k must be"),
@@ -183,3 +183,68 @@ def test_bm25_lang_routing(spark, serving):
     assert {r["doc_id"] for r in resp["results"]} <= sub_ids
     assert handle_request(docs, {lang: lidx},
                           {"bm25": "the", "lang": "xx"})["results"] == []
+
+
+# ---------------- collocation (analysis) request form
+
+def test_collocations_request_matches_packed(spark, serving):
+    from fastmorph_spark.search.collocation import packed_collocations
+
+    docs, idx = serving
+    req = {"collocations": "fast", "window": 3, "min_count": 2, "k": 10}
+    resp = handle_request(docs, idx, req)
+    assert "error" not in resp
+    assert (resp["target"], resp["window"], resp["k"]) == ("fast", 3, 10)
+    want = [(int(r["rank"]), r["term"], int(r["cooc"]), int(r["cf"]),
+             float(r["pmi"]))
+            for r in packed_collocations(idx, "fast", window=3,
+                                         min_count=2, k=10).collect()]
+    got = [(r["rank"], r["term"], r["cooc"], r["cf"], r["pmi"])
+           for r in resp["results"]]
+    assert got == want
+    json.loads(to_json(resp))
+    # absent target: well-formed empty response, not an error
+    empty = handle_request(docs, idx, {"collocations": "zqxjkvw"})
+    assert "error" not in empty and empty["results"] == []
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ({"collocations": "x", "bm25": "y"}, "exactly one form"),
+    ({"collocations": "x", "slots": []}, "exactly one form"),
+    ({"collocations": ""}, "non-empty target"),
+    ({"collocations": "x", "window": 0}, "window must be"),
+    ({"collocations": "x", "window": True}, "window must be"),
+    ({"collocations": "x", "min_count": 0}, "min_count"),
+    ({"collocations": "x", "k": 0}, "k must be"),
+    ({"collocations": "x", "until": 5}, "unknown request fields"),
+])
+def test_collocations_request_validation(bad, msg):
+    with pytest.raises(RequestError):
+        try:
+            parse_request(bad)
+        except RequestError as e:
+            assert msg in str(e)
+            raise
+
+
+def test_collocations_lang_routing(spark, serving):
+    docs, idx = serving
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.search.collocation import packed_collocations
+
+    lang = sorted(r["lang"] for r in docs.select("lang").distinct().collect())[0]
+    sub = docs.filter(F.col("lang") == lang)
+    lidx = build_index_frames(sub, doc_shard_size=100, block_size=16)
+    resp = handle_request(docs, {lang: lidx},
+                          {"collocations": "the", "k": 5, "lang": lang})
+    assert "error" not in resp and resp["results"]
+    want = [(int(r["rank"]), r["term"])
+            for r in packed_collocations(lidx, "the", k=5).collect()]
+    assert [(r["rank"], r["term"]) for r in resp["results"]] == want
+    # unknown lang -> empty, missing lang on a lang-routed index -> error
+    assert handle_request(docs, {lang: lidx},
+                          {"collocations": "the", "lang": "xx"})["results"] == []
+    assert "error" in handle_request(docs, {lang: lidx},
+                                     {"collocations": "the"})

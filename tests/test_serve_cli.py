@@ -26,6 +26,7 @@ REQUESTS = [
     {"slots": [{"word": "fast"}, {"pattern": "h*"}], "dists": [[1, 4]],
      "skip": 0, "until": 5, "width": 2},
     {"bm25": "fast hash join", "k": 5},
+    {"collocations": "fast", "window": 3, "min_count": 2, "k": 5},
     "this line is not json",
     {"slots": [{"word": "fast", "case": True}], "dists": [], "until": 3},
     {"frobnicate": 1},
@@ -80,8 +81,19 @@ def test_bm25_response_served(served):
     assert [m["rank"] for m in r["results"]] == [1, 2, 3, 4, 5]
 
 
+def test_collocations_response_served(spark, served):
+    idx_path, _, responses = served
+    r = responses[2]
+    assert (r["target"], r["window"], r["k"]) == ("fast", 3, 5)
+    expected = handle_request(read_documents(spark, SF0001),
+                              read_index(spark, idx_path), REQUESTS[2])
+    assert r == expected and len(r["results"]) == 5
+    pmis = [m["pmi"] for m in r["results"]]
+    assert pmis == sorted(pmis, reverse=True)
+
+
 def test_bad_requests_get_error_lines(served):
     _, _, responses = served
-    assert "not valid JSON" in responses[2]["error"]
-    assert "case-preserving twin" in responses[3]["error"]  # no cs twin built
-    assert "unknown request fields" in responses[4]["error"]
+    assert "not valid JSON" in responses[3]["error"]
+    assert "case-preserving twin" in responses[4]["error"]  # no cs twin built
+    assert "unknown request fields" in responses[5]["error"]
