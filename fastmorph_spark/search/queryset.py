@@ -118,6 +118,14 @@ def run_query(
             F.col("doc_id") % spec["delete_mod"] == F.lit(spec["delete_rem"]))
         return packed_phrase_search(
             dataclasses.replace(index, tombstones=tomb), q)
+    if mode == "collocations_packed":
+        # PMI collocation profile off the packed index (the analysis
+        # request form of the serving protocol)
+        from fastmorph_spark.search.collocation import packed_collocations
+
+        return packed_collocations(index, q, window=spec.get("window", 3),
+                                   min_count=spec.get("min_count", 2),
+                                   k=spec.get("k") or 20)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -163,7 +171,47 @@ def run_query_oracle(spec: dict, oracle) -> list:
     if mode == "phrase_deleted_packed":
         m, r = spec["delete_mod"], spec["delete_rem"]
         return [d for d in oracle.phrase_docs(q) if d % m != r]
+    if mode == "collocations_packed":
+        return _oracle_collocations(oracle, q, spec.get("window", 3),
+                                    spec.get("min_count", 2),
+                                    spec.get("k") or 20)
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _oracle_collocations(oracle, target: str, window: int, min_count: int,
+                         k: int) -> list:
+    """Pure-Python twin of search.collocation (same pair/PMI pinning);
+    pmi serialized as repr(round(., 6)) — the golden-file float
+    discipline."""
+    import math as _math
+
+    cf: dict[str, int] = {}
+    cooc: dict[str, int] = {}
+    total = 0
+    for d in oracle.doc_ids:
+        toks = oracle.tokens[d]
+        total += len(toks)
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        tpos = [i for i, t in enumerate(toks) if t == target]
+        if not tpos:
+            continue
+        for i, t in enumerate(toks):
+            if t == target:
+                continue
+            n = sum(1 for p in tpos if abs(i - p) <= window)
+            if n:
+                cooc[t] = cooc.get(t, 0) + n
+    if target not in cf:
+        return []
+    tcf = float(cf[target])
+    scored = [
+        (t, c, cf[t], _math.log((c * float(total)) / (tcf * float(cf[t]))))
+        for t, c in cooc.items() if c >= min_count
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [[i + 1, t, c, f, repr(round(pmi, 6))]
+            for i, (t, c, f, pmi) in enumerate(scored[:k])]
 
 
 def _oracle_request_rows(oracle, slots, dists, skip, until):

@@ -79,6 +79,11 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert [[r["rank"], r["doc_id"], r["pos"], r["running_total"],
                  r["n_matches"], r["total_docs"], r["total_matches"]]
                 for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "collocations_packed":
+        assert [[r["rank"], r["term"], r["cooc"], r["cf"]] for r in rows] == \
+               [g[:4] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["pmi"], float(g[4]), abs_tol=1e-6), spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
 
