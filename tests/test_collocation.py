@@ -120,3 +120,32 @@ def test_min_count_gate(spark, tables):
                                         k=100000).collect()
     }
     assert {r["term"] for r in hi} <= lo_terms
+
+
+def test_tombstoned_docs_excluded_from_pairs(spark, tables):
+    """A tombstoned doc contributes no pairs (the decode anti-joins live
+    deletes); dictionary stats stay pre-delete until purge (documented
+    Lucene-style staleness, same as packed BM25)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    docs, postings, dictionary = tables
+    idx = registry._packed_index(spark, SF0001)
+    # tombstone every doc that contains the target: all pairs must vanish
+    tgt_docs = postings.filter(F.col("term") == TARGET).select("doc_id")
+    tidx = dataclasses.replace(idx, tombstones=tgt_docs)
+    out = packed_collocations(tidx, TARGET, window=WINDOW,
+                              min_count=1, k=10).collect()
+    assert out == []
+    # tombstoning an unrelated doc set leaves some pairs; counts can only
+    # shrink relative to the live index
+    full = {r["term"]: int(r["cooc"])
+            for r in packed_collocations(idx, TARGET, window=WINDOW,
+                                         min_count=1, k=100000).collect()}
+    some = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    half = {r["term"]: int(r["cooc"])
+            for r in packed_collocations(
+                dataclasses.replace(idx, tombstones=some), TARGET,
+                window=WINDOW, min_count=1, k=100000).collect()}
+    assert half and all(half[t] <= full[t] for t in half)
