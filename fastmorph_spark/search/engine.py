@@ -471,10 +471,45 @@ def search_request(
     when the scope closes (consume the result inside it), else the CALLER
     owns it — long-lived sessions should clearCache() between request
     bursts (ADVICE r02, VERDICT r03 #7)."""
+    m = request_matches(postings, dictionary, slots, dists,
+                        postings_cs=postings_cs, dictionary_cs=dictionary_cs,
+                        scope=scope)
+    return request_page(documents, m, len(slots), skip=skip, until=until,
+                        width=width)
+
+
+def request_matches(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    slots: list[dict],
+    dists: list[tuple[int, int]],
+    postings_cs: DataFrame | None = None,
+    dictionary_cs: DataFrame | None = None,
+    scope=None,
+) -> DataFrame:
+    """The request's persisted MATCH SET (doc_id, n_matches,
+    match_starts) — computed once, read by totals and every page.
+    Pagination continuation (SURVEY §3.1 entry point 3 [PK-med]: the
+    reference re-serves skip/until windows from cached scan state) keeps
+    this frame across requests and re-pages it via request_page."""
     from fastmorph_spark.cache import pin
 
-    m = pin(slot_search(postings, dictionary, slots, dists,
-                        postings_cs=postings_cs, dictionary_cs=dictionary_cs), scope)
+    return pin(slot_search(postings, dictionary, slots, dists,
+                           postings_cs=postings_cs, dictionary_cs=dictionary_cs),
+               scope)
+
+
+def request_page(
+    documents: DataFrame,
+    m: DataFrame,
+    match_len: int,
+    skip: int = 0,
+    until: int = 20,
+    width: int = 2,
+) -> DataFrame:
+    """One pagination window over a request_matches frame: totals + page
+    pre-prune + bounded snippet join (see search_request docstring for
+    the scale shape)."""
     tot = m.agg(
         F.count("*").cast("long").alias("total_docs"),
         F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("total_matches"),
@@ -503,7 +538,7 @@ def search_request(
     docs_page = documents.filter(
         F.col("doc_id").isin([d for d, _, _, _ in page_rows])
     )
-    snips = snippets(docs_page, page, match_len=len(slots), width=width)
+    snips = snippets(docs_page, page, match_len=match_len, width=width)
     return (
         snips.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")
         .crossJoin(F.broadcast(tot))

@@ -541,10 +541,24 @@ def packed_search_request(
     index (build_lang_indexes / read_lang_indexes) and the matching
     filtered `documents`. Result-identical to the corpus-built
     search_request (shared oracle: driver query `slot_request_packed`)."""
+    m = packed_request_matches(index, slots, dists,
+                               max_expansion=max_expansion, scope=scope)
+    return engine.request_page(documents, m, len(slots),
+                               skip=skip, until=until, width=width)
+
+
+def packed_request_matches(index: Index, slots: list[dict],
+                           dists: list[tuple[int, int]],
+                           max_expansion: int = MAX_SLOT_EXPANSION,
+                           scope=None) -> DataFrame:
+    """The request's persisted match set off the PACKED index (pruned
+    block scan + decode + slot predicates). Pagination continuation
+    (SURVEY §3.1 entry point 3) holds this frame across skip/until
+    windows — search/protocol.py keys it per request shape — so page N+1
+    re-pages cached matches instead of re-decoding the index."""
     decoded, dictionary, decoded_cs, dictionary_cs = \
         _packed_slot_postings(index, slots, max_expansion)
     decoded, decoded_cs = _pin_decoded(decoded, decoded_cs, slots, scope)
-    return engine.search_request(documents, decoded, dictionary,
-                                 slots, dists, skip=skip, until=until, width=width,
-                                 postings_cs=decoded_cs, dictionary_cs=dictionary_cs,
-                                 scope=scope)
+    return engine.request_matches(decoded, dictionary, slots, dists,
+                                  postings_cs=decoded_cs,
+                                  dictionary_cs=dictionary_cs, scope=scope)

@@ -193,7 +193,7 @@ def _serialize(rows: list, skip: int, until: int) -> dict:
 
 
 def handle_request(documents: DataFrame, index, req: dict | str,
-                   scope=None) -> dict:
+                   scope=None, session: dict | None = None) -> dict:
     """Entry point 2 [PK-high]: one serving request over the PACKED
     index, end to end — parse/validate, packed slot scan + pagination +
     snippets (packed_search_request), bounded collect, nested response.
@@ -202,7 +202,14 @@ def handle_request(documents: DataFrame, index, req: dict | str,
     dict lang -> Index from read_lang_indexes when the request carries
     "lang"). Errors come back as {"error": msg} rather than raising —
     the serving boundary answers every request. An empty match set is a
-    well-formed response with total_docs == 0, NOT an error."""
+    well-formed response with total_docs == 0, NOT an error.
+
+    ``session``: an optional dict enabling pagination CONTINUATION
+    across calls (entry point 3): slot requests that differ only in
+    skip/until/width share one persisted match set. The session owns
+    those pins — call close_session(session) at end of burst; don't mix
+    with ``scope`` for the same request (scope is per-call, session
+    outlives it)."""
     import json as _json
 
     from fastmorph_spark.search.packed import packed_search_request
@@ -252,15 +259,53 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                              "score": float(r["score"])} for r in rows]}
     try:
-        rows = packed_search_request(
-            documents, index, p["slots"], p["dists"],
-            skip=p["skip"], until=p["until"], width=p["width"], scope=scope,
-        ).collect()
+        if session is not None:
+            # pagination continuation (SURVEY §3.1 entry point 3
+            # [PK-med]: the reference serves skip/until windows from
+            # cached scan state): the persisted match set is keyed by the
+            # request SHAPE (slots/dists/lang — not skip/until/width), so
+            # page N+1 re-pages it instead of re-decoding the index.
+            # Pins are SESSION-owned: free them with close_session.
+            from fastmorph_spark.search import engine as _engine
+            from fastmorph_spark.search.packed import packed_request_matches
+
+            key = _continuation_key(p)
+            m = session.get(key)
+            if m is None:
+                m = packed_request_matches(index, p["slots"], p["dists"])
+                session[key] = m
+            rows = _engine.request_page(
+                documents, m, len(p["slots"]),
+                skip=p["skip"], until=p["until"], width=p["width"],
+            ).collect()
+        else:
+            rows = packed_search_request(
+                documents, index, p["slots"], p["dists"],
+                skip=p["skip"], until=p["until"], width=p["width"], scope=scope,
+            ).collect()
     except ValueError as e:
         # engine-level contract violations surface as client errors
         # (e.g. a case-sensitive slot against an index with no cs twin)
         return {"error": str(e)}
     return _serialize(rows, p["skip"], p["until"])
+
+
+def _continuation_key(p: dict) -> str:
+    import json as _json
+
+    return _json.dumps({"slots": p["slots"], "dists": p["dists"],
+                        "lang": p["lang"]}, sort_keys=True)
+
+
+def close_session(session: dict) -> None:
+    """Unpersist every match set a continuation session holds (the
+    serving loop's end-of-burst cleanup; mirrors CacheScope.close)."""
+    for m in session.values():
+        try:
+            m.unpersist()
+        except Exception:
+            pass  # spark session torn down first
+    session.clear()
 
 
 def to_json(response: dict) -> str:

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--docs", required=True)
     ap.add_argument("--requests", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--session-cache", action="store_true",
+                    help="share one persisted match set across slot "
+                         "requests that differ only in pagination "
+                         "(continuation; pins freed at exit)")
     args = ap.parse_args()
     if bool(args.index) == bool(args.lang_indexes):
         ap.error("exactly one of --index / --lang-indexes")
@@ -43,7 +47,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from fastmorph_spark.index.io import read_index, read_lang_indexes
-    from fastmorph_spark.search.protocol import handle_request, to_json
+    from fastmorph_spark.search.protocol import (
+        close_session,
+        handle_request,
+        to_json,
+    )
     from fastmorph_spark.sources import read_corpus, read_documents
 
     spark = SparkSession.builder.appName("fastmorph-serve").getOrCreate()
@@ -62,14 +70,23 @@ def main() -> None:
             idx.postings = idx.postings.persist()
             idx.dictionary = idx.dictionary.persist()
 
+    # pagination continuation (protocol session): slot requests differing
+    # only in skip/until/width re-page one persisted match set instead of
+    # re-decoding the index — the reference's entry point 3 shape
+    session: dict | None = {} if args.session_cache else None
     n = 0
-    with open(args.requests) as fin, open(args.out, "w") as fout:
-        for line in fin:
-            line = line.strip()
-            if not line:
-                continue
-            fout.write(to_json(handle_request(documents, index, line)) + "\n")
-            n += 1
+    try:
+        with open(args.requests) as fin, open(args.out, "w") as fout:
+            for line in fin:
+                line = line.strip()
+                if not line:
+                    continue
+                fout.write(to_json(handle_request(
+                    documents, index, line, session=session)) + "\n")
+                n += 1
+    finally:
+        if session is not None:
+            close_session(session)
     print(json.dumps({"requests_answered": n, "out": args.out}))
 
 

@@ -97,3 +97,34 @@ def test_bad_requests_get_error_lines(served):
     assert "not valid JSON" in responses[3]["error"]
     assert "case-preserving twin" in responses[4]["error"]  # no cs twin built
     assert "unknown request fields" in responses[5]["error"]
+
+
+def test_session_cache_pages_match_stateless(spark, served, tmp_path):
+    """--session-cache: paged requests of one slot shape answer
+    identically to stateless serving (continuation reuses the match set;
+    pins freed at exit)."""
+    idx_path, _, _ = served
+    pages = [
+        {"slots": [{"word": "fast"}, {"pattern": "h*"}], "dists": [[1, 4]],
+         "skip": 0, "until": 5, "width": 2},
+        {"slots": [{"word": "fast"}, {"pattern": "h*"}], "dists": [[1, 4]],
+         "skip": 5, "until": 10, "width": 2},
+    ]
+    req_path, out_path = str(tmp_path / "reqs.jsonl"), str(tmp_path / "resp.jsonl")
+    with open(req_path, "w") as f:
+        for r in pages:
+            f.write(json.dumps(r) + "\n")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "serve.py"),
+         "--index", idx_path, "--docs", f"docs:{SF0001}",
+         "--requests", req_path, "--out", out_path, "--session-cache"],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(out_path) as f:
+        responses = [json.loads(line) for line in f]
+    docs = read_documents(spark, SF0001)
+    idx = read_index(spark, idx_path)
+    for resp, req in zip(responses, pages):
+        assert resp == handle_request(docs, idx, req)
+    assert responses[0]["total_matches"] == responses[1]["total_matches"] > 0
