@@ -65,18 +65,35 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Three request forms: a slot-pattern request ({"slots": ...}), a
-    ranked request ({"bm25": "query text", "k": 10}) — the contract's
-    BM25 top-k surface — and an analysis request
+    Four request forms behind one boundary: a slot-pattern request
+    ({"slots": ...}); a ranked request ({"bm25": "query text", "k": 10})
+    — the contract's BM25 top-k surface; an analysis request
     ({"collocations": "term", "window": 3, "min_count": 2, "k": 20}),
-    the PMI collocation profile (search/collocation.py), all behind the
-    same boundary."""
+    the PMI collocation profile (search/collocation.py); and a frequency
+    profile ({"top_terms": 100, "pattern": "s*"?}) served from
+    dictionary metadata alone."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
-    forms = [f for f in ("slots", "bm25", "collocations") if f in req]
+    forms = [f for f in ("slots", "bm25", "collocations", "top_terms")
+             if f in req]
     if len(forms) > 1:
         raise RequestError(
             f"request must use exactly one form, got {sorted(forms)}")
+    if "top_terms" in req:
+        unknown = set(req) - {"top_terms", "pattern", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        n = req["top_terms"]
+        if not isinstance(n, int) or isinstance(n, bool) or not 1 <= n <= _MAX_UNTIL:
+            raise RequestError(
+                f"top_terms must be an integer in [1, {_MAX_UNTIL}]")
+        pattern = req.get("pattern")
+        if pattern is not None and (not isinstance(pattern, str) or not pattern):
+            raise RequestError("pattern must be a non-empty wildcard string")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"top_terms": n, "pattern": pattern, "lang": lang}
     if "collocations" in req:
         unknown = set(req) - {"collocations", "window", "min_count", "k", "lang"}
         if unknown:
@@ -233,12 +250,34 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 return {"target": p["collocations"], "window": p["window"],
                         "min_count": p["min_count"], "k": p["k"],
                         "results": []}
+            if "top_terms" in p:
+                return {"top_terms": p["top_terms"], "pattern": p["pattern"],
+                        "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "top_terms" in p:
+        # frequency profile straight off dictionary METADATA (no block
+        # decode; (df DESC, term ASC) — the ordering dictionary_top100
+        # pins against its oracle). Like BM25 stats, df/cf are stale
+        # after deletes until purge.
+        from pyspark.sql import functions as F
+
+        d = index.dictionary.select("term", "df", "cf")
+        if p["pattern"]:
+            from fastmorph_spark.search.engine import wildcard_pattern_to_like
+
+            d = d.filter(F.col("term").like(
+                wildcard_pattern_to_like(p["pattern"])))
+        rows = d.orderBy(F.desc("df"), F.asc("term")) \
+            .limit(p["top_terms"]).collect()
+        return {"top_terms": p["top_terms"], "pattern": p["pattern"],
+                "results": [{"rank": i + 1, "term": r["term"],
+                             "df": int(r["df"]), "cf": int(r["cf"])}
+                            for i, r in enumerate(rows)]}
     if "collocations" in p:
         from fastmorph_spark.search.collocation import packed_collocations
 

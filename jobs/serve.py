@@ -15,8 +15,8 @@ write newline-delimited JSON responses in request order.
 instead of one index (requests then carry "lang"). Every input line gets
 exactly one output line — malformed requests produce {"error": ...}
 responses, never a crashed server. All protocol request forms pass
-through: slot patterns, {"bm25": ...} ranked top-k, and
-{"collocations": ...} PMI profiles.
+through: slot patterns, {"bm25": ...} ranked top-k, {"collocations": ...}
+PMI profiles, and {"top_terms": ...} frequency profiles.
 """
 
 from __future__ import annotations

@@ -248,3 +248,63 @@ def test_collocations_lang_routing(spark, serving):
                           {"collocations": "the", "lang": "xx"})["results"] == []
     assert "error" in handle_request(docs, {lang: lidx},
                                      {"collocations": "the"})
+
+
+# ---------------- frequency profile (top_terms) request form
+
+def test_top_terms_request(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"top_terms": 10})
+    assert "error" not in resp and len(resp["results"]) == 10
+    want = [(r["term"], int(r["df"]), int(r["cf"]))
+            for r in idx.dictionary.select("term", "df", "cf")
+            .orderBy(F_desc_df_term()).limit(10).collect()]
+    got = [(r["term"], r["df"], r["cf"]) for r in resp["results"]]
+    assert got == want
+    assert [r["rank"] for r in resp["results"]] == list(range(1, 11))
+    # wildcard-filtered profile: every term matches, subset of unfiltered df order
+    pat = handle_request(docs, idx, {"top_terms": 5, "pattern": "s*"})
+    assert pat["results"] and all(r["term"].startswith("s")
+                                  for r in pat["results"])
+    dfs = [r["df"] for r in pat["results"]]
+    assert dfs == sorted(dfs, reverse=True)
+    json.loads(to_json(resp))
+
+
+def F_desc_df_term():
+    from pyspark.sql import functions as F
+
+    return [F.desc("df"), F.asc("term")]
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ({"top_terms": 10, "bm25": "x"}, "exactly one form"),
+    ({"top_terms": 0}, "top_terms must be"),
+    ({"top_terms": True}, "top_terms must be"),
+    ({"top_terms": 10, "pattern": ""}, "pattern"),
+    ({"top_terms": 10, "k": 5}, "unknown request fields"),
+])
+def test_top_terms_validation(bad, msg):
+    with pytest.raises(RequestError):
+        try:
+            parse_request(bad)
+        except RequestError as e:
+            assert msg in str(e)
+            raise
+
+
+def test_top_terms_lang_routing(spark, serving):
+    docs, idx = serving
+    from pyspark.sql import functions as F
+
+    lang = sorted(r["lang"] for r in docs.select("lang").distinct().collect())[0]
+    sub = docs.filter(F.col("lang") == lang)
+    lidx = build_index_frames(sub, doc_shard_size=100, block_size=16)
+    resp = handle_request(docs, {lang: lidx}, {"top_terms": 5, "lang": lang})
+    assert "error" not in resp and len(resp["results"]) == 5
+    want = [(r["term"], int(r["df"]))
+            for r in lidx.dictionary.select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).limit(5).collect()]
+    assert [(r["term"], r["df"]) for r in resp["results"]] == want
+    assert handle_request(docs, {lang: lidx},
+                          {"top_terms": 5, "lang": "xx"})["results"] == []
