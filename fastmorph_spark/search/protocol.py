@@ -308,7 +308,7 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             from fastmorph_spark.search import engine as _engine
             from fastmorph_spark.search.packed import packed_request_matches
 
-            key = _continuation_key(p)
+            key = _continuation_key(p, index)
             m = session.get(key)
             if m is None:
                 m = packed_request_matches(index, p["slots"], p["dists"])
@@ -329,11 +329,18 @@ def handle_request(documents: DataFrame, index, req: dict | str,
     return _serialize(rows, p["skip"], p["until"])
 
 
-def _continuation_key(p: dict) -> str:
+def _continuation_key(p: dict, index) -> tuple:
+    """Request-shape key for the continuation cache. Includes the Index
+    object's identity so a session dict reused across different indexes
+    (caller misuse, but cheap to defend) can never serve index A's
+    matches for index B. A serving loop holds its Index (or per-lang
+    dict) for the whole burst, so the id is stable exactly as long as
+    the session is valid."""
     import json as _json
 
-    return _json.dumps({"slots": p["slots"], "dists": p["dists"],
-                        "lang": p["lang"]}, sort_keys=True)
+    return (id(index),
+            _json.dumps({"slots": p["slots"], "dists": p["dists"],
+                         "lang": p["lang"]}, sort_keys=True))
 
 
 def close_session(session: dict) -> None:
