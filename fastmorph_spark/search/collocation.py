@@ -52,6 +52,11 @@ from fastmorph_spark.constants import SCORE_DECIMALS
 
 OUT_SCHEMA = "rank long, term string, cooc long, cf long, pmi double"
 
+# auto broadcast gate: a target posting row is (doc_id, positions) —
+# above this df the broadcast side stops being "small dim" and the pair
+# join falls back to a shuffle join on doc_id
+BROADCAST_TARGET_MAX_DF = 1_000_000
+
 
 def _pair_counts(postings_rows: DataFrame, target: str, window: int,
                  broadcast_target: bool = True) -> DataFrame:
@@ -111,14 +116,26 @@ def _score(cooc: DataFrame, dictionary: DataFrame, target: str,
 
 def collocations(postings: DataFrame, dictionary: DataFrame, target: str,
                  window: int = 3, min_count: int = 2, k: int = 20,
-                 broadcast_target: bool = True) -> DataFrame:
+                 broadcast_target: bool | None = None) -> DataFrame:
     """PMI-ranked collocations of `target` over logical postings
     `(term, doc_id, tf, positions)` (index.build_postings output).
 
     Returns (rank, term, cooc, cf, pmi) — see module docstring for the
     pinned semantics. Empty result (not an error) when the target is
     absent from the corpus.
+
+    ``broadcast_target=None`` (default) decides from the dictionary's
+    exact df — the same dictionary-first lookup every query path makes —
+    so a selective target gets the map-side broadcast join while a
+    corpus-stopword target (df > BROADCAST_TARGET_MAX_DF) falls back to
+    a shuffle join instead of broadcasting an unbounded frame. The
+    result is identical either way (tested); only the join strategy
+    changes.
     """
+    if broadcast_target is None:
+        drow = dictionary.filter(F.col("term") == target) \
+            .select("df").collect()
+        broadcast_target = bool(drow) and int(drow[0]["df"]) <= BROADCAST_TARGET_MAX_DF
     return _score(
         _pair_counts(postings.select("term", "doc_id", "positions"),
                      target, window, broadcast_target),

@@ -149,3 +149,16 @@ def test_tombstoned_docs_excluded_from_pairs(spark, tables):
                 dataclasses.replace(idx, tombstones=some), TARGET,
                 window=WINDOW, min_count=1, k=100000).collect()}
     assert half and all(half[t] <= full[t] for t in half)
+
+
+def test_broadcast_and_shuffle_join_agree(spark, tables):
+    """The auto broadcast gate changes only the join strategy: forced
+    broadcast and forced shuffle-join results are identical."""
+    _, postings, dictionary = tables
+    b = collocations(postings, dictionary, TARGET, window=WINDOW,
+                     min_count=MIN_COUNT, k=K, broadcast_target=True).collect()
+    s = collocations(postings, dictionary, TARGET, window=WINDOW,
+                     min_count=MIN_COUNT, k=K, broadcast_target=False).collect()
+    a = collocations(postings, dictionary, TARGET, window=WINDOW,
+                     min_count=MIN_COUNT, k=K).collect()  # auto gate
+    assert [tuple(r) for r in b] == [tuple(r) for r in s] == [tuple(r) for r in a]
