@@ -952,7 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TAIL holds only r03-GREEN keys untouched this round and pinned by
     pytest (pure column-expression ops in test_ops / relational fixtures
     in test_entry), so a capped-out tail key is still attested green in
-    CORRECTNESS_r03 ∪ the test suite."""
+    CORRECTNESS_r03 ∪ the test suite. With 64 keys this round, the 14
+    expected cap casualties (multimodal_features/frames, events_json,
+    rollup_lang_source + the 10-key tail) are ALL r03-green, and
+    jobs/check_queries.py re-verified every key locally before the
+    driver run."""
     return {
         # --- (a) no driver-green row ever: run first
         "slot_case_packed": q_slot_case_packed,
