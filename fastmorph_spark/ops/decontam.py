@@ -1,0 +1,81 @@
+"""Benchmark decontamination — per-document n-gram overlap against an
+eval/benchmark set.
+
+The canonical training-data hygiene pass: before training on a corpus,
+flag (and usually drop) documents whose n-gram shingles overlap a
+held-out benchmark, so eval numbers measure generalization rather than
+memorization. Published pipelines use long shingles (8-13 word n-grams)
+so that rarity alone makes a hit meaningful; the default here is n=8.
+
+Spark-first shape:
+
+- corpus side: distinct word n-gram shingles per doc (the dedup
+  `_shingles` kernel — same tokenizer expression twin, JVM codegen)
+- benchmark side: ONE global distinct over the benchmark's shingles
+- overlap: a single left-semi join corpus-shingles -> benchmark-shingles
+  counted per doc, divided by the doc's shingle count
+
+Scale notes: the benchmark set is tiny relative to the corpus (eval
+suites are ~10^4-10^5 docs vs 10^9+ training docs), so the distinct
+benchmark-shingle frame is broadcast when the benchmark is small enough
+(`broadcast_docs` gate, mirroring the collocation target gate); above
+the gate it falls back to a shuffle join partitioned on shingle. Either
+way the corpus is touched ONCE and no pairwise doc comparison exists —
+cost is one shingle explode + one join, exactly the dedup envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.ops.dedup import _shingles
+
+# benchmark row-count gate below which the distinct benchmark-shingle
+# frame is broadcast: 10^4 docs x ~10^3 shingles x ~50B is ~500 MB of
+# strings pre-dedup and far less after distinct — inside a comfortable
+# executor broadcast budget; bigger benchmarks shuffle-join instead
+BROADCAST_DOCS = 10_000
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_docs: int = BROADCAST_DOCS,
+) -> DataFrame:
+    """Per-document contamination report against ``benchmark``.
+
+    Returns (doc_id, n_shingles, n_contaminated, overlap_frac) for every
+    corpus doc with at least ``min_hits`` shingles that also occur
+    anywhere in the benchmark set; overlap_frac is the contaminated
+    fraction of the doc's distinct shingles, rounded to SCORE_DECIMALS
+    (hash-comparable against the DuckDB oracle). Docs shorter than n
+    tokens have no shingles and never appear.
+
+    A pipeline drops docs above a threshold (e.g. overlap_frac >= 0.1 or
+    any hit at n=13) — the caller picks the policy; this operator
+    reports the evidence."""
+    doc_sh = _shingles(docs, n, text_col, id_col)
+    bench_sh = _shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_docs and benchmark.limit(broadcast_docs + 1).count() <= broadcast_docs:
+        bench_sh = F.broadcast(bench_sh)
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_hits)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), SCORE_DECIMALS).alias(
+            "overlap_frac"
+        ),
+    )

@@ -306,6 +306,31 @@ FROM j ORDER BY doc_id, pos
 """
 
 
+def kwic_sql(slots: list[dict], dists: list[tuple[int, int]],
+             match_len: int, width: int = 5) -> str:
+    """Mirror of engine.kwic over engine.slot_search(slots, dists):
+    per-occurrence concordance lines with left/keyword/right columns.
+    DuckDB list slices are 1-based and end-inclusive; toks[a:b] with
+    b < a is empty, matching Spark's slice(_, _, 0) == []."""
+    inner = slot_search_sql(slots, dists).strip().rstrip()
+    return f"""
+WITH m AS ({inner}),
+occ AS (
+  SELECT doc_id, unnest(string_split(match_starts, ','))::INT AS pos FROM m
+),
+tk AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+j AS (SELECT occ.doc_id, occ.pos, tk.toks FROM occ JOIN tk ON occ.doc_id = tk.doc_id)
+SELECT doc_id, pos::BIGINT AS pos,
+       coalesce(array_to_string(toks[greatest(pos + 1 - {width}, 1):pos], ' '), '')
+         AS left_ctx,
+       array_to_string(toks[pos + 1:pos + {match_len}], ' ') AS keyword,
+       coalesce(array_to_string(
+         toks[pos + 1 + {match_len}:least(pos + {match_len} + {width}, len(toks))], ' '
+       ), '') AS right_ctx
+FROM j ORDER BY doc_id, pos
+"""
+
+
 def search_request_sql(slots: list[dict], dists: list[tuple[int, int]],
                        skip: int, until: int, width: int = 2,
                        lang: str | None = None) -> str:

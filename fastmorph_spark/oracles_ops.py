@@ -440,3 +440,30 @@ SELECT doc_id, n AS n_tokens,
        floor((sum(n) OVER (ORDER BY doc_id) - n) / {budget_tokens})::BIGINT AS shard_id
 FROM t ORDER BY doc_id
 """
+
+
+def benchmark_contamination_sql(n: int = 8, min_hits: int = 1,
+                                corpus_where: str = "TRUE",
+                                bench_where: str = "TRUE") -> str:
+    """Mirror of ops.decontam.benchmark_contamination over a corpus/
+    benchmark split of the documents table (the driver query splits on
+    doc_id % 37 so the check is self-contained and deterministic)."""
+    sh = (f"SELECT doc_id, unnest(list_distinct(list_transform("
+          f"range(len(t) - {n} + 1), "
+          f"i -> array_to_string(t[i+1:i+{n}], ' ')))) AS shingle "
+          f"FROM tok{{side}} WHERE len(t) >= {n}")
+    return f"""
+WITH tokc AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {corpus_where}),
+tokb AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {bench_where}),
+csh AS ({sh.format(side="c")}),
+bsh AS (SELECT DISTINCT shingle FROM ({sh.format(side="b")})),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM csh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated
+  FROM csh SEMI JOIN bsh USING (shingle)
+  GROUP BY doc_id HAVING count(*) >= {min_hits}
+)
+SELECT hits.doc_id, sizes.n_shingles, hits.n_contaminated,
+       round(hits.n_contaminated::DOUBLE / sizes.n_shingles, {R}) AS overlap_frac
+FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+"""

@@ -72,6 +72,9 @@ SLOT_TAG_DISTS = [(1, 2)]
 # neighbors of the flagship term, corpus and packed paths, one oracle
 COLLOC_TARGET, COLLOC_WINDOW, COLLOC_MIN, COLLOC_K = "fast", 3, 2, 20
 SNIPPET_WIDTH = 2                    # context tokens either side of a match
+KWIC_WIDTH = 5                       # concordance context tokens per side
+DECONTAM_N = 3                       # shingle n for the decontam check (8 in prod)
+DECONTAM_MOD = 37                    # doc_id % MOD == 0 plays the benchmark set
 # full request lifecycle (SURVEY.md §3.1): slots + subcorpus + pagination
 REQ_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
 REQ_DISTS = [(1, 4)]
@@ -392,6 +395,33 @@ def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket counts) — persist so slot_search runs once
     matches = engine.slot_search(postings, dictionary, slots, dists).persist()
     return engine.snippets(docs, matches, match_len=len(terms), width=SNIPPET_WIDTH)
+
+
+def q_kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for the phrase query (SURVEY.md §3.1): the
+    aligned left-context / keyword / right-context lines a corpus search
+    interface presents [PK-high] — `phrase_snippets`' aligned-column
+    twin, no windows at all."""
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    matches = engine.slot_search(postings, dictionary, slots, dists)
+    return engine.kwic(docs, matches, match_len=len(terms), width=KWIC_WIDTH)
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/decontam.py): n-gram overlap of
+    the corpus against a deterministic held-out 'benchmark' slice
+    (doc_id % DECONTAM_MOD == 0 plays the eval set; the rest is the
+    training corpus). n=3 at fixture scale so the check is non-vacuous
+    (312 contaminated docs at sf0.01); production default is n=8."""
+    from fastmorph_spark.ops.decontam import benchmark_contamination
+
+    docs = read_documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return benchmark_contamination(corpus, bench, n=DECONTAM_N)
 
 
 def _packed_index(spark: SparkSession, sf_dir: str, lang: str | None = None):
@@ -941,9 +971,10 @@ def _neardup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
-    driver-green row EVER come first (this round: the new
-    slot_case_packed / slot_tag_search / slot_tag_packed /
-    phrase_deleted_packed / collocations / collocations_packed); (b) then the
+    driver-green row EVER come first (this round: the new kwic_search /
+    decontam_overlap / slot_case_packed / slot_tag_search /
+    slot_tag_packed / phrase_deleted_packed / collocations /
+    collocations_packed); (b) then the
     keys that missed the PREVIOUS round's cap (r03 casualties:
     dedup_groups .. events_window — all r02-green), so every key re-earns
     a green row at least every other round; (c) keys whose code paths
@@ -952,13 +983,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TAIL holds only r03-GREEN keys untouched this round and pinned by
     pytest (pure column-expression ops in test_ops / relational fixtures
     in test_entry), so a capped-out tail key is still attested green in
-    CORRECTNESS_r03 ∪ the test suite. With 64 keys this round, the 14
-    expected cap casualties (multimodal_features/frames, events_json,
-    rollup_lang_source + the 10-key tail) are ALL r03-green, and
+    CORRECTNESS_r03 ∪ the test suite. With 66 keys this round, the 16
+    expected cap casualties (ann_lsh_recall, cosine_neardup,
+    multimodal_features/frames, events_json, rollup_lang_source + the
+    12-key tail) are ALL r03-green, and
     jobs/check_queries.py re-verified every key locally before the
     driver run."""
     return {
         # --- (a) no driver-green row ever: run first
+        "kwic_search": q_kwic_search,
+        "decontam_overlap": q_decontam_overlap,
         "slot_case_packed": q_slot_case_packed,
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
@@ -1074,6 +1108,16 @@ def oracle_sqls() -> dict[str, str]:
             [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
             match_len=len(tokenize_py(PHRASE_QUERY)), width=SNIPPET_WIDTH,
+        ),
+        "kwic_search": oracles.kwic_sql(
+            [{"term": t} for t in tokenize_py(PHRASE_QUERY)],
+            [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
+            match_len=len(tokenize_py(PHRASE_QUERY)), width=KWIC_WIDTH,
+        ),
+        "decontam_overlap": oracles_ops.benchmark_contamination_sql(
+            DECONTAM_N, 1,
+            corpus_where=f"doc_id % {DECONTAM_MOD} != 0",
+            bench_where=f"doc_id % {DECONTAM_MOD} = 0",
         ),
         "slot_request": oracles.search_request_sql(
             REQ_SLOTS, REQ_DISTS, REQ_SKIP, REQ_UNTIL,

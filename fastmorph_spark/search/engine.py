@@ -434,6 +434,58 @@ def snippets(
     )
 
 
+def kwic(
+    documents: DataFrame,
+    matches: DataFrame,
+    match_len: int,
+    width: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KWIC concordance — the keyword-in-context lines a corpus search
+    interface presents, with the left context / keyword / right context
+    SPLIT into separate columns so the caller can align on the keyword
+    column [PK-high, SURVEY.md §3.1: fastmorph's result surface is
+    concordance lines, not bare doc ids]. `snippets` is the joined-string
+    twin; kwic is the aligned-column form.
+
+    ``matches`` is slot_search output (doc_id, n_matches, match_starts);
+    each start position becomes one row:
+
+      (doc_id, pos, left_ctx, keyword, right_ctx)
+
+    pos       = 0-based token index of the match start in the document
+    left_ctx  = up to ``width`` tokens before the match, space-joined
+                ('' at document start)
+    keyword   = the ``match_len`` matched tokens, space-joined
+    right_ctx = up to ``width`` tokens after the match, space-joined
+                ('' at document end)
+
+    Scale shape: identical to `snippets` minus the running total — one
+    explode, ONE join against the documents scan on doc_id (sort-merge;
+    AQE broadcasts small match sets), all slicing in JVM codegen via
+    Catalyst array expressions. No windows at all, so nothing funnels
+    through one reducer regardless of match-set size."""
+    occ = matches.select(
+        id_col,
+        F.explode(F.split("match_starts", ",").cast("array<int>")).alias("pos"),
+    )
+    toks = documents.select(F.col(id_col), tokenize_expr(text_col).alias("_toks"))
+    j = occ.join(toks, id_col)
+    start_el = F.greatest(F.col("pos") + 1 - width, F.lit(1))  # 1-based slice index
+    left_len = F.col("pos") + 1 - start_el  # >= 0; slice(_, _, 0) == []
+    right_len = F.greatest(
+        F.least(F.lit(width), F.size("_toks") - (F.col("pos") + match_len)), F.lit(0)
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("_toks", start_el, left_len), " ").alias("left_ctx"),
+        F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(match_len)), " ").alias("keyword"),
+        F.array_join(F.slice("_toks", F.col("pos") + 1 + match_len, right_len), " ").alias("right_ctx"),
+    ).orderBy(id_col, "pos")
+
+
 def search_request(
     documents: DataFrame,
     postings: DataFrame,

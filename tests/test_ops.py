@@ -316,3 +316,42 @@ def test_sample_hash_nested_and_deterministic(spark):
     assert s5 <= s10 and 0 < len(s5) < len(s10) < 500
     again = {r["doc_id"] for r in sample_hash(docs.repartition(13), 0.10).collect()}
     assert again == s10
+
+
+def test_benchmark_contamination_semantics(spark):
+    """Hand-computed contamination: corpus doc sharing a 3-gram with the
+    benchmark is flagged with the exact overlap fraction; clean docs and
+    sub-n docs never appear."""
+    from fastmorph_spark.ops import decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # shares shingles
+            (2, "completely different words entirely here now"),  # clean
+            (3, "too short"),  # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox leaps")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            decontam.benchmark_contamination(corpus, bench, n=3).collect()}
+    # doc 1: distinct 3-gram shingles = 7 ("the quick brown" ... "the lazy dog");
+    # benchmark contributes {"quick brown fox", "brown fox leaps"}; overlap = 1
+    assert set(rows) == {1}
+    assert rows[1]["n_shingles"] == 7
+    assert rows[1]["n_contaminated"] == 1
+    assert abs(rows[1]["overlap_frac"] - round(1 / 7, 6)) < 1e-9
+
+
+def test_benchmark_contamination_self_is_total(spark):
+    """A doc checked against itself is 100% contaminated — the invariant
+    a decontam pass relies on to catch verbatim eval leaks."""
+    from fastmorph_spark.ops import decontam
+
+    doc = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    r = decontam.benchmark_contamination(doc, doc, n=3).collect()
+    assert len(r) == 1 and r[0]["overlap_frac"] == 1.0

@@ -162,3 +162,22 @@ def test_slot_search_randomized_vs_oracle(spark):
                for r in slot_search(postings, dictionary, slots, dists).collect()]
         want = OracleIndex(docs_py).slot_docs(slots, dists)
         assert got == want, (trial, slots, dists)
+
+
+def test_kwic_concordance_lines(spark, tables):
+    """engine.kwic: aligned left/keyword/right columns with correct
+    truncation at document start and end, folded token stream, one row
+    per occurrence in (doc_id, pos) order."""
+    from fastmorph_spark.search.engine import kwic
+
+    p, d, pc, dc = tables
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    matches = slot_search(p, d, [{"term": "fast"}, {"term": "hash"}], [(1, 1)])
+    rows = [tuple(r) for r in kwic(docs, matches, match_len=2, width=3).collect()]
+    expected = [
+        (0, 0, "", "fast hash", "join beats slow"),
+        (2, 0, "", "fast hash", "join in caps"),
+        (3, 1, "join", "fast hash", "reversed order"),       # doc end: short right
+        (6, 1, "fast", "fast hash", "join join overlapping"),
+    ]
+    assert rows == expected
