@@ -498,6 +498,7 @@ def search_request(
     postings_cs: DataFrame | None = None,
     dictionary_cs: DataFrame | None = None,
     scope=None,
+    assembly: str = "snippets",
 ) -> DataFrame:
     """The FULL fastmorph request lifecycle in one call (SURVEY.md §3.1
     entry point 2 [PK-high]): slot pattern -> matches -> pagination window
@@ -527,7 +528,7 @@ def search_request(
                         postings_cs=postings_cs, dictionary_cs=dictionary_cs,
                         scope=scope)
     return request_page(documents, m, len(slots), skip=skip, until=until,
-                        width=width)
+                        width=width, assembly=assembly)
 
 
 def request_matches(
@@ -558,10 +559,20 @@ def request_page(
     skip: int = 0,
     until: int = 20,
     width: int = 2,
+    assembly: str = "snippets",
 ) -> DataFrame:
     """One pagination window over a request_matches frame: totals + page
     pre-prune + bounded snippet join (see search_request docstring for
-    the scale shape)."""
+    the scale shape).
+
+    ``assembly`` picks the result surface: "snippets" (default) yields
+    (rank, doc_id, pos, hl_offset, snippet, running_total, n_matches,
+    total_docs, total_matches); "kwic" swaps the snippet columns for the
+    aligned concordance form (rank, doc_id, pos, left_ctx, keyword,
+    right_ctx, n_matches, total_docs, total_matches). Same pagination,
+    same totals, same bounded page join either way."""
+    if assembly not in ("snippets", "kwic"):
+        raise ValueError(f"unknown assembly {assembly!r}")
     tot = m.agg(
         F.count("*").cast("long").alias("total_docs"),
         F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("total_matches"),
@@ -590,6 +601,15 @@ def request_page(
     docs_page = documents.filter(
         F.col("doc_id").isin([d for d, _, _, _ in page_rows])
     )
+    if assembly == "kwic":
+        lines = kwic(docs_page, page, match_len=match_len, width=width)
+        return (
+            lines.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")
+            .crossJoin(F.broadcast(tot))
+            .select("rank", "doc_id", "pos", "left_ctx", "keyword", "right_ctx",
+                    "n_matches", "total_docs", "total_matches")
+            .orderBy("doc_id", "pos")
+        )
     snips = snippets(docs_page, page, match_len=match_len, width=width)
     return (
         snips.join(F.broadcast(page.select("doc_id", "rank", "n_matches")), "doc_id")

@@ -531,6 +531,7 @@ def packed_search_request(
     width: int = 2,
     max_expansion: int = MAX_SLOT_EXPANSION,
     scope=None,
+    assembly: str = "snippets",
 ) -> DataFrame:
     """The FULL fastmorph request lifecycle (engine.search_request, O7)
     over the PACKED index: the slot pattern's postings are reproduced from
@@ -544,7 +545,8 @@ def packed_search_request(
     m = packed_request_matches(index, slots, dists,
                                max_expansion=max_expansion, scope=scope)
     return engine.request_page(documents, m, len(slots),
-                               skip=skip, until=until, width=width)
+                               skip=skip, until=until, width=width,
+                               assembly=assembly)
 
 
 def packed_request_matches(index: Index, slots: list[dict],

@@ -23,7 +23,8 @@ Request shape (all engine capabilities reachable):
       "skip": 0, "until": 20,            # pagination window (ranks)
       "width": 2,                        # snippet context tokens
       "lang": "en",                      # subcorpus filter (optional)
-    }
+      "format": "snippets",              # or "kwic": aligned concordance
+    }                                    #   columns instead of snippets
 
 Response shape (one entry per page doc, occurrences nested in corpus
 order — the sentences/highlights/totals surface):
@@ -131,9 +132,13 @@ def parse_request(req: dict) -> dict:
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
         return {"bm25": q, "k": k, "lang": lang}
-    unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang"}
+    unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang",
+                          "format"}
     if unknown:
         raise RequestError(f"unknown request fields: {sorted(unknown)}")
+    fmt = req.get("format", "snippets")
+    if fmt not in ("snippets", "kwic"):
+        raise RequestError("format must be 'snippets' or 'kwic'")
     raw_slots = req.get("slots")
     if not isinstance(raw_slots, list) or not raw_slots:
         raise RequestError("slots must be a non-empty list")
@@ -188,12 +193,15 @@ def parse_request(req: dict) -> dict:
     if lang is not None and (not isinstance(lang, str) or not lang):
         raise RequestError("lang must be a non-empty string")
     return {"slots": slots, "dists": dists, "skip": skip, "until": until,
-            "width": width, "lang": lang}
+            "width": width, "lang": lang, "format": fmt}
 
 
-def _serialize(rows: list, skip: int, until: int) -> dict:
-    """search_request output rows (one per occurrence, doc/pos order) ->
-    the nested response dict."""
+def _serialize(rows: list, skip: int, until: int,
+               fmt: str = "snippets") -> dict:
+    """request_page output rows (one per occurrence, doc/pos order) ->
+    the nested response dict. ``fmt`` mirrors the request's "format":
+    snippet occurrences carry (pos, hl_offset, snippet, running_total);
+    kwic occurrences carry the aligned (pos, left, keyword, right)."""
     results: list[dict] = []
     total_docs = total_matches = 0
     for r in rows:
@@ -201,10 +209,16 @@ def _serialize(rows: list, skip: int, until: int) -> dict:
         if not results or results[-1]["doc_id"] != int(r["doc_id"]):
             results.append({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                             "n_matches": int(r["n_matches"]), "matches": []})
-        results[-1]["matches"].append({
-            "pos": int(r["pos"]), "hl_offset": int(r["hl_offset"]),
-            "snippet": r["snippet"], "running_total": int(r["running_total"]),
-        })
+        if fmt == "kwic":
+            results[-1]["matches"].append({
+                "pos": int(r["pos"]), "left": r["left_ctx"],
+                "keyword": r["keyword"], "right": r["right_ctx"],
+            })
+        else:
+            results[-1]["matches"].append({
+                "pos": int(r["pos"]), "hl_offset": int(r["hl_offset"]),
+                "snippet": r["snippet"], "running_total": int(r["running_total"]),
+            })
     return {"total_docs": total_docs, "total_matches": total_matches,
             "skip": skip, "until": until, "results": results}
 
@@ -316,17 +330,19 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             rows = _engine.request_page(
                 documents, m, len(p["slots"]),
                 skip=p["skip"], until=p["until"], width=p["width"],
+                assembly=p["format"],
             ).collect()
         else:
             rows = packed_search_request(
                 documents, index, p["slots"], p["dists"],
                 skip=p["skip"], until=p["until"], width=p["width"], scope=scope,
+                assembly=p["format"],
             ).collect()
     except ValueError as e:
         # engine-level contract violations surface as client errors
         # (e.g. a case-sensitive slot against an index with no cs twin)
         return {"error": str(e)}
-    return _serialize(rows, p["skip"], p["until"])
+    return _serialize(rows, p["skip"], p["until"], fmt=p["format"])
 
 
 def _continuation_key(p: dict, index) -> tuple:

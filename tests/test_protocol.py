@@ -308,3 +308,41 @@ def test_top_terms_lang_routing(spark, serving):
     assert [(r["term"], r["df"]) for r in resp["results"]] == want
     assert handle_request(docs, {lang: lidx},
                           {"top_terms": 5, "lang": "xx"})["results"] == []
+
+
+def test_kwic_format_request(spark, serving):
+    """format=kwic swaps occurrence payloads for aligned concordance
+    columns; totals/pagination identical to the snippets form, and the
+    keyword column always re-joins to the matched tokens."""
+    docs, idx = serving
+    snip = handle_request(docs, idx, REQ)
+    kw = handle_request(docs, idx, {**REQ, "format": "kwic"})
+    assert "error" not in kw
+    assert (kw["total_docs"], kw["total_matches"]) == \
+           (snip["total_docs"], snip["total_matches"])
+    assert [r["doc_id"] for r in kw["results"]] == \
+           [r["doc_id"] for r in snip["results"]]
+    for r in kw["results"]:
+        for m in r["matches"]:
+            assert set(m) == {"pos", "left", "keyword", "right"}
+            # 2 slots, dist (1,4): keyword spans match_len=2 tokens
+            assert len(m["keyword"].split()) == 2
+            assert m["keyword"].split()[0] == "fast"
+    json.loads(to_json(kw))
+    assert "error" in handle_request(docs, idx, {**REQ, "format": "nope"})
+
+
+def test_kwic_continuation_shares_match_set(spark, serving):
+    """A kwic page and a snippets page of the same request shape reuse
+    ONE cached match set in a continuation session (format is assembly,
+    not shape)."""
+    from fastmorph_spark.search.protocol import close_session
+
+    docs, idx = serving
+    session = {}
+    s1 = handle_request(docs, idx, REQ, session=session)
+    k1 = handle_request(docs, idx, {**REQ, "format": "kwic"}, session=session)
+    assert len(session) == 1  # same continuation key
+    assert (k1["total_docs"], k1["total_matches"]) == \
+           (s1["total_docs"], s1["total_matches"])
+    close_session(session)
