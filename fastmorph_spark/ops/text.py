@@ -183,3 +183,51 @@ def pack_shards(
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_freq(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus n-gram FREQUENCY LIST — the corpus-linguistics
+    surface next to collocations: (rank, ngram, count, df) where count
+    is total occurrences (NOT distinct-per-doc: a frequency list counts
+    every occurrence) and df is the number of docs containing the
+    n-gram. Deterministic total order: (count DESC, ngram ASC).
+
+    Scale shape: one explode + ONE groupBy on ngram (map-side partial
+    agg absorbs hot n-grams — no join, so no hot-key blowup), then
+    orderBy+limit fuses to TakeOrderedAndProject (shard-local top-k, the
+    driver k-merges <= k rows); the rank window runs over the <= k
+    collected rows only. This is an OFFLINE analysis op by design — a
+    serving request form would re-scan the corpus per request, which is
+    exactly what an index exists to avoid.
+    """
+    toks = tokenize_expr(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    base = base.withColumn("n_tok", F.size("t")).filter(F.col("n_tok") >= n)
+    idx = F.sequence(F.lit(0), F.col("n_tok") - n)
+    grams = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+        )).alias("ngram"),
+    )
+    top = (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("count"),
+             F.countDistinct("doc_id").cast("long").alias("df"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("ngram"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(Window.orderBy(F.desc("count"), F.asc("ngram")))
+    return top.withColumn("rank", rank.cast("long")).select(
+        "rank", "ngram", "count", "df"
+    )

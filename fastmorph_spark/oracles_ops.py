@@ -467,3 +467,23 @@ SELECT hits.doc_id, sizes.n_shingles, hits.n_contaminated,
        round(hits.n_contaminated::DOUBLE / sizes.n_shingles, {R}) AS overlap_frac
 FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
 """
+
+
+def ngram_freq_sql(n: int = 2, k: int = 100, min_count: int = 2) -> str:
+    """Mirror of ops.text.ngram_freq (occurrence counts, not
+    distinct-per-doc; (count DESC, ngram ASC) total order)."""
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(len(t) - {n} + 1),
+                 i -> array_to_string(t[i+1:i+{n}], ' '))) AS ngram
+  FROM tok WHERE len(t) >= {n}
+),
+agg AS (
+  SELECT ngram, count(*)::BIGINT AS count, count(DISTINCT doc_id)::BIGINT AS df
+  FROM g GROUP BY ngram HAVING count(*) >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY count DESC, ngram)::BIGINT AS rank,
+       ngram, count, df
+FROM agg ORDER BY count DESC, ngram LIMIT {k}
+"""

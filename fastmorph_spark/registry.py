@@ -659,6 +659,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(read_documents(spark, sf_dir))
 
 
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency list (ops/text.ngram_freq): top-100 by
+    occurrence count with doc frequency — the frequency-list surface
+    next to collocations; one groupBy, TakeOrderedAndProject top-k."""
+    from fastmorph_spark.ops.text import ngram_freq
+
+    return ngram_freq(read_documents(spark, sf_dir), n=2, k=100, min_count=2)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.text import quality_score
 
@@ -972,7 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
     driver-green row EVER come first (this round: the new kwic_search /
-    decontam_overlap / slot_case_packed / slot_tag_search /
+    decontam_overlap / ngram_freq / slot_case_packed / slot_tag_search /
     slot_tag_packed / phrase_deleted_packed / collocations /
     collocations_packed); (b) then the
     keys that missed the PREVIOUS round's cap (r03 casualties:
@@ -983,16 +992,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TAIL holds only r03-GREEN keys untouched this round and pinned by
     pytest (pure column-expression ops in test_ops / relational fixtures
     in test_entry), so a capped-out tail key is still attested green in
-    CORRECTNESS_r03 ∪ the test suite. With 66 keys this round, the 16
-    expected cap casualties (ann_lsh_recall, cosine_neardup,
-    multimodal_features/frames, events_json, rollup_lang_source + the
-    12-key tail) are ALL r03-green, and
+    CORRECTNESS_r03 ∪ the test suite. With 67 keys this round, the 17
+    expected cap casualties (ann_lsh_topk, ann_lsh_recall,
+    cosine_neardup, multimodal_features/frames, events_json,
+    rollup_lang_source + the 12-key tail) are ALL r03-green, and
     jobs/check_queries.py re-verified every key locally before the
     driver run."""
     return {
         # --- (a) no driver-green row ever: run first
         "kwic_search": q_kwic_search,
         "decontam_overlap": q_decontam_overlap,
+        "ngram_freq": q_ngram_freq,
         "slot_case_packed": q_slot_case_packed,
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
@@ -1114,6 +1124,7 @@ def oracle_sqls() -> dict[str, str]:
             [(1, 1)] * (len(tokenize_py(PHRASE_QUERY)) - 1),
             match_len=len(tokenize_py(PHRASE_QUERY)), width=KWIC_WIDTH,
         ),
+        "ngram_freq": oracles_ops.ngram_freq_sql(2, 100, 2),
         "decontam_overlap": oracles_ops.benchmark_contamination_sql(
             DECONTAM_N, 1,
             corpus_where=f"doc_id % {DECONTAM_MOD} != 0",

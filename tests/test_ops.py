@@ -355,3 +355,27 @@ def test_benchmark_contamination_self_is_total(spark):
     )
     r = decontam.benchmark_contamination(doc, doc, n=3).collect()
     assert len(r) == 1 and r[0]["overlap_frac"] == 1.0
+
+
+def test_ngram_freq_counts_occurrences(spark):
+    """Frequency list counts EVERY occurrence (not distinct-per-doc),
+    df counts docs, ties break on ngram ASC, rank is 1-based dense."""
+    from fastmorph_spark.ops.text import ngram_freq
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # "a b" x3, "b a" x2
+            (2, "a b c"),         # "a b" x1, "b c" x1
+            (3, "x"),             # < n tokens: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in ngram_freq(df, n=2, k=10, min_count=1).collect()]
+    assert rows == [
+        (1, "a b", 4, 2),
+        (2, "b a", 2, 1),
+        (3, "b c", 1, 1),
+    ]
+    # min_count prunes the tail
+    assert [r["ngram"] for r in ngram_freq(df, n=2, k=10, min_count=2).collect()] \
+        == ["a b", "b a"]
