@@ -100,6 +100,16 @@ def run_query(
             skip=spec.get("skip", 0), until=spec.get("until", 20),
             width=spec.get("width", 2),
         )
+    if mode == "kwic_packed":
+        # the concordance serving path (format=kwic) — same request
+        # lifecycle, aligned left/keyword/right assembly (O6b)
+        from fastmorph_spark.search.packed import packed_search_request
+
+        return packed_search_request(
+            documents, index, spec["slots"], [tuple(d) for d in spec["dists"]],
+            skip=spec.get("skip", 0), until=spec.get("until", 20),
+            width=spec.get("width", 5), assembly="kwic",
+        )
     if mode == "and_packed":
         from fastmorph_spark.search.packed import packed_and_search
 
@@ -166,6 +176,11 @@ def run_query_oracle(spec: dict, oracle) -> list:
             oracle, spec["slots"], [tuple(d) for d in spec["dists"]],
             spec.get("skip", 0), spec.get("until", 20),
         )
+    if mode == "kwic_packed":
+        return _oracle_kwic_rows(
+            oracle, spec["slots"], [tuple(d) for d in spec["dists"]],
+            spec.get("skip", 0), spec.get("until", 20), spec.get("width", 5),
+        )
     if mode == "and_packed":
         return oracle.and_docs(q)
     if mode == "phrase_deleted_packed":
@@ -212,6 +227,31 @@ def _oracle_collocations(oracle, target: str, window: int, min_count: int,
     scored.sort(key=lambda r: (-r[3], r[0]))
     return [[i + 1, t, c, f, repr(round(pmi, 6))]
             for i, (t, c, f, pmi) in enumerate(scored[:k])]
+
+
+def _oracle_kwic_rows(oracle, slots, dists, skip, until, width):
+    """Pure-Python twin of the kwic request page — FULLY pinned including
+    the concordance text (the oracle holds the token streams): one row
+    per occurrence, (rank, doc_id, pos, left, keyword, right, n_matches,
+    total_docs, total_matches)."""
+    match_len = len(slots)
+    matches = oracle.slot_docs(slots, dists)  # (doc_id, n_matches, starts)
+    total_docs = len(matches)
+    total_matches = sum(n for _, n, _ in matches)
+    rows = []
+    for rank, (d, n, starts) in enumerate(matches[:until], start=1):
+        if rank <= skip:
+            continue
+        toks = oracle.tokens[d]
+        for pos in (int(x) for x in starts.split(",")):
+            rows.append([
+                rank, d, pos,
+                " ".join(toks[max(pos - width, 0):pos]),
+                " ".join(toks[pos:pos + match_len]),
+                " ".join(toks[pos + match_len:pos + match_len + width]),
+                n, total_docs, total_matches,
+            ])
+    return rows
 
 
 def _oracle_request_rows(oracle, slots, dists, skip, until):

@@ -73,6 +73,12 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert [[r["doc_id"], r["total_tf"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] in ("slot", "slot_packed", "slot_packed_direct"):
         assert [[r["doc_id"], r["n_matches"], r["match_starts"]] for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "kwic_packed":
+        # fully pinned including the concordance text — the oracle holds
+        # the token streams
+        assert [[r["rank"], r["doc_id"], r["pos"], r["left_ctx"], r["keyword"],
+                 r["right_ctx"], r["n_matches"], r["total_docs"],
+                 r["total_matches"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "request_packed":
         # snippet/hl text is pinned by the driver oracle; the query-set
         # golden pins the structural columns per occurrence
