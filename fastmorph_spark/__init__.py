@@ -33,6 +33,9 @@ def __getattr__(name):
         "bm25_topk_expression": ("fastmorph_spark.search.bm25", "bm25_topk_expression"),
         "slot_search": ("fastmorph_spark.search.engine", "slot_search"),
         "search_request": ("fastmorph_spark.search.engine", "search_request"),
+        "kwic": ("fastmorph_spark.search.engine", "kwic"),
+        "benchmark_contamination": ("fastmorph_spark.ops.decontam", "benchmark_contamination"),
+        "ngram_freq": ("fastmorph_spark.ops.text", "ngram_freq"),
         "delete_docs": ("fastmorph_spark.index.tombstones", "delete_docs"),
         "purge_tombstones": ("fastmorph_spark.index.tombstones", "purge_tombstones"),
         "handle_request": ("fastmorph_spark.search.protocol", "handle_request"),
@@ -50,7 +53,8 @@ __all__ = [
     "BM25_K1", "BM25_B", "TOKEN_PATTERN",
     "build_index_frames", "write_index", "read_index", "compact_postings",
     "build_index_resumable", "search_wand", "bm25_topk_expression",
-    "slot_search", "search_request", "delete_docs", "purge_tombstones",
+    "slot_search", "search_request", "kwic", "benchmark_contamination",
+    "ngram_freq", "delete_docs", "purge_tombstones",
     "handle_request", "parse_request",
 ]
 __version__ = "0.2.0"
