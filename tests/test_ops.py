@@ -379,3 +379,34 @@ def test_ngram_freq_counts_occurrences(spark):
     # min_count prunes the tail
     assert [r["ngram"] for r in ngram_freq(df, n=2, k=10, min_count=2).collect()] \
         == ["a b", "b a"]
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan pins for the round-4 operators (the 100x-scale shapes):
+    ngram_freq's top-k fuses to TakeOrderedAndProject (shard-local top-k,
+    driver k-merge) with the rank window only AFTER the <= k limit;
+    kwic's physical plan has NO Window operator at all; decontam's
+    benchmark side broadcast-gates into a LeftSemi broadcast join."""
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.ops.decontam import benchmark_contamination
+    from fastmorph_spark.ops.text import ngram_freq
+    from fastmorph_spark.search.engine import kwic
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet") \
+        .select("doc_id", "text")
+
+    nf = ngram_freq(docs, 2, 50, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in nf
+
+    matches = spark.createDataFrame(
+        [(1, 1, "0")], "doc_id long, n_matches long, match_starts string"
+    )
+    kp = kwic(docs, matches, 1, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in kp  # nothing funnels through one reducer
+
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    dp = benchmark_contamination(corpus, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in dp and "BroadcastHashJoin" in dp
