@@ -79,3 +79,47 @@ def benchmark_contamination(
             "overlap_frac"
         ),
     )
+
+
+def pipeline_drop_list(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    dedup_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    contam_n: int = 8,
+    min_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope=None,
+) -> DataFrame:
+    """The COMPLETE hygiene decision a training pipeline consumes:
+    (doc_id, reason) for every doc to drop — dedup drops (reason 'exact'
+    / 'near', ops.dedup.drop_list semantics) unioned with benchmark
+    contamination drops (reason 'contaminated': overlap_frac >=
+    ``min_frac`` against ``benchmark``). Precedence exact > near >
+    contaminated: a doc is listed once, under the strongest reason.
+    When the benchmark docs are themselves inside ``docs`` (the verbatim
+    eval-leak case), they self-contaminate at 1.0 and get dropped —
+    exactly what decontamination is for.
+
+    Scale shape: the dedup decision is pinned (read by the union AND the
+    anti-join — ``scope`` owns the cache, else the caller does, matching
+    drop_list); contamination adds one shingle semi-join. No new shuffle
+    shapes beyond the two composed operators."""
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.ops.dedup import drop_list
+
+    dd = pin(drop_list(docs, dedup_n, num_hashes, bands, threshold,
+                       text_col, id_col, scope=scope), scope)
+    contam = (
+        benchmark_contamination(docs, benchmark, n=contam_n,
+                                text_col=text_col, id_col=id_col)
+        .filter(F.col("overlap_frac") >= min_frac)
+        .select("doc_id")
+    )
+    return dd.unionByName(
+        contam.join(dd.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("contaminated").alias("reason"))
+    ).orderBy("doc_id")

@@ -487,3 +487,24 @@ SELECT row_number() OVER (ORDER BY count DESC, ngram)::BIGINT AS rank,
        ngram, count, df
 FROM agg ORDER BY count DESC, ngram LIMIT {k}
 """
+
+
+def pipeline_drop_list_sql(dedup_n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, threshold: float = 0.5,
+                           contam_n: int = 8, min_frac: float = 0.05,
+                           bench_where: str = "TRUE") -> str:
+    """Mirror of ops.decontam.pipeline_drop_list: dedup drop list union
+    contamination drops (>= min_frac vs the bench_where slice), dedup
+    reasons taking precedence."""
+    dd = drop_list_sql(dedup_n, num_hashes, bands, threshold).strip()
+    c = benchmark_contamination_sql(contam_n, 1, "TRUE", bench_where).strip()
+    return f"""
+WITH dd AS ({dd}),
+c AS ({c})
+SELECT doc_id, reason FROM dd
+UNION ALL
+SELECT c.doc_id, 'contaminated' AS reason FROM c
+WHERE c.overlap_frac >= {min_frac}
+  AND c.doc_id NOT IN (SELECT doc_id FROM dd)
+ORDER BY doc_id
+"""

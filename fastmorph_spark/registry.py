@@ -641,6 +641,21 @@ def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                      bands=4, threshold=0.5)
 
 
+def q_pipeline_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete hygiene decision (ops/decontam.pipeline_drop_list):
+    dedup drops ∪ benchmark-contamination drops with reason precedence.
+    The doc_id % DECONTAM_MOD == 0 slice plays the eval set and is ALSO
+    left inside the corpus — the verbatim-leak case: those docs
+    self-contaminate at 1.0 and land on the drop list."""
+    from fastmorph_spark.ops.decontam import pipeline_drop_list
+
+    docs = read_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return pipeline_drop_list(docs, bench, dedup_n=3, num_hashes=16,
+                              bands=4, threshold=0.5,
+                              contam_n=DECONTAM_N, min_frac=0.2)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import simhash
 
@@ -981,9 +996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
     driver-green row EVER come first (this round: the new kwic_search /
-    decontam_overlap / ngram_freq / slot_case_packed / slot_tag_search /
-    slot_tag_packed / phrase_deleted_packed / collocations /
-    collocations_packed); (b) then the
+    decontam_overlap / ngram_freq / pipeline_drop_list /
+    slot_case_packed / slot_tag_search / slot_tag_packed /
+    phrase_deleted_packed / collocations / collocations_packed); (b)
+    then the
     keys that missed the PREVIOUS round's cap (r03 casualties:
     dedup_groups .. events_window — all r02-green), so every key re-earns
     a green row at least every other round; (c) keys whose code paths
@@ -992,10 +1008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the TAIL holds only r03-GREEN keys untouched this round and pinned by
     pytest (pure column-expression ops in test_ops / relational fixtures
     in test_entry), so a capped-out tail key is still attested green in
-    CORRECTNESS_r03 ∪ the test suite. With 67 keys this round, the 17
-    expected cap casualties (ann_lsh_topk, ann_lsh_recall,
-    cosine_neardup, multimodal_features/frames, events_json,
-    rollup_lang_source + the 12-key tail) are ALL r03-green, and
+    CORRECTNESS_r03 ∪ the test suite. With 68 keys this round, the 18
+    expected cap casualties (ann_cosine_topk_arrow, ann_lsh_topk,
+    ann_lsh_recall, cosine_neardup, multimodal_features/frames,
+    events_json, rollup_lang_source + the 12-key tail) are ALL
+    r03-green, and
     jobs/check_queries.py re-verified every key locally before the
     driver run."""
     return {
@@ -1003,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_search": q_kwic_search,
         "decontam_overlap": q_decontam_overlap,
         "ngram_freq": q_ngram_freq,
+        "pipeline_drop_list": q_pipeline_drop_list,
         "slot_case_packed": q_slot_case_packed,
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
@@ -1125,6 +1143,10 @@ def oracle_sqls() -> dict[str, str]:
             match_len=len(tokenize_py(PHRASE_QUERY)), width=KWIC_WIDTH,
         ),
         "ngram_freq": oracles_ops.ngram_freq_sql(2, 100, 2),
+        "pipeline_drop_list": oracles_ops.pipeline_drop_list_sql(
+            3, 16, 4, 0.5, DECONTAM_N, 0.2,
+            bench_where=f"doc_id % {DECONTAM_MOD} = 0",
+        ),
         "decontam_overlap": oracles_ops.benchmark_contamination_sql(
             DECONTAM_N, 1,
             corpus_where=f"doc_id % {DECONTAM_MOD} != 0",

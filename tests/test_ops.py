@@ -410,3 +410,32 @@ def test_new_ops_plan_shapes(spark):
     dp = benchmark_contamination(corpus, bench, n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in dp and "BroadcastHashJoin" in dp
+
+
+def test_pipeline_drop_list_precedence(spark):
+    """Composed hygiene decision: exact dup > near dup > contaminated;
+    verbatim eval leaks (benchmark docs inside the corpus) self-
+    contaminate and are dropped; each doc listed at most once."""
+    from fastmorph_spark.cache import CacheScope
+    from fastmorph_spark.ops.decontam import pipeline_drop_list
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                       # kept: rep of exact group
+            (2, base),                       # dropped: exact
+            (3, "totally unrelated words here in this document now"),
+            (4, "the benchmark question text appears verbatim right here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the benchmark question text appears verbatim right here")],
+        "doc_id long, text string",
+    )
+    with CacheScope() as scope:
+        got = {r["doc_id"]: r["reason"]
+               for r in pipeline_drop_list(
+                   corpus, bench, contam_n=3, min_frac=0.2, scope=scope
+               ).collect()}
+    assert got == {2: "exact", 4: "contaminated"}
