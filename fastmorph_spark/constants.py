@@ -30,6 +30,29 @@ TOKEN_SPLIT_PATTERN = r"[^a-z0-9_]+"
 TOKEN_PATTERN_CS = r"[A-Za-z0-9_]+"
 TOKEN_SPLIT_PATTERN_CS = r"[^A-Za-z0-9_]+"
 
+# Unicode twin (VERDICT r04 #1): lowercase-fold, keep runs of
+# letter/digit/underscore in ANY script — what lets the engine index the
+# reference's own corpus class (Tatar/Cyrillic [PK-high]) instead of
+# tokenizing it to nothing under the ASCII contract.
+#
+# Three engines, one boundary rule, verified identical (tests/test_unicode):
+#   Python/pandas:  re '\w+' on str.lower()   (\w = L* + N* + '_' runs)
+#   Spark/Java:     split on '[^\p{L}\p{N}_]+' of lower()
+#   DuckDB/RE2:     regexp_split_to_array(lower(), '[^\p{L}\p{N}_]+')
+#
+# UNICODE CONTRACT: pinned for scripts whose lower() is 1:1 (Cyrillic
+# incl. Tatar һ/ә/ү/җ/ң/ө, Greek, Latin incl. precomposed accents, CJK,
+# digits of any script). Out of contract: the handful of LENGTH-CHANGING
+# case mappings (e.g. 'İ' U+0130 lowers to 'i' + combining dot) — the
+# combining mark (Mn) is a separator in all three engines, so such a char
+# may split differently from its lowercase form; corpora containing them
+# should be NFC/НFKC-normalized upstream. No case-SENSITIVE uni twin is
+# built (build_index_frames refuses): shared-position-space reasoning
+# needs fold-invariant boundaries, which length-changing mappings break.
+TOKEN_PATTERN_UNI_PY = r"\w+"                 # Python re (Unicode default)
+TOKEN_PATTERN_UNI_JAVA = r"[\p{L}\p{N}_]+"    # Java regex / regexp_count
+TOKEN_SPLIT_PATTERN_UNI = r"[^\p{L}\p{N}_]+"  # Java split / RE2 split
+
 # BM25 constants (Robertson/Sparck-Jones; the "+1" idf variant used by
 # Lucene so idf is always positive).
 #   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))

@@ -13,20 +13,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_docs(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def build_docs(corpus: DataFrame, id_col: str = "doc_id", tokenizer: str = "ascii") -> DataFrame:
     """Doc registry: identity + the per-row sha256 invariant
     (BASELINE.json input_hint: content sha256 equality vs source)."""
+    from fastmorph_spark.constants import TOKEN_PATTERN_UNI_JAVA
+
     cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
     text_col = "content" if "content" in corpus.columns else "text"
+    count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else r"[a-z0-9_]+"
     return corpus.select(
         F.col(id_col),
         *cols,
         F.sha2(F.col(text_col), 256).alias("content_sha256"),
-        # token count == number of [a-z0-9_]+ runs; regexp_count avoids
+        # token count == number of token-pattern runs; regexp_count avoids
         # materializing the token array (split() allocates ~len(doc)
         # UTF8Strings per row and turns the job GC-bound — measured flat
         # 15s at ANY core count on 100k docs vs <2s with regexp_count)
-        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"[a-z0-9_]+"))
+        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(count_pattern))
         .cast("long").alias("doc_len"),
     )
 
@@ -36,7 +39,7 @@ POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl long"
 POSTINGS_SCHEMA_VB = "term string, doc_id long, tf int, positions_vb binary, dl long"
 
 
-def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", fold_case: bool = True, with_positions: bool = True, positions_vb: bool = False) -> DataFrame:
+def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", fold_case: bool = True, with_positions: bool = True, positions_vb: bool = False, tokenizer: str = "ascii") -> DataFrame:
     """Partition-LOCAL posting build (north_star: "partition-local
     posting-list build"): (term, doc_id, tf, positions sorted ascending),
     positions = 0-based token indexes.
@@ -55,7 +58,9 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
     hash map, no per-token Python.
 
     ``fold_case=False`` builds the case-preserving twin index (per-slot
-    case-sensitive match, P5). ``with_positions=False`` skips the position
+    case-sensitive match, P5). ``tokenizer="uni"`` builds over the Unicode
+    twin tokenizer (non-Latin corpora — constants.TOKEN_PATTERN_UNI_PY;
+    folded only). ``with_positions=False`` skips the position
     payload (column pruning can't reach inside the kernel) for tf-only
     consumers like expression BM25. ``positions_vb=True`` emits positions
     PRE-ENCODED as per-posting delta+varbyte bytes (first value raw —
@@ -70,9 +75,17 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
     import numpy as np
     import pandas as pd
 
-    from fastmorph_spark.constants import TOKEN_PATTERN, TOKEN_PATTERN_CS
+    from fastmorph_spark.constants import (
+        TOKEN_PATTERN,
+        TOKEN_PATTERN_CS,
+        TOKEN_PATTERN_UNI_PY,
+    )
 
-    pattern = TOKEN_PATTERN if fold_case else TOKEN_PATTERN_CS
+    if tokenizer == "uni":
+        assert fold_case, "the uni tokenizer has no case-preserving twin"
+        pattern = TOKEN_PATTERN_UNI_PY
+    else:
+        pattern = TOKEN_PATTERN if fold_case else TOKEN_PATTERN_CS
 
     def _build(batches):
         rx = _re.compile(pattern)

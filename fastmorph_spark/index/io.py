@@ -77,8 +77,17 @@ def build_index_frames(
     block_size: int = BLOCK_SIZE,
     pack_partitions: int | None = None,
     case_sensitive: bool = False,
+    tokenizer: str = "ascii",
 ) -> Index:
     """Corpus -> all index DataFrames (lazy, unwritten).
+
+    ``tokenizer="uni"`` builds the whole physical index (postings,
+    dictionary, stats, impacts) over the Unicode tokenization — the
+    non-Latin-corpus path (VERDICT r04 #1). The packed layout, WAND
+    kernel, and slot decode are tokenizer-agnostic (they see terms as
+    opaque strings and positions as ints), so everything downstream
+    works unchanged; only the case-SENSITIVE twin is refused (no
+    fold-invariant boundary guarantee outside ASCII — constants).
 
     ``case_sensitive=True`` additionally packs the case-PRESERVING twin
     (VERDICT r03 #1): a second build_postings(fold_case=False) +
@@ -88,11 +97,17 @@ def build_index_frames(
     instead of re-tokenizing the corpus. The cs dictionary derives from cs
     block metadata alone (dictionary_from_packed — no extra logical pass).
     """
-    docs = build_docs(documents, id_col=id_col)
+    if tokenizer == "uni" and case_sensitive:
+        raise NotImplementedError(
+            "no case-sensitive twin for the uni tokenizer: shared-position "
+            "reasoning needs fold-invariant token boundaries, which "
+            "length-changing Unicode case mappings break (constants)"
+        )
+    docs = build_docs(documents, id_col=id_col, tokenizer=tokenizer)
     # slim pre-encoded variant: dictionary/doc_lens need only (term, tf,
     # doc_id), and the pack shuffle carries bytes instead of int arrays
     postings = build_postings(documents, text_col=text_col, id_col=id_col,
-                              positions_vb=True)
+                              positions_vb=True, tokenizer=tokenizer)
     doc_lens = build_doc_lens(documents, postings, id_col=id_col)
     dictionary = build_dictionary(postings)
     stats = global_stats(doc_lens)

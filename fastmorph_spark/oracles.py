@@ -21,24 +21,27 @@ from fastmorph_spark.tokenize import tokenize_py
 TOK = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
 
 
-def _qterms_values(query_text: str) -> str:
-    terms = sorted(set(tokenize_py(query_text)))
+def _qterms_values(query_text: str, tokenize=tokenize_py) -> str:
+    terms = sorted(set(tokenize(query_text)))
     if not terms:
         return "SELECT NULL::VARCHAR AS term WHERE false"
     inner = ", ".join("('" + t + "')" for t in terms)
     return f"SELECT * FROM (VALUES {inner}) AS qt(term)"
 
 
-def _docs_cte(lang: str | None) -> str:
+def _docs_cte(lang: str | None, text_expr: str = "text") -> str:
     where = f" WHERE lang = '{lang}'" if lang else ""
-    return f"SELECT doc_id, text FROM documents{where}"
+    return f"SELECT doc_id, {text_expr} AS text FROM documents{where}"
 
 
-def _corpus_ctes(lang: str | None = None) -> str:
-    """Shared CTE chain: docs -> tok -> tf -> dl -> gs (global stats)."""
-    tok = TOK.format(col="text")
+def _corpus_ctes(lang: str | None = None, tok_fragment: str = TOK,
+                 text_expr: str = "text") -> str:
+    """Shared CTE chain: docs -> tok -> tf -> dl -> gs (global stats).
+    ``tok_fragment``/``text_expr`` let the Unicode twin swap in its
+    tokenizer and a derived (e.g. synthetic-Cyrillic) text column."""
+    tok = tok_fragment.format(col="text")
     return f"""
-docs AS ({_docs_cte(lang)}),
+docs AS ({_docs_cte(lang, text_expr)}),
 tok AS (
   SELECT doc_id, unnest({tok}) AS term FROM docs
 ),
@@ -54,12 +57,16 @@ gs AS (
 )"""
 
 
-def bm25_topk_sql(query_text: str, k: int = 10, lang: str | None = None) -> str:
-    """Mirror of search.bm25.bm25_topk_expression(round_score=True)."""
+def bm25_topk_sql(query_text: str, k: int = 10, lang: str | None = None,
+                  tok_fragment: str = TOK, text_expr: str = "text",
+                  tokenize=tokenize_py) -> str:
+    """Mirror of search.bm25.bm25_topk_expression(round_score=True).
+    The uni twin passes its tokenizer fragment + tokenize_py_uni (query
+    folding) + the synthetic-Cyrillic text expression."""
     k1, b = BM25_K1, BM25_B
     return f"""
-WITH {_corpus_ctes(lang)},
-q AS ({_qterms_values(query_text)}),
+WITH {_corpus_ctes(lang, tok_fragment, text_expr)},
+q AS ({_qterms_values(query_text, tokenize)}),
 m AS (SELECT tf.* FROM tf JOIN q USING (term)),
 dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
 s AS (
@@ -188,7 +195,8 @@ TOK_CS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> 
 
 
 def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text",
-                    lang: str | None = None) -> str:
+                    lang: str | None = None, tok_fragment: str | None = None,
+                    tok_cs_fragment: str | None = None) -> str:
     """Mirror of engine.slot_search: same slot specs, same chained distance
     semantics, same output columns (doc_id, n_matches, match_starts). The
     case-sensitive twin tokenization shares positions with the folded one
@@ -234,9 +242,13 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
             f"AND v{i} <= {prev} + {hi} AND {expr})) > 0"
         )
     where = f" WHERE lang = '{lang}'" if lang else ""
+    # uni twin: both unnest columns use the SAME uni fragment (no case
+    # slots exist there), keeping the parallel unnest length-aligned
+    tok = (tok_fragment or TOK).format(col="text")
+    tok_cs = (tok_cs_fragment or (tok_fragment or TOK_CS)).format(col="text")
     return f"""
 WITH docs AS (SELECT doc_id, {text_expr} AS text FROM documents{where}),
-tokarr AS (SELECT doc_id, {TOK.format(col="text")} AS toks, {TOK_CS.format(col="text")} AS toks_cs FROM docs),
+tokarr AS (SELECT doc_id, {tok} AS toks, {tok_cs} AS toks_cs FROM docs),
 pos AS (
   SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
          unnest(range(len(toks)))::INT AS pos

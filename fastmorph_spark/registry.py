@@ -23,7 +23,11 @@ from fastmorph_spark.index import (
 from fastmorph_spark.search import engine
 from fastmorph_spark.search.bm25 import bm25_topk_expression
 from fastmorph_spark.sources import read_documents
-from fastmorph_spark.tokenize import tokenize_py
+from fastmorph_spark.tokenize import (
+    DUCKDB_TOKENIZE_UNI,
+    tokenize_py,
+    tokenize_py_uni,
+)
 
 # headline subset for bench.py (driver runs it per round — keep bounded);
 # covers: expression BM25, full physical path (pack+WAND), token-slot ops,
@@ -79,6 +83,47 @@ DECONTAM_MOD = 37                    # doc_id % MOD == 0 plays the benchmark set
 REQ_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
 REQ_DISTS = [(1, 4)]
 REQ_SKIP, REQ_UNTIL = 2, 12
+
+# --- Unicode twin fixture (VERDICT r04 #1): the driver corpus is ASCII, so
+# the uni tokenizer is exercised over a DETERMINISTIC synthetic Cyrillic
+# (Tatar) text column derived from doc_id in BOTH engines — the
+# slot_case_search convention, extended to full text synthesis. 8 words per
+# doc, word i = vocab[(doc_id*(i+3) + i*i) % 16], mixed-case vocab (folding
+# matters) incl. Tatar-specific letters (һ/ә/ү/җ/ң/ө), punctuation-varied
+# separators (tokenizer must drop them identically in all three engines).
+UNI_VOCAB = (
+    "Татар", "теле", "Казан", "йорт", "һава", "Дәүләт", "китап", "өй",
+    "җыр", "мәктәп", "Идел", "су", "Яңа", "көн", "ел", "ШӘҺӘР",
+)
+_UNI_SEPS = (" ", ", ", " — ", "! ", " ", ". ", " ")
+UNI_QUERY = "Казан ЙОРТ һава"                      # mixed-case Cyrillic query
+UNI_SLOTS = [{"term": "Татар"}, {"term": "теле"}]  # adjacent when doc_id%16==0
+UNI_DISTS = [(1, 1)]
+_UNI_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in UNI_VOCAB) + "]"
+UNI_TEXT_SQL = " || ".join(
+    part
+    for i in range(8)
+    for part in (
+        [f"{_UNI_VOCAB_SQL}[(doc_id*{i + 3} + {i * i}) % 16 + 1]"]
+        + ([f"'{_UNI_SEPS[i]}'"] if i < 7 else [])
+    )
+)
+
+
+def _uni_text_col() -> F.Column:
+    """Spark twin of UNI_TEXT_SQL — must be byte-identical per doc_id."""
+    arr = F.array(*[F.lit(w) for w in UNI_VOCAB])
+    d = F.col("doc_id")
+    parts = []
+    for i in range(8):
+        parts.append(F.element_at(arr, ((d * (i + 3) + i * i) % 16 + 1).cast("int")))
+        if i < 7:
+            parts.append(F.lit(_UNI_SEPS[i]))
+    return F.concat(*parts)
+
+
+def _uni_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_documents(spark, sf_dir).select("doc_id", _uni_text_col().alias("text"))
 
 
 # Session-lifetime memo of shared index tables: an engine builds its
@@ -354,6 +399,56 @@ def q_slot_case_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return packed_slot_search(_packed_case_index(spark, sf_dir),
                               CASE_SLOTS, CASE_DISTS)
+
+
+def q_bm25_topk_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the UNICODE tokenizer twin (VERDICT r04 #1): a mixed-case
+    Cyrillic query over the deterministic synthetic Tatar corpus — the
+    reference's own corpus class [PK-high], which the ASCII contract
+    tokenizes to nothing. Expression path; oracle mirrors the uni
+    tokenizer + the same synthetic text."""
+    return bm25_topk_expression(_uni_docs(spark, sf_dir), UNI_QUERY, k=10,
+                                round_score=True, tokenizer="uni") \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+def _packed_uni_index(spark: SparkSession, sf_dir: str):
+    """Packed physical index over the uni tokenization of the synthetic
+    Cyrillic corpus — proves the FULL index stack (varbyte pack, block
+    metadata, WAND, slot decode) is tokenizer-agnostic end-to-end."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        idx = build_index_frames(
+            _uni_docs(spark, sf_dir), doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+            tokenizer="uni",
+        )
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_uni", sf_dir), build)
+
+
+def q_bm25_topk_wand_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uni query through the FULL physical path (pack -> Block-Max
+    WAND): must hash-match the same oracle as q_bm25_topk_uni."""
+    from fastmorph_spark.search.wand import search_wand
+
+    return search_wand(_packed_uni_index(spark, sf_dir), UNI_QUERY, k=10,
+                       round_score=True, tokenizer="uni")
+
+
+def q_slot_uni_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyrillic phrase ('Татар теле', adjacent slots) over the PACKED uni
+    index: dictionary expansion + pruned block decode + HOF position
+    chain, all over non-Latin terms. Slot literals fold via Python
+    lower() (Unicode-correct), so no tokenizer threading is needed."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_uni_index(spark, sf_dir),
+                              UNI_SLOTS, UNI_DISTS)
 
 
 # deterministic tombstone set for the delete-path driver query: every
@@ -1022,6 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": q_ngram_freq,
         "pipeline_drop_list": q_pipeline_drop_list,
         "slot_case_packed": q_slot_case_packed,
+        "bm25_topk_uni": q_bm25_topk_uni,
+        "bm25_topk_wand_uni": q_bm25_topk_wand_uni,
+        "slot_uni_packed": q_slot_uni_packed,
         "slot_tag_search": q_slot_tag_search,
         "slot_tag_packed": q_slot_tag_packed,
         "phrase_deleted_packed": q_phrase_deleted_packed,
@@ -1112,6 +1210,18 @@ def oracle_sqls() -> dict[str, str]:
         "slot_case_search": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
         # packed cs-twin path must be result-identical to the corpus path
         "slot_case_packed": oracles.slot_search_sql(CASE_SLOTS, CASE_DISTS, text_expr=CASE_TEXT_SQL),
+        # unicode twin: uni tokenizer fragment + synthetic Cyrillic text,
+        # query terms folded by tokenize_py_uni; expression and WAND paths
+        # share one oracle (rank-identity requirement)
+        "bm25_topk_uni": oracles.bm25_topk_sql(
+            UNI_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_UNI,
+            text_expr=UNI_TEXT_SQL, tokenize=tokenize_py_uni),
+        "bm25_topk_wand_uni": oracles.bm25_topk_sql(
+            UNI_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_UNI,
+            text_expr=UNI_TEXT_SQL, tokenize=tokenize_py_uni),
+        "slot_uni_packed": oracles.slot_search_sql(
+            UNI_SLOTS, UNI_DISTS, text_expr=UNI_TEXT_SQL,
+            tok_fragment=DUCKDB_TOKENIZE_UNI),
         "slot_tag_search": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
         "slot_tag_packed": oracles.slot_search_sql(SLOT_TAG_SLOTS, SLOT_TAG_DISTS),
         "collocations": oracles.collocations_sql(

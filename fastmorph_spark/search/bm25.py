@@ -59,7 +59,7 @@ def bm25_score_col(tf: Column, df: Column, n_docs: Column, dl: Column, avgdl: Co
     return idf * (tf_d * F.lit(BM25_K1 + 1.0) / denom)
 
 
-def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", tokenizer: str = "ascii"):
     """(term_freqs, doc_lens, global_stats) over a document set.
 
     - term_freqs: (id_col, term, tf, dl)       [A1 — PARTITION-LOCAL
@@ -70,15 +70,17 @@ def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "do
       regexp_count == token count, tokenizer-parity tested; no join]
     - global_stats: 1-row (n_docs, avgdl)      [A3]
     """
-    from fastmorph_spark.constants import TOKEN_PATTERN
+    from fastmorph_spark.constants import TOKEN_PATTERN, TOKEN_PATTERN_UNI_JAVA
     from fastmorph_spark.index.build import build_postings
 
-    tf = build_postings(documents, text_col=text_col, id_col=id_col, with_positions=False)
+    tf = build_postings(documents, text_col=text_col, id_col=id_col,
+                        with_positions=False, tokenizer=tokenizer)
     if id_col != "doc_id":
         tf = tf.withColumnRenamed("doc_id", id_col)
+    count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else TOKEN_PATTERN
     doc_lens = documents.select(
         id_col,
-        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_PATTERN))
+        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(count_pattern))
         .cast("long").alias("dl"),
     )
     global_stats = doc_lens.agg(
@@ -97,6 +99,7 @@ def bm25_topk_expression(
     id_col: str = "doc_id",
     round_score: bool = False,
     scope=None,
+    tokenizer: str = "ascii",
 ) -> DataFrame:
     """Top-k docs for an OR (disjunctive) BM25 query, index-free.
 
@@ -104,10 +107,16 @@ def bm25_topk_expression(
     filtered to the (tiny) query-term set BEFORE any join, both per-term
     df aggs and the 1-row global stats broadcast, and orderBy+limit fuses
     into TakeOrderedAndProject — no global sort materializes.
+    ``tokenizer="uni"`` scores over the Unicode tokenization (query terms
+    fold through the same tokenizer, so a Cyrillic query works end-to-end).
     """
-    qterms = sorted(set(tokenize_py(query_text)))
+    from fastmorph_spark.tokenize import tokenize_py_uni
+
+    tok_py = tokenize_py_uni if tokenizer == "uni" else tokenize_py
+    qterms = sorted(set(tok_py(query_text)))
     docs = documents.filter(F.col("lang") == lang) if lang else documents
-    tf, doc_lens, global_stats = corpus_stats(docs, text_col=text_col, id_col=id_col)
+    tf, doc_lens, global_stats = corpus_stats(docs, text_col=text_col, id_col=id_col,
+                                              tokenizer=tokenizer)
 
     if not qterms:
         matched = tf.filter(F.lit(False))

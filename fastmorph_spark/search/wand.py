@@ -193,11 +193,18 @@ def search_wand(
     k: int = 10,
     round_score: bool = False,
     prune: bool = True,
+    tokenizer: str = "ascii",
 ) -> DataFrame:
     """BM25 top-k over the packed index via the Block-Max WAND kernel.
-    Rank-identical to the expression/indexed/oracle paths (tested)."""
+    Rank-identical to the expression/indexed/oracle paths (tested).
+    ``tokenizer`` must match the one the index was built with — it only
+    affects how the QUERY text folds into terms (the kernel itself is
+    tokenizer-agnostic); "uni" folds a Cyrillic/any-script query."""
+    from fastmorph_spark.tokenize import tokenize_py_uni
+
+    tok_py = tokenize_py_uni if tokenizer == "uni" else tokenize_py
     spark = index.postings.sparkSession
-    qterms = sorted(set(tokenize_py(query_text)))
+    qterms = sorted(set(tok_py(query_text)))
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not qterms:
         return empty

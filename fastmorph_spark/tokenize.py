@@ -27,8 +27,10 @@ from pyspark.sql.types import ArrayType, StringType
 from fastmorph_spark.constants import (
     TOKEN_PATTERN,
     TOKEN_PATTERN_CS,
+    TOKEN_PATTERN_UNI_PY,
     TOKEN_SPLIT_PATTERN,
     TOKEN_SPLIT_PATTERN_CS,
+    TOKEN_SPLIT_PATTERN_UNI,
 )
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
@@ -97,15 +99,54 @@ DUCKDB_TOKENIZE_CS = (
     "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> '')"
 )
 
+# ---- Unicode twin (VERDICT r04 #1): same 3-form rank-identical discipline,
+# boundaries = runs of \p{L}\p{N}_ after lower(). Contract + out-of-contract
+# characters documented at constants.TOKEN_PATTERN_UNI_PY; cross-engine
+# identity pinned by tests/test_unicode.py.
 
-def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True, fold_case: bool = True):
+_TOKEN_RE_UNI = re.compile(TOKEN_PATTERN_UNI_PY)
+
+
+def tokenize_py_uni(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return _TOKEN_RE_UNI.findall(text.lower())
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf_uni(texts: pd.Series) -> pd.Series:
+    """Unicode-aware vectorized tokenizer (Arrow batches; pandas
+    str.findall of '\\w+' on the lowercased series)."""
+    return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN_UNI_PY)
+
+
+def tokenize_expr_uni(col: Column | str) -> Column:
+    """Catalyst twin: Java-regex split on non-[\\p{L}\\p{N}_] runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_PATTERN_UNI),
+        lambda x: x != F.lit(""),
+    )
+
+
+DUCKDB_TOKENIZE_UNI = (
+    r"list_filter(regexp_split_to_array(lower({col}), '[^\p{{L}}\p{{N}}_]+'),"
+    " x -> x <> '')"
+)
+
+
+def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True, fold_case: bool = True, tokenizer: str = "ascii"):
     """content -> one row per (doc, pos, term). Position = 0-based token index.
 
     The posexplode index IS the position payload (SURVEY.md T2) — no
     separate position bookkeeping needed. ``fold_case=False`` uses the
-    case-preserving twin tokenizer (same boundaries -> same positions).
+    case-preserving twin tokenizer (same boundaries -> same positions);
+    ``tokenizer="uni"`` the Unicode twin (folded only — see constants).
     """
-    if fold_case:
+    if tokenizer == "uni":
+        assert fold_case, "the uni tokenizer has no case-preserving twin"
+        tok = tokenize_udf_uni(F.col(text_col)) if use_udf else tokenize_expr_uni(text_col)
+    elif fold_case:
         tok = tokenize_udf(F.col(text_col)) if use_udf else tokenize_expr(text_col)
     else:
         tok = tokenize_udf_cs(F.col(text_col)) if use_udf else tokenize_expr_cs(text_col)

@@ -1,0 +1,111 @@
+"""Unicode tokenizer twin (VERDICT r04 #1): 3-form rank-identity, fixture
+parity between engines, and the uni index/query paths.
+
+The pinned contract (constants.TOKEN_PATTERN_UNI_PY notes): boundaries =
+runs of letter/digit/underscore in any script after lower(); verified for
+1:1-lowercase scripts (Cyrillic incl. Tatar, Greek, precomposed Latin).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fastmorph_spark.tokenize import (
+    DUCKDB_TOKENIZE_UNI,
+    tokenize_expr_uni,
+    tokenize_py,
+    tokenize_py_uni,
+    tokenize_udf_uni,
+)
+from tests.conftest import SF0001
+
+# curated in-contract samples: Tatar/Cyrillic (the reference corpus class),
+# Greek, precomposed Latin accents, digits/underscores, punctuation noise,
+# empty/None edge cases. Length-changing case mappings (İ) are OUT of
+# contract and deliberately absent.
+SAMPLES = [
+    "Татар теле — матур тел! Казан 2024 ел.",
+    "ТАТАР ИЛЕ һәм Һава ҖИР өй ҮЗ Әни Ңк",
+    "naïve café über straße ß",
+    "αβγ ΔΕΖ λόγος",
+    "mixed ASCII_id9 Кыз №5 code",
+    "Ёлка ёлка ЙОРТ йорт",
+    "",
+    "!!! --- 123 ___ \n\t",
+    "a.b,c;d:e",
+]
+
+
+def test_three_form_identity(spark, duck):
+    py = [tokenize_py_uni(s) for s in SAMPLES]
+
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "text string")
+    via_udf = [r[0] for r in df.select(tokenize_udf_uni("text")).collect()]
+    via_expr = [r[0] for r in df.select(tokenize_expr_uni("text")).collect()]
+    assert via_udf == py
+    assert via_expr == py
+
+    frag = DUCKDB_TOKENIZE_UNI.format(col="?")
+    via_duck = [duck.execute(f"SELECT {frag}", [s]).fetchone()[0] for s in SAMPLES]
+    assert via_duck == py
+
+
+def test_uni_equals_ascii_on_ascii_text():
+    """On pure-ASCII input the uni twin must agree with the pinned ASCII
+    tokenizer (uni is a strict superset contract)."""
+    ascii_samples = [
+        "the fast hash join ORDER by", "a_b2 c-d e.f", "", "FAST Hash",
+    ]
+    for s in ascii_samples:
+        assert tokenize_py_uni(s) == tokenize_py(s)
+
+
+def test_fixture_text_parity(spark, duck):
+    """The synthetic-Cyrillic text column must be byte-identical between
+    the Spark expression and the DuckDB SQL for every doc_id."""
+    from fastmorph_spark.registry import UNI_TEXT_SQL, _uni_text_col
+
+    ids = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    sp = {r["doc_id"]: r["text"] for r in
+          ids.select("doc_id", _uni_text_col().alias("text")).collect()}
+    du = dict(duck.execute(
+        f"SELECT doc_id, {UNI_TEXT_SQL} AS text FROM range(100) t(doc_id)"
+    ).fetchall())
+    assert sp == du
+    # separators and mixed case actually present (fixture is non-trivial)
+    assert any("—" in t for t in sp.values())
+    assert any(t != t.lower() for t in sp.values())
+
+
+def test_uni_wand_matches_expression(spark):
+    """Rank identity of the packed/WAND path vs the expression path on the
+    Cyrillic corpus — the same invariant the ASCII paths pin."""
+    from fastmorph_spark.registry import (
+        UNI_QUERY,
+        q_bm25_topk_uni,
+        q_bm25_topk_wand_uni,
+    )
+
+    a = [tuple(r) for r in q_bm25_topk_uni(spark, SF0001).collect()]
+    b = [tuple(r) for r in q_bm25_topk_wand_uni(spark, SF0001).collect()]
+    assert a == b
+    assert len(a) == 10
+    # the query actually folds: mixed-case Cyrillic query terms
+    assert any(t != t.lower() for t in UNI_QUERY.split())
+
+
+def test_uni_slot_packed_nonempty(spark):
+    from fastmorph_spark.registry import q_slot_uni_packed
+
+    rows = q_slot_uni_packed(spark, SF0001).collect()
+    assert len(rows) > 0
+    assert all(r["n_matches"] >= 1 for r in rows)
+
+
+def test_uni_refuses_case_sensitive(spark):
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.registry import _uni_docs
+
+    with pytest.raises(NotImplementedError, match="case-sensitive"):
+        build_index_frames(_uni_docs(spark, SF0001), tokenizer="uni",
+                           case_sensitive=True)
