@@ -57,6 +57,7 @@ class Index:
     tombstones: DataFrame | None = None
     _stats_row: dict | None = None
     _tomb_ids = None  # memoized numpy mirror (tombstones.tombstone_ids)
+    _tomb_bc = None   # memoized sc.broadcast of _tomb_ids (one per Index)
 
     def stats_row(self) -> dict:
         """(n_docs, avgdl) memoized — one driver round-trip per Index."""
@@ -225,29 +226,43 @@ def _strip_file_scheme(p: str) -> str:
     return p[len("file://"):] if p.startswith("file://") else p
 
 
-def recover_postings(index_path: str) -> bool:
+def recover_postings(index_path: str, spark: SparkSession | None = None) -> bool:
     """Crash recovery for the compaction swap: if a crash hit between the
     two renames in compact_postings, the index has `.<subdir>-old` but no
     `<subdir>/` — restore the pre-compaction directory (postings and, when
     present, the postings_cs twin). Idempotent; returns True when any
-    recovery happened. Called by read_index and compact_postings for local
-    paths (ADVICE r02: the swap is two renames, not atomic — this closes
-    the window)."""
+    recovery happened. Called by read_index and compact_postings (ADVICE
+    r02: the swap is two renames, not atomic — this closes the window).
+    Runs through the Hadoop FS API when a session is available (scheme-
+    agnostic, VERDICT r04 #4); pure-os fallback otherwise."""
     import os
 
+    from fastmorph_spark.index.fs import fs_exists, fs_is_dir, fs_rename
+
+    spark = spark or SparkSession.getActiveSession()
     recovered = False
     for subdir in ("postings", "postings_cs"):
-        local = _strip_file_scheme(f"{index_path}/{subdir}")
-        local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
+        cur = f"{index_path}/{subdir}"
+        old = f"{index_path}/.{subdir}-old"
+        if spark is not None:
+            if not fs_exists(spark, cur) and fs_is_dir(spark, old):
+                try:
+                    fs_rename(spark, old, cur)
+                except OSError:
+                    # concurrent-recovery race (ADVICE r03 #3): the loser's
+                    # rename fails benignly iff the winner restored the dir
+                    if fs_exists(spark, cur):
+                        continue
+                    raise
+                recovered = True
+            continue
+        local = _strip_file_scheme(cur)
+        local_old = _strip_file_scheme(old)
         if not os.path.exists(local) and os.path.isdir(local_old):
             try:
                 os.rename(local_old, local)
             except OSError:
-                # two concurrent readers can both pass the exists/isdir
-                # checks and race the rename (ADVICE r03 #3); the loser's
-                # failure is benign iff the winner restored the dir —
-                # re-check instead of propagating, so concurrent recovery
-                # is idempotent
+                # same race as above, os flavor
                 if os.path.exists(local):
                     continue
                 raise
@@ -256,28 +271,15 @@ def recover_postings(index_path: str) -> bool:
 
 
 def read_index(spark: SparkSession, path: str) -> Index:
-    import os
+    from fastmorph_spark.index.fs import fs_is_dir
 
-    from fastmorph_spark.index.manifest import _is_driver_local
-
-    local = _is_driver_local(spark, path)
-    if local:
-        recover_postings(path)
+    recover_postings(path, spark)
     postings_cs = dictionary_cs = None
-    # cs-twin discovery: local paths check the directory; remote paths
-    # probe with a read attempt (a missing optional twin is not an error)
-    has_cs = os.path.isdir(_strip_file_scheme(f"{path}/postings_cs")) if local else True
-    if has_cs:
-        from pyspark.errors import AnalysisException
-
-        try:
-            postings_cs = spark.read.parquet(f"{path}/postings_cs")
-            dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
-        except AnalysisException:
-            # missing optional twin (remote-path probe) — NOT an error;
-            # anything else (corruption, permissions, transient IO) must
-            # propagate loudly rather than silently degrade to cs=None
-            postings_cs = dictionary_cs = None
+    # cs-twin discovery through the Hadoop FS API — uniform across
+    # schemes (a missing optional twin is not an error)
+    if fs_is_dir(spark, f"{path}/postings_cs"):
+        postings_cs = spark.read.parquet(f"{path}/postings_cs")
+        dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
     from fastmorph_spark.index.tombstones import read_tombstones
 
     return Index(
@@ -308,55 +310,46 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
     batch=N dirs into the flattened layout (mixed hive layouts break
     parquet discovery — ADVICE r02).
 
-    Driver-local filesystems only (os.rename swap); on a remote defaultFS
-    use a metastore-transactional table format (Iceberg) instead.
+    Scheme-agnostic (VERDICT r04 #4): every directory operation routes
+    through the Hadoop FileSystem API (index/fs.py), so the same swap
+    protocol runs on file://, hdfs://, or any resolved fs.defaultFS. The
+    rename pair is atomic per-op on HDFS/local; on object stores without
+    atomic rename the journaled intent + recover_postings still bound the
+    crash window (fs.py module notes).
 
     Returns {files_before, files_after, rows}."""
-    import os
-    import shutil
+    from fastmorph_spark.index.fs import (
+        fs_count_files,
+        fs_delete,
+        fs_is_dir,
+        fs_rename,
+    )
+    from fastmorph_spark.index.manifest import _append_manifest, _now
 
-    from fastmorph_spark.index.manifest import _append_manifest, _is_driver_local, _now
-
-    if not _is_driver_local(spark, index_path):
-        raise NotImplementedError(
-            "compact_postings swaps directories with os.rename and supports "
-            "driver-local (file://) index paths only; for a remote "
-            "filesystem use an Iceberg-backed index table"
-        )
-    recover_postings(index_path)
-
-    def _count_files(p: str) -> int:
-        n = 0
-        for _, _, files in os.walk(p):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
+    recover_postings(index_path, spark)
 
     def _compact_dir(subdir: str) -> dict:
         src = f"{index_path}/{subdir}"
-        local = _strip_file_scheme(src)
-        before = _count_files(local)
+        before = fs_count_files(spark, src)
         df = spark.read.parquet(src)
         if "batch" in df.columns:  # hive-discovered batch=N dirs: incidental
             df = df.drop("batch")
         rows = df.count()
         tmp = f"{index_path}/.{subdir}-compact-tmp"
-        local_tmp = _strip_file_scheme(tmp)
-        if os.path.exists(local_tmp):  # stale tmp from a crashed prior attempt
-            shutil.rmtree(local_tmp)
+        fs_delete(spark, tmp)  # stale tmp from a crashed prior attempt
         from fastmorph_spark.constants import N_TERM_BUCKETS
 
         df.repartition(N_TERM_BUCKETS, "term_bucket") \
             .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
         rows_tmp = spark.read.parquet(tmp).count()
         if rows_tmp != rows:
-            shutil.rmtree(local_tmp)
+            fs_delete(spark, tmp)
             raise RuntimeError(
                 f"compaction validation failed on {subdir}: rewrote {rows_tmp} "
                 f"rows, expected {rows}; original left untouched"
             )
-        local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
-        if os.path.exists(local_old):
-            shutil.rmtree(local_old)
+        old = f"{index_path}/.{subdir}-old"
+        fs_delete(spark, old)
         # journal the INTENT row BEFORE the swap (ADVICE r03 #1): a crash
         # between the second rename and a post-swap journal would leave a
         # fully flattened term_bucket=J layout with no manifest marker, so
@@ -369,19 +362,20 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
         _append_manifest(spark, index_path, (
             -2, "compacting", 0, rows, 0, 0, f"compaction:{subdir}", 1, 0, _now(),
         ))
-        os.rename(local, local_old)
-        os.rename(local_tmp, local)  # crash between these renames -> recover_postings
+        fs_rename(spark, src, old)
+        fs_rename(spark, tmp, src)  # crash between these renames -> recover_postings
         _append_manifest(spark, index_path, (
             -2, "compacted", 0, rows, 0, 0, f"compaction:{subdir}", 1, 0, _now(),
         ))
-        shutil.rmtree(local_old)
-        return {"files_before": before, "files_after": _count_files(local), "rows": rows}
+        fs_delete(spark, old)
+        return {"files_before": before, "files_after": fs_count_files(spark, src),
+                "rows": rows}
 
     out = _compact_dir("postings")
     # the case-preserving twin (batch case_sensitive=True builds or
     # streamed cs ingest) accumulates small files the same way — compact
     # it in the same call so the two layouts never diverge
-    if os.path.isdir(_strip_file_scheme(f"{index_path}/postings_cs")):
+    if fs_is_dir(spark, f"{index_path}/postings_cs"):
         out["cs"] = _compact_dir("postings_cs")
     return out
 

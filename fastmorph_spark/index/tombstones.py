@@ -62,22 +62,14 @@ def delete_docs(spark: SparkSession, index_path: str,
 
 
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """The live (deduplicated) tombstone set, or None when none exist.
-    Local paths check the directory; remote paths probe with a read."""
-    import os
-
-    from fastmorph_spark.index.io import _strip_file_scheme
-    from fastmorph_spark.index.manifest import _is_driver_local
+    """The live (deduplicated) tombstone set, or None when none exist —
+    discovered through the Hadoop FS API (scheme-agnostic)."""
+    from fastmorph_spark.index.fs import fs_is_dir
 
     path = _tomb_path(index_path)
-    if _is_driver_local(spark, path) and not os.path.isdir(_strip_file_scheme(path)):
+    if not fs_is_dir(spark, path):
         return None
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path).select("doc_id").distinct()
-    except AnalysisException:
-        return None
+    return spark.read.parquet(path).select("doc_id").distinct()
 
 
 def tombstone_ids(index) -> np.ndarray | None:
@@ -97,6 +89,38 @@ def tombstone_ids(index) -> np.ndarray | None:
     return index._tomb_ids if index._tomb_ids.size else None
 
 
+def tombstone_broadcast(index):
+    """The live tombstone set as an ``sc.broadcast`` of the sorted int64
+    array, or None (VERDICT r04 #2). Kernels capture the BROADCAST HANDLE
+    in their closures (bytes-sized) and resolve ``.value`` executor-side —
+    one torrent transfer per executor instead of re-serializing the whole
+    array into EVERY task (a 10^7-id backlog is ~80 MB; per-task shipping
+    multiplied that by the task count). Memoized per Index so a query
+    burst creates exactly one broadcast.
+
+    WAND keeps kernel-side masking (a post-top-k anti-join would be
+    UNSOUND: a shard's k-th..(k+m)-th live docs are already discarded
+    when m tombstoned docs occupy top-k slots); the packed DECODE paths
+    anti-join pre-aggregation instead (search/packed.py:_live), which is
+    the correct above-threshold shape there."""
+    if tombstone_ids(index) is None:
+        return None
+    if getattr(index, "_tomb_bc", None) is None:
+        from pyspark.sql import SparkSession
+
+        sc = SparkSession.getActiveSession().sparkContext
+        index._tomb_bc = sc.broadcast(index._tomb_ids)
+    return index._tomb_bc
+
+
+def resolve_exclude(exclude) -> np.ndarray | None:
+    """Executor-side: Broadcast handle -> array (identity on raw arrays,
+    kept for tests and the purge path's local use)."""
+    if exclude is None:
+        return None
+    return exclude.value if hasattr(exclude, "value") else exclude
+
+
 # decoded schema for the purge repack input: logical postings with dl
 # carried (pack_postings joins nothing when dl is present)
 _PURGE_DECODED = ("term string, doc_id long, dl long, tf int, "
@@ -114,9 +138,13 @@ def _decode_affected(blocks: DataFrame, tomb: DataFrame) -> DataFrame:
     )
 
     tomb_rows = [r["doc_id"] for r in tomb.collect()]
-    exclude = np.array(sorted(tomb_rows), dtype=np.int64)
+    # broadcast handle in the closure, not the array itself (one transfer
+    # per executor, not per task — VERDICT r04 #2)
+    exclude_bc = blocks.sparkSession.sparkContext.broadcast(
+        np.array(sorted(tomb_rows), dtype=np.int64))
 
     def _gen(it):
+        exclude = exclude_bc.value
         for pdf in it:
             out: dict[str, list] = {"term": [], "doc_id": [], "dl": [],
                                     "tf": [], "positions": []}
@@ -164,31 +192,20 @@ def purge_tombstones(
     finalize-state counters are rewritten consistently too (the log
     rewrite is full-scan I/O — like any purge/merge, schedule it at
     compaction cadence). The rewrite uses compact_postings' swap protocol
-    (tmp write -> validate -> journaled rename swap), so it shares its
-    driver-local-filesystem requirement; clearing tombstones/ is the
+    (tmp write -> validate -> journaled rename swap) through the Hadoop
+    FS API — scheme-agnostic (VERDICT r04 #4; index/fs.py notes the
+    object-store rename caveat); clearing tombstones/ is the
     LAST step, making a crashed purge re-runnable end-to-end (re-purging
     already-purged shards is a no-op on their content).
 
     Returns {"n_deleted", "n_docs", "blocks_repacked", "blocks_kept"}."""
-    import os
-    import shutil
-
     from fastmorph_spark.index.build import global_stats
-    from fastmorph_spark.index.io import _strip_file_scheme, recover_postings
-    from fastmorph_spark.index.manifest import (
-        _append_manifest,
-        _is_driver_local,
-        _now,
-    )
+    from fastmorph_spark.index.fs import fs_delete, fs_is_dir, fs_rename
+    from fastmorph_spark.index.io import recover_postings
+    from fastmorph_spark.index.manifest import _append_manifest, _now
     from fastmorph_spark.index.pack import dictionary_from_packed, pack_postings
 
-    if not _is_driver_local(spark, index_path):
-        raise NotImplementedError(
-            "purge_tombstones swaps directories with os.rename and supports "
-            "driver-local (file://) index paths only; for a remote filesystem "
-            "use a metastore-transactional table format (Iceberg)"
-        )
-    recover_postings(index_path)
+    recover_postings(index_path, spark)
     tomb = read_tombstones(spark, index_path)
     if tomb is None:
         return {"n_deleted": 0, "n_docs": -1, "blocks_repacked": 0, "blocks_kept": 0}
@@ -229,9 +246,7 @@ def purge_tombstones(
         )
         out = kept.select(*[f for f in repacked.columns]).unionByName(repacked)
         tmp = f"{index_path}/.{subdir}-purge-tmp"
-        local_tmp = _strip_file_scheme(tmp)
-        if os.path.exists(local_tmp):
-            shutil.rmtree(local_tmp)
+        fs_delete(spark, tmp)
         out.repartition(N_TERM_BUCKETS, "term_bucket") \
             .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp)
         # journaled swap (same crash-window story as compact_postings:
@@ -240,21 +255,19 @@ def purge_tombstones(
         _append_manifest(spark, index_path, (
             -3, "compacting", 0, n_kept + n_aff, 0, 0, f"purge:{subdir}", 1, 0, _now(),
         ))
-        local_src = _strip_file_scheme(src)
-        local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
-        if os.path.exists(local_old):
-            shutil.rmtree(local_old)
-        os.rename(local_src, local_old)
-        os.rename(local_tmp, local_src)
+        old = f"{index_path}/.{subdir}-old"
+        fs_delete(spark, old)
+        fs_rename(spark, src, old)
+        fs_rename(spark, tmp, src)
         _append_manifest(spark, index_path, (
             -3, "compacted", 0, n_kept + n_aff, 0, 0, f"purge:{subdir}", 1, 0, _now(),
         ))
-        shutil.rmtree(local_old)
+        fs_delete(spark, old)
         return n_aff, n_kept
 
     try:
         n_aff, n_kept = _rewrite_postings("postings")
-        has_cs = os.path.isdir(_strip_file_scheme(f"{index_path}/postings_cs"))
+        has_cs = fs_is_dir(spark, f"{index_path}/postings_cs")
         if has_cs:
             _rewrite_postings("postings_cs")
 
@@ -262,17 +275,13 @@ def purge_tombstones(
         # postings; same swap protocol keeps readers crash-consistent)
         def _swap_write(df: DataFrame, subdir: str) -> None:
             tmp = f"{index_path}/.{subdir}-purge-tmp"
-            local_tmp = _strip_file_scheme(tmp)
-            if os.path.exists(local_tmp):
-                shutil.rmtree(local_tmp)
+            fs_delete(spark, tmp)
             df.write.mode("overwrite").parquet(tmp)
-            local_src = _strip_file_scheme(f"{index_path}/{subdir}")
-            local_old = _strip_file_scheme(f"{index_path}/.{subdir}-old")
-            if os.path.exists(local_old):
-                shutil.rmtree(local_old)
-            os.rename(local_src, local_old)
-            os.rename(local_tmp, local_src)
-            shutil.rmtree(local_old)
+            old = f"{index_path}/.{subdir}-old"
+            fs_delete(spark, old)
+            fs_rename(spark, f"{index_path}/{subdir}", old)
+            fs_rename(spark, tmp, f"{index_path}/{subdir}")
+            fs_delete(spark, old)
 
         _swap_write(doc_lens_new, "doc_lens")
         _swap_write(
@@ -302,7 +311,7 @@ def purge_tombstones(
         # state counters to the post-purge registry.
         for subdir in ("postings_logical_stream", "postings_logical_stream_cs",
                        "docs_stream"):
-            if os.path.isdir(_strip_file_scheme(f"{index_path}/{subdir}")):
+            if fs_is_dir(spark, f"{index_path}/{subdir}"):
                 _swap_write(
                     spark.read.parquet(f"{index_path}/{subdir}")
                     .join(F.broadcast(tomb), "doc_id", "left_anti"),
@@ -329,6 +338,6 @@ def purge_tombstones(
         tomb.unpersist()
     # LAST: clear tombstones — a crash anywhere above leaves them in
     # place and the whole purge simply re-runs
-    shutil.rmtree(_strip_file_scheme(_tomb_path(index_path)))
+    fs_delete(spark, _tomb_path(index_path))
     return {"n_deleted": int(n_deleted), "n_docs": int(n_docs),
             "blocks_repacked": int(n_aff), "blocks_kept": int(n_kept)}

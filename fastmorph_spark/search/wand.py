@@ -70,10 +70,14 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
     """term_meta: term -> (idf, max_score). Returns the applyInPandas fn.
 
     ``exclude``: sorted int64 doc_ids to mask at block-decode time — the
-    live tombstone set (index/tombstones.py). Deleted docs never reach
-    scoring or the top-k heap; block upper bounds only get looser, so
-    WAND pruning stays exact. Stats (n_docs/avgdl/idf) are the
-    PRE-DELETE values until purge — Lucene delete semantics.
+    live tombstone set (index/tombstones.py), passed as an sc.broadcast
+    HANDLE (resolved executor-side; a raw array is accepted for tests).
+    Deleted docs never reach scoring or the top-k heap; block upper
+    bounds only get looser, so WAND pruning stays exact. Stats
+    (n_docs/avgdl/idf) are the PRE-DELETE values until purge — Lucene
+    delete semantics. Masking must stay INSIDE the kernel: filtering
+    after the shard top-k would under-fill shards whose top-k slots held
+    tombstoned docs (see tombstones.tombstone_broadcast).
 
     ``impact_slack`` >= 1 loosens the block upper bounds by that factor:
     stored block_max_impact values were computed with the PACK-time avgdl,
@@ -89,6 +93,9 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
     t_index = {t: i for i, t in enumerate(terms)}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fastmorph_spark.index.tombstones import resolve_exclude
+
+        excl = resolve_exclude(exclude)
         if pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype({"doc_id": "int64", "score": "float64"})
         # --- gather per-term block metadata (numpy, no decode yet)
@@ -146,8 +153,8 @@ def make_shard_kernel(term_meta: dict[str, tuple[float, float]],
                         vb_decode(tfs_col[b]), vb_decode(dls_col[b]),
                         term_meta[terms[ti]][0], avgdl,
                     )
-                    if exclude is not None:
-                        keep = ~np.isin(d, exclude)
+                    if excl is not None:
+                        keep = ~np.isin(d, excl)
                         d, sc = d[keep], sc[keep]
                     decoded[b] = (d, sc)
                 d, sc = decoded[b]
@@ -242,11 +249,11 @@ def search_wand(
     ).select("doc_shard", "term", "first_doc", "max_doc", "block_max_impact",
              "doc_gaps", "tfs", "dls")
 
-    from fastmorph_spark.index.tombstones import tombstone_ids
+    from fastmorph_spark.index.tombstones import tombstone_broadcast
 
     kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune,
                                impact_slack=impact_slack,
-                               exclude=tombstone_ids(index))
+                               exclude=tombstone_broadcast(index))
     local = blocks.groupBy("doc_shard").applyInPandas(
         lambda key, pdf: kernel(pdf), TOPK_SCHEMA
     )

@@ -206,3 +206,72 @@ def test_purge_keeps_streamed_index_consistent(spark, tmp_path_factory):
     oracle = OracleIndex(alive)
     got = [r["doc_id"] for r in search_wand(idx2, "fast hash join", k=10).collect()]
     assert got == [d for d, _ in oracle.topk("fast hash join", 10)]
+
+
+def test_tombstone_mask_is_broadcast_once(deleted_index, spark):
+    """VERDICT r04 #2: the kernel-side mask ships as ONE sc.broadcast per
+    Index (handle in the task closure, array transferred per executor),
+    memoized across queries — never re-collected or re-broadcast."""
+    import dataclasses
+
+    from pyspark.broadcast import Broadcast
+
+    from fastmorph_spark.index.tombstones import tombstone_broadcast
+
+    _, idx = deleted_index
+    idx2 = dataclasses.replace(idx)  # fresh memo fields
+    idx2._tomb_ids = idx2._tomb_bc = None
+    b1 = tombstone_broadcast(idx2)
+    b2 = tombstone_broadcast(idx2)
+    assert isinstance(b1, Broadcast) and b1 is b2
+    assert list(b1.value) == sorted(DELETED)
+
+
+def test_million_tombstones_broadcast_and_correct(spark, tmp_path_factory):
+    """A 10^6-id live tombstone backlog: query results must equal the
+    4-real-delete baseline (the extra ids never existed in the index) and
+    the mask must travel as a broadcast, not a per-task closure payload."""
+    import dataclasses
+
+    import numpy as np
+    from pyspark.broadcast import Broadcast
+
+    from fastmorph_spark.index.tombstones import tombstone_broadcast
+
+    out = str(tmp_path_factory.mktemp("tomb_big") / "idx")
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK)
+    # 10^6 ids: the 4 real deletes + ~10^6 ids outside the corpus range
+    big = spark.range(10_000_000, 11_000_000).withColumnRenamed("id", "doc_id")
+    delete_docs(spark, out, big)
+    delete_docs(spark, out, DELETED)
+    idx = read_index(spark, out)
+
+    bc = tombstone_broadcast(idx)
+    assert isinstance(bc, Broadcast)
+    assert bc.value.dtype == np.int64 and bc.value.size == 1_000_000 + len(DELETED)
+
+    got = [r["doc_id"] for r in search_wand(idx, "fast hash join", k=10).collect()]
+    baseline_idx = dataclasses.replace(idx)
+    baseline_idx.tombstones = spark.createDataFrame(
+        [(d,) for d in DELETED], "doc_id long")
+    baseline_idx._tomb_ids = baseline_idx._tomb_bc = None
+    exp = [r["doc_id"] for r in search_wand(baseline_idx, "fast hash join", k=10).collect()]
+    assert got == exp and not set(got) & set(DELETED)
+
+
+def test_purge_file_scheme_path(spark, tmp_path):
+    """VERDICT r04 #4: purge's journaled swap through the Hadoop FS API,
+    exercised via an explicit file:// URI — same contract a remote FS
+    presents. Deletes become physical, stats exact, tombstones cleared."""
+    out = f"file://{tmp_path}/idx"
+    docs = read_documents(spark, SF0001)
+    write_index(spark, docs, out, doc_shard_size=SHARD, block_size=BLOCK)
+    delete_docs(spark, out, DELETED)
+    r = purge_tombstones(spark, out, doc_shard_size=SHARD, block_size=BLOCK)
+    assert r["n_deleted"] == len(DELETED) and r["blocks_repacked"] > 0
+    idx = read_index(spark, out)
+    assert idx.tombstones is None
+    assert idx.n_docs == 500 - len(DELETED)
+    got = {x["doc_id"] for x in search_wand(idx, "fast hash join", k=10).collect()}
+    assert got and not got & set(DELETED)
