@@ -21,7 +21,9 @@ Request shape (all engine capabilities reachable):
       ],
       "dists": [[1, 4], ...],            # len(slots)-1 [lo, hi] ranges
       "skip": 0, "until": 20,            # pagination window (ranks)
-      "width": 2,                        # snippet context tokens
+      "width": 2,                        # context tokens per side
+                                         #   (default 2 for snippets,
+                                         #    5 for format="kwic")
       "lang": "en",                      # subcorpus filter (optional)
       "format": "snippets",              # or "kwic": aligned concordance
     }                                    #   columns instead of snippets
@@ -181,7 +183,11 @@ def parse_request(req: dict) -> dict:
         dists.append((int(d[0]), int(d[1])))
     skip = req.get("skip", 0)
     until = req.get("until", 20)
-    width = req.get("width", 2)
+    # width default tracks the format (ADVICE r04): snippets default 2
+    # (SNIPPET_WIDTH), kwic default 5 (KWIC_WIDTH) — an unspecified-width
+    # kwic request gets the same concordance context every other kwic
+    # path (engine.kwic, queryset kwic modes) uses
+    width = req.get("width", 5 if fmt == "kwic" else 2)
     for name, v in (("skip", skip), ("until", until), ("width", width)):
         if not isinstance(v, int) or isinstance(v, bool) or v < 0:
             raise RequestError(f"{name} must be a non-negative integer")

@@ -17,6 +17,20 @@ exactly one output line — malformed requests produce {"error": ...}
 responses, never a crashed server. All protocol request forms pass
 through: slot patterns, {"bm25": ...} ranked top-k, {"collocations": ...}
 PMI profiles, and {"top_terms": ...} frequency profiles.
+
+DAEMON MODE (VERDICT r04 #3 — the reference's long-lived server shape):
+
+  ... jobs/serve.py --index /tmp/idx --docs docs:... --loop [--report p]
+
+--loop holds ONE warm SparkSession and reads NDJSON requests from STDIN,
+answering each with one flushed NDJSON line on STDOUT the moment it is
+ready (a socket loop minus the socket: any transport — socat, inetd, an
+HTTP shim — can front it without the engine knowing). The warm session
+is what makes the measured steady-state latency reachable by a client:
+no per-request JVM start, no index re-read, codegen/Arrow workers stay
+hot, and pagination continuations re-page one persisted match set.
+EOF ends the loop; --report then writes {n, wall_s, rps, p50_ms, p95_ms}
+(BENCH/serve_loop.json is produced this way under a 100-request burst).
 """
 
 from __future__ import annotations
@@ -34,8 +48,13 @@ def main() -> None:
     ap.add_argument("--index", help="at-rest index path (read_index)")
     ap.add_argument("--lang-indexes", help="write_lang_indexes tree (per-lang routing)")
     ap.add_argument("--docs", required=True)
-    ap.add_argument("--requests", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--requests", help="NDJSON request file (batch mode)")
+    ap.add_argument("--out", help="NDJSON response file (batch mode)")
+    ap.add_argument("--loop", action="store_true",
+                    help="daemon mode: serve stdin -> stdout on one warm "
+                         "SparkSession until EOF (implies --session-cache)")
+    ap.add_argument("--report", help="--loop only: write latency stats "
+                                     "JSON here at EOF")
     ap.add_argument("--session-cache", action="store_true",
                     help="share one persisted match set across slot "
                          "requests that differ only in pagination "
@@ -43,6 +62,11 @@ def main() -> None:
     args = ap.parse_args()
     if bool(args.index) == bool(args.lang_indexes):
         ap.error("exactly one of --index / --lang-indexes")
+    if args.loop:
+        if args.requests or args.out:
+            ap.error("--loop serves stdin/stdout; drop --requests/--out")
+    elif not (args.requests and args.out):
+        ap.error("batch mode needs --requests and --out (or use --loop)")
 
     from pyspark.sql import SparkSession
 
@@ -73,9 +97,43 @@ def main() -> None:
     # pagination continuation (protocol session): slot requests differing
     # only in skip/until/width re-page one persisted match set instead of
     # re-decoding the index — the reference's entry point 3 shape
-    session: dict | None = {} if args.session_cache else None
+    session: dict | None = {} if (args.session_cache or args.loop) else None
     n = 0
     try:
+        if args.loop:
+            import time
+
+            lat_ms: list[float] = []
+            t_loop = time.perf_counter()
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                t0 = time.perf_counter()
+                resp = to_json(handle_request(documents, index, line,
+                                              session=session))
+                lat_ms.append((time.perf_counter() - t0) * 1000.0)
+                # one flushed line per request: the client unblocks the
+                # moment its answer exists, and a fronting transport can
+                # pipeline without framing logic
+                sys.stdout.write(resp + "\n")
+                sys.stdout.flush()
+                n += 1
+            wall = time.perf_counter() - t_loop
+            if args.report:
+                srt = sorted(lat_ms)
+
+                def q(p: float) -> float:
+                    return round(srt[min(len(srt) - 1, int(p * len(srt)))], 2) if srt else 0.0
+
+                with open(args.report, "w") as f:
+                    json.dump({"n": n, "wall_s": round(wall, 3),
+                               "rps": round(n / wall, 2) if wall > 0 else 0.0,
+                               "p50_ms": q(0.50), "p95_ms": q(0.95),
+                               "mean_ms": round(sum(lat_ms) / n, 2) if n else 0.0},
+                              f)
+            print(json.dumps({"requests_answered": n}), file=sys.stderr)
+            return
         with open(args.requests) as fin, open(args.out, "w") as fout:
             for line in fin:
                 line = line.strip()

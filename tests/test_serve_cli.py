@@ -128,3 +128,49 @@ def test_session_cache_pages_match_stateless(spark, served, tmp_path):
     for resp, req in zip(responses, pages):
         assert resp == handle_request(docs, idx, req)
     assert responses[0]["total_matches"] == responses[1]["total_matches"] > 0
+
+
+def test_loop_daemon_serves_sequential_requests(spark, served, tmp_path):
+    """--loop (VERDICT r04 #3): ONE warm process answers requests
+    INTERACTIVELY — each response line is flushed before the next request
+    is even written (proved by reading it first), across request forms,
+    with error lines for garbage, and a --report latency artifact at EOF."""
+    idx_path, _, _ = served
+    report = str(tmp_path / "loop_report.json")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "jobs", "serve.py"),
+         "--index", idx_path, "--docs", f"docs:{SF0001}",
+         "--loop", "--report", report],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, cwd=REPO,
+    )
+    try:
+        def ask(req):
+            proc.stdin.write((req if isinstance(req, str) else json.dumps(req)) + "\n")
+            proc.stdin.flush()
+            line = proc.stdout.readline()
+            assert line, "daemon died before answering"
+            return json.loads(line)
+
+        r1 = ask(REQUESTS[0])                       # slot request
+        assert r1["total_docs"] > 0
+        r2 = ask({"bm25": "fast hash join", "k": 3})  # second form, same process
+        assert [m["rank"] for m in r2["results"]] == [1, 2, 3]
+        r3 = ask("garbage")                          # error answered, not a crash
+        assert "not valid JSON" in r3["error"]
+        # continuation: page 2 of r1's shape through the warm session
+        r4 = ask({"slots": [{"word": "fast"}, {"pattern": "h*"}],
+                  "dists": [[1, 4]], "skip": 5, "until": 10, "width": 2})
+        assert r4["total_matches"] == r1["total_matches"]
+        proc.stdin.close()
+        proc.wait(timeout=120)
+        assert proc.returncode == 0, proc.stderr.read()[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    docs = read_documents(spark, SF0001)
+    idx = read_index(spark, idx_path)
+    assert r1 == handle_request(docs, idx, REQUESTS[0])
+    with open(report) as f:
+        stats = json.load(f)
+    assert stats["n"] == 4 and stats["p50_ms"] > 0 and stats["rps"] > 0
