@@ -47,6 +47,7 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_docs: int = BROADCAST_DOCS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Per-document contamination report against ``benchmark``.
 
@@ -57,12 +58,23 @@ def benchmark_contamination(
     (hash-comparable against the DuckDB oracle). Docs shorter than n
     tokens have no shingles and never appear.
 
+    ``broadcast`` overrides the gate (VERDICT r04 #9 / ADVICE r04): True
+    broadcasts the distinct benchmark-shingle frame WITHOUT running the
+    gate's count job (the plan stays fully lazy), False forces the
+    shuffle join. Default None keeps the row-count gate — note it counts
+    DOCS, a proxy for broadcast BYTES that scales with doc length:
+    callers with very long benchmark docs (>~10^3 tokens each) should
+    pass broadcast=False rather than trust the proxy.
+
     A pipeline drops docs above a threshold (e.g. overlap_frac >= 0.1 or
     any hit at n=13) — the caller picks the policy; this operator
     reports the evidence."""
     doc_sh = _shingles(docs, n, text_col, id_col)
     bench_sh = _shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
-    if broadcast_docs and benchmark.limit(broadcast_docs + 1).count() <= broadcast_docs:
+    if broadcast is None:
+        broadcast = bool(broadcast_docs) and \
+            benchmark.limit(broadcast_docs + 1).count() <= broadcast_docs
+    if broadcast:
         bench_sh = F.broadcast(bench_sh)
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
     hits = (
@@ -93,6 +105,7 @@ def pipeline_drop_list(
     text_col: str = "text",
     id_col: str = "doc_id",
     scope=None,
+    span_tokens: int | None = None,
 ) -> DataFrame:
     """The COMPLETE hygiene decision a training pipeline consumes:
     (doc_id, reason) for every doc to drop — dedup drops (reason 'exact'
@@ -104,22 +117,45 @@ def pipeline_drop_list(
     eval-leak case), they self-contaminate at 1.0 and get dropped —
     exactly what decontamination is for.
 
-    Scale shape: the dedup decision is pinned (read by the union AND the
-    anti-join — ``scope`` owns the cache, else the caller does, matching
-    drop_list); contamination adds one shingle semi-join. No new shuffle
-    shapes beyond the two composed operators."""
-    from fastmorph_spark.cache import pin
+    ``span_tokens`` (VERDICT r04 #7) additionally flags SUB-document
+    duplication: docs that are non-canonical holders of >= 1 duplicated
+    fixed-width token span (ops.dedup.span_drop_list) get reason
+    'span_dup' — weakest precedence (a whole-doc or contamination verdict
+    subsumes a span-level one). The span-granular evidence itself is
+    span_drop_list's surface; here it rolls up to the doc decision.
+
+    Scale shape: the dedup decision feeds the union AND the anti-join, so
+    it is pinned when a ``scope`` owns the lifetime; with scope=None only
+    drop_list's own internal pins exist (ADVICE r04: a second
+    process-lifetime cache entry here was a leak) and the second read
+    recomputes just the final union over those pinned intermediates —
+    production callers pass a CacheScope. Contamination adds one shingle
+    semi-join; no new shuffle shapes beyond the two composed operators."""
     from fastmorph_spark.ops.dedup import drop_list
 
-    dd = pin(drop_list(docs, dedup_n, num_hashes, bands, threshold,
-                       text_col, id_col, scope=scope), scope)
+    dd = drop_list(docs, dedup_n, num_hashes, bands, threshold,
+                   text_col, id_col, scope=scope)
+    if scope is not None:
+        dd = scope.pin(dd)
     contam = (
         benchmark_contamination(docs, benchmark, n=contam_n,
                                 text_col=text_col, id_col=id_col)
         .filter(F.col("overlap_frac") >= min_frac)
         .select("doc_id")
     )
-    return dd.unionByName(
+    out = dd.unionByName(
         contam.join(dd.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.lit("contaminated").alias("reason"))
-    ).orderBy("doc_id")
+    )
+    if span_tokens is not None:
+        from fastmorph_spark.cache import pin
+        from fastmorph_spark.ops.dedup import span_drop_list
+
+        out = pin(out, scope) if scope is not None else out
+        span_docs = span_drop_list(docs, span_tokens, text_col, id_col) \
+            .select("doc_id").distinct()
+        out = out.unionByName(
+            span_docs.join(out.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit("span_dup").alias("reason"))
+        )
+    return out.orderBy("doc_id")

@@ -383,3 +383,79 @@ def drop_list(
         )
         .orderBy("doc_id")
     )
+
+
+# ---- sub-document (span-level) dedup (VERDICT r04 #7) -----------------
+
+SPAN_TOKENS = 8  # tokens per span window (fixture default; prod ~50-200)
+
+
+def doc_spans(df: DataFrame, span_tokens: int = SPAN_TOKENS,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, span_idx, span_key): fixed token windows (stride = width,
+    trailing partial window dropped), keyed by md5 of the space-joined
+    span text. Fixed windows — not shingles — because the DEDUP unit must
+    tile the doc: every token belongs to exactly one span, so a drop list
+    at span granularity is a partition of the doc, and the explode is
+    n_tokens/W rows per doc instead of n_tokens. Pure Catalyst (tokenize
+    expression twin + transform/slice HOFs), zero Python."""
+    toks = tokenize_expr(text_col)
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    out = out.withColumn("n_span",
+                         (F.size("t") / span_tokens).cast("int")) \
+             .filter(F.col("n_span") >= 1)
+    span = F.transform(
+        F.sequence(F.lit(0), F.col("n_span") - 1),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice(F.col("t"), i * span_tokens + 1, span_tokens))),
+    )
+    return out.select(
+        "doc_id", F.posexplode(span).alias("span_idx", "span_key")
+    ).withColumn("span_idx", F.col("span_idx").cast("long"))
+
+
+def span_duplicates(df: DataFrame, span_tokens: int = SPAN_TOKENS,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document span-level duplication report: one row per span
+    INSTANCE whose content occurs in >= 2 distinct docs —
+    (doc_id, span_idx, span_key, n_docs), the evidence a sub-document
+    dedup/decontam policy consumes (a doc embedding one verbatim
+    paragraph of another is droppable at span granularity).
+
+    Scale shape: one explode (n_tokens/W rows), ONE groupBy(span_key)
+    with map-side partials, one key-partitioned join back — the dedup
+    envelope, never pairwise. A pathological span shared by 10^6 docs is
+    one group row; its join fan-out is the honest report size."""
+    spans = doc_spans(df, span_tokens, text_col, id_col)
+    per = (
+        spans.groupBy("span_key")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        spans.join(per, "span_key")
+        .select("doc_id", "span_idx", "span_key", "n_docs")
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+def span_drop_list(df: DataFrame, span_tokens: int = SPAN_TOKENS,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The span-granular drop DECISION: (doc_id, span_idx, reason
+    'span_dup') for every duplicated-span instance NOT owned by the
+    group's canonical doc (min doc_id holding the span — group_rep
+    semantics, matching exact/near dedup). The canonical doc keeps its
+    copy; every other doc drops that span."""
+    spans = doc_spans(df, span_tokens, text_col, id_col)
+    per = (
+        spans.groupBy("span_key")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+             F.min("doc_id").alias("span_rep"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        spans.join(per, "span_key")
+        .filter(F.col("doc_id") != F.col("span_rep"))
+        .select("doc_id", "span_idx", F.lit("span_dup").alias("reason"))
+        .orderBy("doc_id", "span_idx")
+    )

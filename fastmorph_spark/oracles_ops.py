@@ -492,19 +492,130 @@ FROM agg ORDER BY count DESC, ngram LIMIT {k}
 def pipeline_drop_list_sql(dedup_n: int = 3, num_hashes: int = 16,
                            bands: int = 4, threshold: float = 0.5,
                            contam_n: int = 8, min_frac: float = 0.05,
-                           bench_where: str = "TRUE") -> str:
+                           bench_where: str = "TRUE",
+                           span_tokens: int | None = None) -> str:
     """Mirror of ops.decontam.pipeline_drop_list: dedup drop list union
     contamination drops (>= min_frac vs the bench_where slice), dedup
-    reasons taking precedence."""
+    reasons taking precedence; ``span_tokens`` adds the doc-level
+    'span_dup' rollup (weakest precedence) of the span drop list."""
     dd = drop_list_sql(dedup_n, num_hashes, bands, threshold).strip()
     c = benchmark_contamination_sql(contam_n, 1, "TRUE", bench_where).strip()
-    return f"""
+    base = f"""
 WITH dd AS ({dd}),
-c AS ({c})
-SELECT doc_id, reason FROM dd
+c AS ({c}),
+base AS (
+  SELECT doc_id, reason FROM dd
+  UNION ALL
+  SELECT c.doc_id, 'contaminated' AS reason FROM c
+  WHERE c.overlap_frac >= {min_frac}
+    AND c.doc_id NOT IN (SELECT doc_id FROM dd)
+)"""
+    if span_tokens is None:
+        return base + "\nSELECT doc_id, reason FROM base ORDER BY doc_id\n"
+    sp = span_drop_list_sql(span_tokens).strip()
+    return base + f""",
+sp AS (SELECT DISTINCT doc_id FROM ({sp}) t)
+SELECT doc_id, reason FROM base
 UNION ALL
-SELECT c.doc_id, 'contaminated' AS reason FROM c
-WHERE c.overlap_frac >= {min_frac}
-  AND c.doc_id NOT IN (SELECT doc_id FROM dd)
+SELECT sp.doc_id, 'span_dup' AS reason FROM sp
+WHERE sp.doc_id NOT IN (SELECT doc_id FROM base)
 ORDER BY doc_id
+"""
+
+
+# ---- sub-document (span-level) dedup (VERDICT r04 #7) -----------------
+
+
+def _spans_cte(span_tokens: int, src: str = "documents") -> str:
+    """docs -> (doc_id, span_idx, span_key): fixed token windows keyed by
+    md5 of the space-joined span text — mirrors ops.dedup.doc_spans
+    (stride = width, trailing partial dropped, same md5-family key)."""
+    w = span_tokens
+    return f"""
+tokarr AS (SELECT doc_id, {_TOKS} AS t FROM {src} AS documents),
+spans AS (
+  SELECT doc_id,
+         unnest(range(len(t) // {w}))::BIGINT AS span_idx,
+         unnest(list_transform(range(len(t) // {w}),
+                i -> md5(array_to_string(t[i*{w}+1:i*{w}+{w}], ' ')))) AS span_key
+  FROM tokarr WHERE len(t) >= {w}
+)"""
+
+
+def span_duplicates_sql(span_tokens: int, src: str = "documents") -> str:
+    """Mirror of ops.dedup.span_duplicates."""
+    return f"""
+WITH {_spans_cte(span_tokens, src)},
+per AS (
+  SELECT span_key, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM spans GROUP BY span_key HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s.span_idx, s.span_key, per.n_docs
+FROM spans s JOIN per USING (span_key)
+ORDER BY doc_id, span_idx
+"""
+
+
+def span_drop_list_sql(span_tokens: int, src: str = "documents") -> str:
+    """Mirror of ops.dedup.span_drop_list (canonical doc = min doc_id)."""
+    return f"""
+WITH {_spans_cte(span_tokens, src)},
+per AS (
+  SELECT span_key, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         min(doc_id) AS span_rep
+  FROM spans GROUP BY span_key HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s.span_idx, 'span_dup' AS reason
+FROM spans s JOIN per USING (span_key)
+WHERE s.doc_id <> per.span_rep
+ORDER BY doc_id, span_idx
+"""
+
+
+# ---- pinned deterministic BPE token counts (VERDICT r04 #8) ------------
+
+
+def _bpe_chain_sql(var: str) -> str:
+    """The pinned merge chain as nested replace() calls over ``var`` —
+    generated from the SAME ops.text.BPE_MERGES table the engine uses
+    (two passes per rule, space-wrapped exact-symbol semantics)."""
+    from fastmorph_spark.ops.text import BPE_MERGES
+
+    s = var
+    for a, b in BPE_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return s
+
+
+def token_count_bpe_sql(src: str = "documents") -> str:
+    """Mirror of ops.text.token_count_bpe."""
+    chain = _bpe_chain_sql("s")
+    return f"""
+WITH tokarr AS (SELECT doc_id, {_TOKS} AS t FROM {src} AS documents),
+spaced AS (
+  SELECT doc_id, t,
+         ' ' || regexp_replace(array_to_string(t, '|'), '(.)', '\\1 ', 'g') AS s
+  FROM tokarr
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       CASE WHEN len(t) = 0 THEN 0
+            ELSE len(list_filter(string_split(trim({chain}), ' '),
+                                 x -> x <> '|'))
+       END::BIGINT AS n_bpe
+FROM spaced
+ORDER BY doc_id
+"""
+
+
+def pack_shards_bpe_sql(budget_tokens: int) -> str:
+    """pack_shards over BPE counts (counts= integration): identical
+    exclusive-prefix-sum semantics, budget unit = n_bpe."""
+    bpe = token_count_bpe_sql().strip()
+    return f"""
+WITH c AS ({bpe})
+SELECT doc_id, n_bpe AS n_tokens,
+       floor((sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe) / {budget_tokens})::BIGINT AS shard_id
+FROM c ORDER BY doc_id
 """

@@ -667,6 +667,77 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(twin)
 
 
+# span-dedup augmentation (VERDICT r04 #7): the fixture has no naturally
+# duplicated sub-document spans, so both engines union in a PARTIAL twin
+# of every 5th (long-enough) doc: its first 16 tokens (= the first two
+# 8-token spans) + a unique salt token. The twin is NOT an exact or
+# whole-doc duplicate — exactly the embedded-verbatim-paragraph case
+# span-level dedup exists for. Twin text is REBUILT from the token array
+# (space-joined) identically in both engines.
+SPAN_W = 8                      # ops.dedup.SPAN_TOKENS (fixture scale)
+SPAN_AUG_MOD = 5
+SPAN_AUG_OFFSET = 3_000_000_000
+SPAN_PREFIX = 2 * SPAN_W
+SPAN_AUG_SRC = (
+    f"(SELECT doc_id, text FROM main.documents UNION ALL "
+    f"SELECT doc_id + {SPAN_AUG_OFFSET} AS doc_id, "
+    f"array_to_string(t[1:{SPAN_PREFIX}], ' ') || ' zz' || doc_id::VARCHAR AS text "
+    f"FROM (SELECT doc_id, {oracles.TOK.format(col='text')} AS t "
+    f"FROM main.documents) "
+    f"WHERE doc_id % {SPAN_AUG_MOD} = 0 AND len(t) >= {SPAN_PREFIX})"
+)
+
+
+def _span_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.tokenize import tokenize_expr
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    t = tokenize_expr("text")
+    twin = (
+        docs.filter((F.col("doc_id") % SPAN_AUG_MOD == 0)
+                    & (F.size(t) >= SPAN_PREFIX))
+        .select(
+            (F.col("doc_id") + F.lit(SPAN_AUG_OFFSET)).alias("doc_id"),
+            F.concat(F.concat_ws(" ", F.slice(t, 1, SPAN_PREFIX)),
+                     F.lit(" zz"), F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    return docs.unionByName(twin)
+
+
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup evidence (ops.dedup.span_duplicates): every
+    8-token span instance whose content occurs in >= 2 docs of the
+    span-augmented corpus — non-vacuous by construction (each partial
+    twin shares exactly its first two spans with its original)."""
+    from fastmorph_spark.ops.dedup import span_duplicates
+
+    return span_duplicates(_span_aug_docs(spark, sf_dir), SPAN_W)
+
+
+def q_span_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-granular drop decision: (doc_id, span_idx, 'span_dup')
+    for duplicated spans not owned by the canonical (min doc_id) doc."""
+    from fastmorph_spark.ops.dedup import span_drop_list
+
+    return span_drop_list(_span_aug_docs(spark, sf_dir), SPAN_W)
+
+
+def q_pipeline_drop_list_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_drop_list with the span integration ON (span_tokens=8)
+    over the span-augmented corpus: partial twins that are neither exact
+    dups, LSH near-dups, nor contaminated still land on the drop list
+    under 'span_dup' (weakest precedence)."""
+    from fastmorph_spark.ops.decontam import pipeline_drop_list
+
+    docs = _span_aug_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return pipeline_drop_list(docs, bench, dedup_n=3, num_hashes=16,
+                              bands=4, threshold=0.5,
+                              contam_n=DECONTAM_N, min_frac=0.2,
+                              span_tokens=SPAN_W)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import exact_duplicates
 
@@ -724,6 +795,25 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.text import pack_shards
 
     return pack_shards(read_documents(spark, sf_dir), budget_tokens=2000)
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-accurate token counts via the PINNED deterministic BPE
+    merge table (VERDICT r04 #8, ops/text.py BPE_MERGES): word count next
+    to subword count, whole chain JVM-side codegen — upgrades the LLM-ops
+    budgeting surface from word counts to BPE counts."""
+    from fastmorph_spark.ops.text import token_count_bpe
+
+    return token_count_bpe(read_documents(spark, sf_dir))
+
+
+def q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_shards budgeting in BPE tokens (counts= integration): shard
+    boundaries move where subword counts diverge from word counts."""
+    from fastmorph_spark.ops.text import bpe_count_expr, pack_shards
+
+    return pack_shards(read_documents(spark, sf_dir), budget_tokens=2000,
+                       counts=bpe_count_expr("text"))
 
 
 def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,85 +1179,22 @@ def _neardup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
-    FIRST 50 keys — budget-capped; VERDICT r03 #2): (a) keys with no
-    driver-green row EVER come first (this round: the new kwic_search /
-    decontam_overlap / ngram_freq / pipeline_drop_list /
-    slot_case_packed / slot_tag_search / slot_tag_packed /
-    phrase_deleted_packed / collocations / collocations_packed); (b)
-    then the
-    keys that missed the PREVIOUS round's cap (r03 casualties:
-    dedup_groups .. events_window — all r02-green), so every key re-earns
-    a green row at least every other round; (c) keys whose code paths
-    CHANGED this round run in the body (dedup_exact's new group_rep
-    schema, every packed path through the refactored twin decode); (d)
-    the TAIL holds only r03-GREEN keys untouched this round and pinned by
-    pytest (pure column-expression ops in test_ops / relational fixtures
-    in test_entry), so a capped-out tail key is still attested green in
-    CORRECTNESS_r03 ∪ the test suite. With 68 keys this round, the 18
-    expected cap casualties (ann_cosine_topk_arrow, ann_lsh_topk,
-    ann_lsh_recall, cosine_neardup, multimodal_features/frames,
-    events_json, rollup_lang_source + the 12-key tail) are ALL
-    r03-green, and
-    jobs/check_queries.py re-verified every key locally before the
-    driver run."""
+    FIRST 50 keys — budget-capped; VERDICT r03 #2 / r04 #5): (a) the 18
+    r04 cap casualties LEAD (ann_cosine_topk_arrow .. 
+    top_customers_per_nation — all r03-green AND re-verified green via
+    jobs/check_queries.py in r04), so every key re-earns a driver-green
+    row at least every other round; (b) then this round's NEW keys (the
+    unicode twin, span dedup, BPE counts); (c) then the r04-green keys
+    whose code paths CHANGED this round (WAND broadcast masking, the
+    Hadoop-FS swap, bm25 tokenizer threading, decontam/pipeline/
+    pack_shards signatures) plus the core flagships; (d) the TAIL holds
+    only r04-GREEN keys untouched this round and pinned by pytest, so a
+    capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
+    suite. With 76 keys, the 26 expected cap casualties are ALL
+    r04-driver-green, and jobs/check_queries.py re-verifies every key
+    locally before the driver run (BENCH/check_all_r05.txt)."""
     return {
-        # --- (a) no driver-green row ever: run first
-        "kwic_search": q_kwic_search,
-        "decontam_overlap": q_decontam_overlap,
-        "ngram_freq": q_ngram_freq,
-        "pipeline_drop_list": q_pipeline_drop_list,
-        "slot_case_packed": q_slot_case_packed,
-        "bm25_topk_uni": q_bm25_topk_uni,
-        "bm25_topk_wand_uni": q_bm25_topk_wand_uni,
-        "slot_uni_packed": q_slot_uni_packed,
-        "slot_tag_search": q_slot_tag_search,
-        "slot_tag_packed": q_slot_tag_packed,
-        "phrase_deleted_packed": q_phrase_deleted_packed,
-        "collocations": q_collocations,
-        "collocations_packed": q_collocations_packed,
-        # --- (b) missed r03's 50-key cap (all r02-green): re-earn now
-        "dedup_groups": q_dedup_groups,
-        "phrase_highlight": q_phrase_highlight,
-        "wildcard_docs": q_wildcard_docs,
-        "phrase3_search": q_phrase3_search,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "bm25_topk_indexed": q_bm25_topk_indexed,
-        "events_window": q_events_window,
-        # --- (c) FTS core (packed paths changed this round: twin decode)
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_lang": q_bm25_topk_lang,
-        "doc_stats": q_doc_stats,
-        "dictionary_top100": q_dictionary_top100,
-        "doc_lengths": q_doc_lengths,
-        "match_counts": q_match_counts,
-        "bm25_topk_wand": q_bm25_topk_wand,
-        "bm25_topk_meta": q_bm25_topk_meta,
-        "and_search": q_and_search,
-        "phrase_search": q_phrase_search,
-        "proximity_search": q_proximity_search,
-        "slot3_search": q_slot3_search,
-        "slot_wildcard_search": q_slot_wildcard_search,
-        "slot_case_search": q_slot_case_search,
-        "phrase_search_packed": q_phrase_search_packed,
-        "slot3_search_packed": q_slot3_search_packed,
-        "slot_wildcard_packed": q_slot_wildcard_packed,
-        "slot_request_packed": q_slot_request_packed,
-        "or_search": q_or_search,
-        "stem_search": q_stem_search,
-        "slot_stem_search": q_slot_stem_search,
-        "phrase_snippets": q_phrase_snippets,
-        "slot_request": q_slot_request,
-        "wildcard_terms": q_wildcard_terms,
-        "pagination": q_pagination,
-        # --- (c) training-data pipeline ops (dedup_exact changed)
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_members": q_dedup_exact_members,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_drop_list": q_dedup_drop_list,
-        "pack_shards": q_pack_shards,
-        "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
+        # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1176,7 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "events_json": q_events_json,
         "rollup_lang_source": q_rollup_lang_source,
-        # --- (d) tail: r03-green, untouched this round, pytest-pinned
         "corpus_setops": q_corpus_setops,
         "sample_10pct": q_sample_10pct,
         "token_count": q_token_count,
@@ -1187,6 +1213,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "region_brand_revenue": q_region_brand_revenue,
         "top_customers_per_nation": q_top_customers_per_nation,
+        # --- (b) new this round: unicode twin, span dedup, pinned BPE
+        "bm25_topk_uni": q_bm25_topk_uni,
+        "bm25_topk_wand_uni": q_bm25_topk_wand_uni,
+        "slot_uni_packed": q_slot_uni_packed,
+        "dedup_span": q_dedup_span,
+        "span_drop_list": q_span_drop_list,
+        "pipeline_drop_list_spans": q_pipeline_drop_list_spans,
+        "token_count_bpe": q_token_count_bpe,
+        "pack_shards_bpe": q_pack_shards_bpe,
+        # --- (c) r04-green, code paths touched this round + flagships
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_lang": q_bm25_topk_lang,
+        "bm25_topk_meta": q_bm25_topk_meta,
+        "phrase_deleted_packed": q_phrase_deleted_packed,
+        "phrase_search_packed": q_phrase_search_packed,
+        "slot3_search_packed": q_slot3_search_packed,
+        "slot_wildcard_packed": q_slot_wildcard_packed,
+        "slot_case_packed": q_slot_case_packed,
+        "slot_tag_packed": q_slot_tag_packed,
+        "slot_request_packed": q_slot_request_packed,
+        "collocations": q_collocations,
+        "collocations_packed": q_collocations_packed,
+        "pipeline_drop_list": q_pipeline_drop_list,
+        "decontam_overlap": q_decontam_overlap,
+        "pack_shards": q_pack_shards,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_members": q_dedup_exact_members,
+        "kwic_search": q_kwic_search,
+        "phrase_snippets": q_phrase_snippets,
+        "slot_request": q_slot_request,
+        "doc_stats": q_doc_stats,
+        "dictionary_top100": q_dictionary_top100,
+        # ---------------- 50-key cap lands here ----------------
+        # --- (d) tail: r04-driver-green, untouched, pytest-pinned
+        "and_search": q_and_search,
+        "phrase_search": q_phrase_search,
+        "phrase3_search": q_phrase3_search,
+        "proximity_search": q_proximity_search,
+        "slot3_search": q_slot3_search,
+        "slot_wildcard_search": q_slot_wildcard_search,
+        "slot_case_search": q_slot_case_search,
+        "slot_tag_search": q_slot_tag_search,
+        "or_search": q_or_search,
+        "stem_search": q_stem_search,
+        "slot_stem_search": q_slot_stem_search,
+        "wildcard_terms": q_wildcard_terms,
+        "wildcard_docs": q_wildcard_docs,
+        "pagination": q_pagination,
+        "phrase_highlight": q_phrase_highlight,
+        "match_counts": q_match_counts,
+        "doc_lengths": q_doc_lengths,
+        "events_window": q_events_window,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_drop_list": q_dedup_drop_list,
+        "dedup_groups": q_dedup_groups,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ngram_freq": q_ngram_freq,
     }
 
 
@@ -1256,6 +1344,19 @@ def oracle_sqls() -> dict[str, str]:
         "pipeline_drop_list": oracles_ops.pipeline_drop_list_sql(
             3, 16, 4, 0.5, DECONTAM_N, 0.2,
             bench_where=f"doc_id % {DECONTAM_MOD} = 0",
+        ),
+        # span-level dedup (VERDICT r04 #7): span-augmented corpus
+        # (partial twins) in both engines; the pipeline twin shadows the
+        # documents view with the augmented CTE so the unchanged builders
+        # compose over it
+        "token_count_bpe": oracles_ops.token_count_bpe_sql(),
+        "pack_shards_bpe": oracles_ops.pack_shards_bpe_sql(2000),
+        "dedup_span": oracles_ops.span_duplicates_sql(SPAN_W, src=SPAN_AUG_SRC),
+        "span_drop_list": oracles_ops.span_drop_list_sql(SPAN_W, src=SPAN_AUG_SRC),
+        "pipeline_drop_list_spans": (
+            f"WITH documents AS (SELECT * FROM {SPAN_AUG_SRC} aug),\n"
+            f"q AS ({oracles_ops.pipeline_drop_list_sql(3, 16, 4, 0.5, DECONTAM_N, 0.2, bench_where=f'doc_id % {DECONTAM_MOD} = 0', span_tokens=SPAN_W)})\n"
+            f"SELECT * FROM q"
         ),
         "decontam_overlap": oracles_ops.benchmark_contamination_sql(
             DECONTAM_N, 1,

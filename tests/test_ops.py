@@ -439,3 +439,136 @@ def test_pipeline_drop_list_precedence(spark):
                    corpus, bench, contam_n=3, min_frac=0.2, scope=scope
                ).collect()}
     assert got == {2: "exact", 4: "contaminated"}
+
+
+# ---- span-level (sub-document) dedup (VERDICT r04 #7) ------------------
+
+
+def _span_corpus(spark):
+    # 12 tokens each; docs 1 & 2 share span 0 verbatim (w1..w4), doc 3 is
+    # clean, doc 4 embeds doc 1's SECOND span as its FIRST span
+    d1 = "w1 w2 w3 w4 a1 a2 a3 a4 b1 b2 b3 b4"
+    d2 = "w1 w2 w3 w4 c1 c2 c3 c4 d1 d2 d3 d4"
+    d3 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 xa xb xc"
+    d4 = "a1 a2 a3 a4 y1 y2 y3 y4 y5 y6 y7 y8"
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string")
+
+
+def test_span_duplicates_cross_doc(spark):
+    got = [(r["doc_id"], r["span_idx"], r["n_docs"])
+           for r in dedup.span_duplicates(_span_corpus(spark), 4).collect()]
+    # span 'w1..w4' in docs 1+2 (idx 0 both); span 'a1..a4' in doc 1
+    # (idx 1) and doc 4 (idx 0); doc 3 never appears
+    assert got == [(1, 0, 2), (1, 1, 2), (2, 0, 2), (4, 0, 2)]
+
+
+def test_span_drop_list_keeps_canonical(spark):
+    got = [(r["doc_id"], r["span_idx"], r["reason"])
+           for r in dedup.span_drop_list(_span_corpus(spark), 4).collect()]
+    # min doc_id owns each span group: doc 1 keeps both; 2 and 4 drop
+    assert got == [(2, 0, "span_dup"), (4, 0, "span_dup")]
+
+
+def test_doc_spans_tile_and_drop_tail(spark):
+    # 10 tokens at width 4 -> spans 0,1 only (trailing 2 tokens dropped);
+    # 3 tokens -> no spans at all
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 ta"), (2, "s1 s2 s3")],
+        "doc_id long, text string")
+    got = [(r["doc_id"], r["span_idx"]) for r in dedup.doc_spans(df, 4).collect()]
+    assert got == [(1, 0), (1, 1)]
+
+
+def test_pipeline_drop_list_span_integration(spark):
+    """span_tokens=W: a doc embedding another's span — but neither an
+    exact/near dup nor contaminated — lands on the list as 'span_dup';
+    stronger reasons still win for docs that have them."""
+    from fastmorph_spark.cache import CacheScope
+    from fastmorph_spark.ops.decontam import pipeline_drop_list
+
+    corpus = _span_corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "zz1 zz2 zz3 zz4 zz5 zz6")], "doc_id long, text string")
+    with CacheScope() as scope:
+        got = {r["doc_id"]: r["reason"]
+               for r in pipeline_drop_list(
+                   corpus, bench, contam_n=3, min_frac=0.2,
+                   span_tokens=4, scope=scope).collect()}
+    # docs 2 and 4 share spans with canonical doc 1; not dups, not
+    # contaminated -> span_dup. Docs 1 and 3 kept.
+    assert got == {2: "span_dup", 4: "span_dup"}
+
+
+# ---- pinned deterministic BPE (VERDICT r04 #8) --------------------------
+
+
+def test_bpe_reference_segmentations():
+    """Pinned outcomes of the merge table (any change to BPE_MERGES or
+    the pass semantics must show up here first)."""
+    enc = text.bpe_encode_py
+    assert enc("the") == ["the"]
+    assert enc("hash") == ["hash"]
+    assert enc("join") == ["join"]
+    assert enc("fast") == ["fast"]
+    assert enc("data") == ["data"]
+    assert enc("merge") == ["merge"]
+    assert enc("order") == ["order"]
+    assert enc("sort") == ["sort"]
+    assert enc("key") == ["key"]
+    assert enc("scan") == ["scan"]
+    assert enc("") == []
+    # adjacency: two (t,h) sites sharing a boundary space need pass 2
+    assert enc("thth") == ["th", "th"]
+    # exact-symbol discipline: 'or'+'t' must NOT false-match rule (r,t)
+    # or bleed across symbols — 'sort' goes through (o,r),(s,or),(sor,t)
+    assert enc("sorting") == ["sort", "in", "g"]
+
+
+def test_bpe_three_engine_identity(spark, duck):
+    """n_bpe identical across the Python reference, the Catalyst
+    expression chain, and the DuckDB oracle SQL — including empty docs,
+    punctuation-only docs, and adjacency-heavy words."""
+    from fastmorph_spark.oracles_ops import token_count_bpe_sql
+    from fastmorph_spark.tokenize import tokenize_py
+
+    texts = [
+        "the fast hash join order by key",
+        "thth ththth sorting data merge scan",
+        "", "!!! ---", "a", "aaaa bbbb the the the",
+    ]
+
+    def py_count(s):
+        return sum(len(text.bpe_encode_py(w)) for w in tokenize_py(s))
+
+    exp = [py_count(s) for s in texts]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got_spark = [r["n_bpe"] for r in
+                 text.token_count_bpe(df).orderBy("doc_id").collect()]
+    assert got_spark == exp
+
+    duck.execute("CREATE OR REPLACE TABLE _bpe_docs AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+                 + ") v(doc_id, text)")
+    got_duck = [r[2] for r in duck.execute(
+        token_count_bpe_sql(src="_bpe_docs")).fetchall()]
+    assert got_duck == exp
+    # compression is real on corpus vocabulary, not a char count
+    assert got_spark[0] < sum(len(w) for w in texts[0].split())
+
+
+def test_pack_shards_counts_frame_and_expr_agree(spark):
+    """counts= as a (doc_id, n) frame and as a Column expression produce
+    the same shards as each other; a missing doc packs at 0."""
+    docs = spark.createDataFrame(
+        [(i, "the fast hash join " * (i % 3 + 1)) for i in range(40)],
+        "doc_id long, text string")
+    via_expr = text.pack_shards(docs, 10, counts=text.bpe_count_expr("text"))
+    cnt_frame = text.token_count_bpe(docs).select("doc_id", "n_bpe")
+    via_frame = text.pack_shards(docs, 10, counts=cnt_frame)
+    assert [tuple(r) for r in via_expr.collect()] == \
+           [tuple(r) for r in via_frame.collect()]
+    # missing doc -> 0 tokens (shares its predecessor's running total)
+    partial = text.pack_shards(docs, 10, counts=cnt_frame.filter("doc_id < 20"))
+    rows = {r["doc_id"]: r["n_tokens"] for r in partial.collect()}
+    assert rows[25] == 0 and len(rows) == 40
