@@ -178,6 +178,7 @@ def write_index(
     block_size: int = BLOCK_SIZE,
     mode: str = "overwrite",
     case_sensitive: bool = False,
+    tokenizer: str = "ascii",
 ) -> dict:
     """Build + persist the index; returns build counters.
 
@@ -185,9 +186,12 @@ def write_index(
     write + dictionary max_score) so packing runs once.
     ``case_sensitive=True`` persists the case-preserving twin under
     postings_cs/ + dictionary_cs/ (read_index auto-discovers them).
+    ``tokenizer="uni"`` persists a Unicode-twin index (non-Latin corpora
+    — the reference's own class); queries against it pass the same
+    tokenizer to search_wand / fold slot literals via Python lower().
     """
     idx = build_index_frames(documents, text_col, id_col, doc_shard_size, block_size,
-                             case_sensitive=case_sensitive)
+                             case_sensitive=case_sensitive, tokenizer=tokenizer)
     idx.postings.persist()
     try:
         # each pack task holds one term_bucket (see pack_postings) — the
@@ -390,12 +394,14 @@ def write_lang_indexes(
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
     case_sensitive: bool = False,
+    tokenizer: str = "ascii",
 ) -> dict[str, dict]:
     """Persist one full index per language under {out_path}/lang=<v>/ —
     the at-rest form of build_lang_indexes: a lang-filtered query becomes
     a DIRECTORY choice (no corpus-wide scan, no runtime filter), each
     sub-index carries its own subcorpus-correct stats/impacts. Returns
-    per-lang build counters."""
+    per-lang build counters. ``tokenizer`` may pick the Unicode twin per
+    tree (a mixed-script corpus routes non-Latin langs to uni indexes)."""
     langs = sorted(
         r[0] for r in documents.select(lang_col).distinct().collect() if r[0] is not None
     )
@@ -403,7 +409,7 @@ def write_lang_indexes(
         lang: write_index(
             spark, documents.filter(F.col(lang_col) == lang),
             f"{out_path}/lang={lang}", text_col, id_col, doc_shard_size, block_size,
-            case_sensitive=case_sensitive,
+            case_sensitive=case_sensitive, tokenizer=tokenizer,
         )
         for lang in langs
     }

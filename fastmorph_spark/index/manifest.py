@@ -269,9 +269,11 @@ def build_index_resumable(
     block_size: int = BLOCK_SIZE,
     max_batches_this_run: int | None = None,
     attempt: int = 1,
+    tokenizer: str = "ascii",
 ) -> dict:
     """Resumable build. Returns {'batches_run': [...], 'complete': bool,
-    'counters': {...}}.
+    'counters': {...}}. ``tokenizer="uni"`` builds over the Unicode twin
+    (threads into build_docs/build_postings; pack/query are agnostic).
 
     `max_batches_this_run` exists for kill/resume testing: process only
     that many pending batches, then stop (simulating a crash AFTER some
@@ -328,7 +330,7 @@ def build_index_resumable(
         # coalesce: merge the many small scan splits into ~2 tasks/core —
         # same scan parallelism in waves, ~6x fewer output files to commit
         n_out = max(spark.sparkContext.defaultParallelism * 2, 16)
-        build_docs(documents, id_col=id_col).coalesce(n_out).observe(
+        build_docs(documents, id_col=id_col, tokenizer=tokenizer).coalesce(n_out).observe(
             obs0,
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
@@ -374,7 +376,7 @@ def build_index_resumable(
             (F.col(id_col) >= b * batch_width) & (F.col(id_col) < (b + 1) * batch_width)
         )
         batch_postings = build_postings(slice_df, text_col=text_col, id_col=id_col,
-                                        positions_vb=True)
+                                        positions_vb=True, tokenizer=tokenizer)
         packed = pack_postings(batch_postings, None, stats, doc_shard_size, block_size)
         # counters ride along the write job itself (CollectMetrics): no
         # persist (memory pin) and no second pass over the binary payloads

@@ -152,7 +152,8 @@ def pipeline_drop_list(
         from fastmorph_spark.ops.dedup import span_drop_list
 
         out = pin(out, scope) if scope is not None else out
-        span_docs = span_drop_list(docs, span_tokens, text_col, id_col) \
+        span_docs = span_drop_list(docs, span_tokens, text_col, id_col,
+                                   scope=scope) \
             .select("doc_id").distinct()
         out = out.unionByName(
             span_docs.join(out.select("doc_id"), "doc_id", "left_anti")

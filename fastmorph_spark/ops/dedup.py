@@ -415,7 +415,8 @@ def doc_spans(df: DataFrame, span_tokens: int = SPAN_TOKENS,
 
 
 def span_duplicates(df: DataFrame, span_tokens: int = SPAN_TOKENS,
-                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                    text_col: str = "text", id_col: str = "doc_id",
+                    scope=None) -> DataFrame:
     """Cross-document span-level duplication report: one row per span
     INSTANCE whose content occurs in >= 2 distinct docs —
     (doc_id, span_idx, span_key, n_docs), the evidence a sub-document
@@ -425,8 +426,14 @@ def span_duplicates(df: DataFrame, span_tokens: int = SPAN_TOKENS,
     Scale shape: one explode (n_tokens/W rows), ONE groupBy(span_key)
     with map-side partials, one key-partitioned join back — the dedup
     envelope, never pairwise. A pathological span shared by 10^6 docs is
-    one group row; its join fan-out is the honest report size."""
+    one group row; its join fan-out is the honest report size. The spans
+    frame feeds BOTH the agg and the join-back (plan audit shows two
+    Generates otherwise) — pass ``scope`` to pin it and tokenize the
+    corpus once; with scope=None the recompute is accepted (the pin
+    would outlive the call, cache.py contract)."""
     spans = doc_spans(df, span_tokens, text_col, id_col)
+    if scope is not None:
+        spans = scope.pin(spans)
     per = (
         spans.groupBy("span_key")
         .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
@@ -440,13 +447,17 @@ def span_duplicates(df: DataFrame, span_tokens: int = SPAN_TOKENS,
 
 
 def span_drop_list(df: DataFrame, span_tokens: int = SPAN_TOKENS,
-                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   scope=None) -> DataFrame:
     """The span-granular drop DECISION: (doc_id, span_idx, reason
     'span_dup') for every duplicated-span instance NOT owned by the
     group's canonical doc (min doc_id holding the span — group_rep
     semantics, matching exact/near dedup). The canonical doc keeps its
-    copy; every other doc drops that span."""
+    copy; every other doc drops that span. ``scope`` as in
+    span_duplicates (pin the twice-read spans frame)."""
     spans = doc_spans(df, span_tokens, text_col, id_col)
+    if scope is not None:
+        spans = scope.pin(spans)
     per = (
         spans.groupBy("span_key")
         .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),

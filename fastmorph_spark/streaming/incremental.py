@@ -43,6 +43,7 @@ def stream_ingest(
     text_col: str = "text",
     available_now: bool = True,
     case_sensitive: bool = False,
+    tokenizer: str = "ascii",
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -52,12 +53,21 @@ def stream_ingest(
     ``case_sensitive=True`` additionally logs the case-PRESERVING
     tokenization per batch (postings_logical_stream_cs/) so the finalize
     can pack the cs twin — streamed indexes then serve {"case": True}
-    slots exactly like batch-built ones (same P5 surface)."""
+    slots exactly like batch-built ones (same P5 surface).
+    ``tokenizer="uni"`` ingests with the Unicode twin (non-Latin streams
+    — the reference's own corpus class); like the cs flag it must stay
+    CONSISTENT across the stream's lifetime (the logical log holds plain
+    term strings, so mixed tokenizers would silently interleave). The
+    finalize/pack/query layers are tokenizer-agnostic."""
+    if tokenizer == "uni" and case_sensitive:
+        raise NotImplementedError(
+            "no case-sensitive twin for the uni tokenizer (index/io.py)")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
-        postings = build_postings(batch_df, text_col=text_col, id_col="doc_id")
+        postings = build_postings(batch_df, text_col=text_col, id_col="doc_id",
+                                  tokenizer=tokenizer)
         postings.withColumn("stream_batch", F.lit(int(batch_id))) \
             .write.mode("append").parquet(f"{out_path}/postings_logical_stream")
         if case_sensitive:
@@ -65,7 +75,8 @@ def stream_ingest(
                            fold_case=False) \
                 .withColumn("stream_batch", F.lit(int(batch_id))) \
                 .write.mode("append").parquet(f"{out_path}/postings_logical_stream_cs")
-        build_docs(batch_df, id_col="doc_id").withColumn("stream_batch", F.lit(int(batch_id))) \
+        build_docs(batch_df, id_col="doc_id", tokenizer=tokenizer) \
+            .withColumn("stream_batch", F.lit(int(batch_id))) \
             .write.mode("append").parquet(f"{out_path}/docs_stream")
 
     reader = spark.readStream.schema(schema).parquet(source_dir)

@@ -41,6 +41,8 @@ def main() -> None:
                          "into one file set per term_bucket (atomic swap)")
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed batches from a prior run (default: fresh overwrite)")
+    ap.add_argument("--tokenizer", default="ascii", choices=["ascii", "uni"],
+                    help="'uni' = Unicode tokenizer twin (non-Latin corpora)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -105,6 +107,7 @@ def main() -> None:
         spark, corpus.limit(2000), warm_out, input_path="warmup",
         text_col=text_col, id_col=id_col, n_batches=1,
         doc_shard_size=1024, block_size=args.block_size,
+        tokenizer=args.tokenizer,
     )
     _sh.rmtree(warm_out, ignore_errors=True)
 
@@ -113,6 +116,7 @@ def main() -> None:
         spark, corpus, args.out, input_path=args.inp,
         text_col=text_col, id_col=id_col,
         n_batches=args.batches, doc_shard_size=shard, block_size=args.block_size,
+        tokenizer=args.tokenizer,
     )
     wall = time.perf_counter() - t0
 

@@ -9,6 +9,7 @@ runs of letter/digit/underscore in any script after lower(); verified for
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fastmorph_spark.tokenize import (
     DUCKDB_TOKENIZE_UNI,
@@ -109,3 +110,71 @@ def test_uni_refuses_case_sensitive(spark):
     with pytest.raises(NotImplementedError, match="case-sensitive"):
         build_index_frames(_uni_docs(spark, SF0001), tokenizer="uni",
                            case_sensitive=True)
+
+
+def test_uni_streamed_index_matches_batch(spark, tmp_path):
+    """A stream ingested with tokenizer='uni' finalizes into a packed
+    index whose WAND results are identical to a BATCH uni build over the
+    same (Cyrillic) docs — the full streaming->pack->query chain is
+    tokenizer-agnostic past ingest."""
+    from fastmorph_spark.index.io import build_index_frames, read_index
+    from fastmorph_spark.search.wand import search_wand
+    from fastmorph_spark.streaming import finalize_from_logical, stream_ingest
+
+    vocab = ["Татар", "теле", "Казан", "йорт", "һава", "китап", "өй", "җыр"]
+    rows = [(d, " ".join(vocab[(d * 3 + j) % 8] for j in range(10)), "tt")
+            for d in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "idx"), str(tmp_path / "ck")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = stream_ingest(spark, src, out, ckpt, tokenizer="uni")
+    q.awaitTermination(120)
+    finalize_from_logical(spark, out, doc_shard_size=50, block_size=16)
+
+    streamed = read_index(spark, out)
+    batch = build_index_frames(docs, doc_shard_size=50, block_size=16,
+                               tokenizer="uni")
+    got = [tuple(r) for r in
+           search_wand(streamed, "Казан һава", k=10, tokenizer="uni").collect()]
+    want = [tuple(r) for r in
+            search_wand(batch, "Казан һава", k=10, tokenizer="uni").collect()]
+    assert got == want and len(got) == 10
+    # uni doc_len made it into the streamed registry (non-zero for
+    # Cyrillic text — the ascii counter would record 0)
+    assert streamed.docs.filter(F.col("doc_len") == 0).count() == 0
+
+
+def test_stream_ingest_refuses_uni_case_sensitive(spark, tmp_path):
+    import pytest as _pytest
+
+    from fastmorph_spark.streaming import stream_ingest
+
+    with _pytest.raises(NotImplementedError, match="case-sensitive"):
+        stream_ingest(spark, str(tmp_path / "s"), str(tmp_path / "o"),
+                      str(tmp_path / "c"), tokenizer="uni", case_sensitive=True)
+
+
+def test_uni_index_at_rest_roundtrip(spark, tmp_path):
+    """write_index(tokenizer='uni') -> read_index -> WAND: the AT-REST
+    uni index serves the Cyrillic query identically to the in-memory
+    build (this exact path silently wrote EMPTY postings before
+    write_index threaded the tokenizer — regression pin)."""
+    from fastmorph_spark.index.io import read_index, write_index
+    from fastmorph_spark.registry import UNI_QUERY, _uni_docs
+    from fastmorph_spark.search.wand import search_wand
+
+    docs = _uni_docs(spark, SF0001)
+    out = str(tmp_path / "uni_idx")
+    counters = write_index(spark, docs, out, doc_shard_size=200,
+                           block_size=32, tokenizer="uni")
+    assert counters["n_postings"] > 0 and counters["n_terms"] > 0
+    idx = read_index(spark, out)
+    got = [tuple(r) for r in search_wand(idx, UNI_QUERY, k=10,
+                                         tokenizer="uni").collect()]
+    from fastmorph_spark.index.io import build_index_frames
+
+    mem = build_index_frames(docs, doc_shard_size=200, block_size=32,
+                             tokenizer="uni")
+    want = [tuple(r) for r in search_wand(mem, UNI_QUERY, k=10,
+                                          tokenizer="uni").collect()]
+    assert got == want and len(got) == 10
