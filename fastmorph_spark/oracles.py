@@ -220,6 +220,12 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
 
             assert not cs, "tag slots are case-folded by definition"
             return f"{duckdb_tag(col)} = '{s['tag']}'"
+        if "fuzzy" in s:
+            assert not cs, "fuzzy slots are case-folded by definition"
+            w = tokenize_py(s["fuzzy"])[0]
+            d = int(s.get("dist", 1))
+            return (f"(abs(length({col}) - {len(w)}) <= {d} "
+                    f"AND levenshtein({col}, '{w}') <= {d})")
         pat = s["pattern"] if cs else s["pattern"].lower()
         like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
         return f"{col} LIKE '{like}' ESCAPE '\\'"

@@ -1,0 +1,264 @@
+"""DuckDB oracles for the corpus-statistics / fuzzy / facet / sentence
+operators (search/keyness.py, fuzzy.py, facets.py, sentence.py).
+
+Same discipline as oracles.py: every formula is mirrored TEXTUALLY —
+identical operand order and nesting — so the driver's value-hash compare
+at sf0.01 sees bit-equal doubles after SCORE_DECIMALS rounding; ranks
+are computed over the UNROUNDED statistic in both engines.
+
+Cross-engine numeric pins worth naming:
+- log2 is written as ``ln(x) / ln(2)`` in SQL and ``log(x) / lit(ln 2)``
+  in Spark — NOT the engines' native log2, whose last bit may differ;
+- Juilland's D uses only +,*,/ of sums plus one correctly-rounded sqrt,
+  so both engines agree bit-for-bit before rounding;
+- ``levenshtein`` is the plain unit-cost edit distance in both engines
+  (pinned by tests/test_corpusstats.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.oracles import TOK, _corpus_ctes
+from fastmorph_spark.tokenize import tokenize_py
+
+LN2 = math.log(2.0)  # correctly-rounded double, == DuckDB ln(2)
+
+
+def keyness_sql(focus_lang: str, min_count: int = 5, k: int = 50) -> str:
+    """Mirror of search.keyness.keyness."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest({tok}) AS term FROM documents
+),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN lang = '{focus_lang}' THEN 1 ELSE 0 END)::BIGINT AS f_focus,
+         sum(CASE WHEN lang = '{focus_lang}' THEN 0 ELSE 1 END)::BIGINT AS f_ref
+  FROM tok GROUP BY term
+),
+tot AS (
+  SELECT sum(f_focus)::DOUBLE AS n1, sum(f_ref)::DOUBLE AS n2 FROM counts
+),
+scored AS (
+  SELECT term, f_focus, f_ref,
+         2 * (CASE WHEN f1 > 0 THEN f1 * ln(f1 / ((f1 + f2) * n1 / (n1 + n2)))
+                   ELSE 0.0 END
+            + CASE WHEN f2 > 0 THEN f2 * ln(f2 / ((f1 + f2) * n2 / (n1 + n2)))
+                   ELSE 0.0 END) AS g2,
+         ln(((f1 + 0.5) / n1) / ((f2 + 0.5) / n2)) / ln(2) AS log_ratio
+  FROM (
+    SELECT term, f_focus, f_ref,
+           f_focus::DOUBLE AS f1, f_ref::DOUBLE AS f2, n1, n2
+    FROM counts CROSS JOIN tot
+    WHERE f_focus + f_ref >= {min_count}
+  )
+)
+SELECT row_number() OVER (ORDER BY g2 DESC, term ASC) AS rank,
+       term, f_focus, f_ref,
+       round(g2, {SCORE_DECIMALS}) AS g2,
+       round(log_ratio, {SCORE_DECIMALS}) AS log_ratio
+FROM scored
+ORDER BY g2 DESC, term ASC
+LIMIT {k}
+"""
+
+
+def term_profile_sql(terms: list[str]) -> str:
+    """Mirror of search.keyness.term_profile."""
+    tok = TOK.format(col="text")
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest({tok}) AS term FROM documents
+),
+lang_totals AS (
+  SELECT lang, count(*)::BIGINT AS lang_tokens FROM tok GROUP BY lang
+),
+counts AS (
+  SELECT term, lang, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({inlist}) GROUP BY term, lang
+)
+SELECT c.term, c.lang, c.tf, lt.lang_tokens,
+       round(c.tf::DOUBLE * 1000000 / lt.lang_tokens, {SCORE_DECIMALS}) AS ipm
+FROM counts c JOIN lang_totals lt USING (lang)
+ORDER BY term, lang
+"""
+
+
+def dispersion_sql(terms: list[str], parts: int = 8) -> str:
+    """Mirror of search.keyness.dispersion (Juilland's D)."""
+    tok = TOK.format(col="text")
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    p = f"{float(parts):.1f}"
+    return f"""
+WITH tok AS (
+  SELECT doc_id % {parts} AS part, unnest({tok}) AS term FROM documents
+),
+per_part AS (
+  SELECT term, part, count(*)::DOUBLE AS v FROM tok
+  WHERE term IN ({inlist}) GROUP BY term, part
+)
+SELECT term, sum(v)::BIGINT AS cf,
+       round(1 - (sqrt(greatest(sum(v * v) / {p} - (sum(v) / {p}) * (sum(v) / {p}), 0.0))
+                  / (sum(v) / {p})) / sqrt({parts} - 1), {SCORE_DECIMALS}) AS d
+FROM per_part
+GROUP BY term
+ORDER BY term
+"""
+
+
+def _dict_cte(text_expr: str = "text") -> str:
+    return f"""
+{_corpus_ctes(None, text_expr=text_expr)},
+dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+)"""
+
+
+def fuzzy_terms_sql(word: str, max_dist: int = 1, k: int = 50,
+                    text_expr: str = "text") -> str:
+    """Mirror of search.fuzzy.fuzzy_terms. ``text_expr`` lets the driver
+    fixture derive a typo-bearing corpus (the slot_case convention)."""
+    w = tokenize_py(word)[0]
+    return f"""
+WITH {_dict_cte(text_expr).strip()}
+SELECT term, df, levenshtein(term, '{w}')::BIGINT AS dist
+FROM dict
+WHERE abs(length(term) - {len(w)}) <= {max_dist}
+  AND levenshtein(term, '{w}') <= {max_dist}
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def fuzzy_docs_sql(word: str, max_dist: int = 1, k_terms: int = 50,
+                   text_expr: str = "text") -> str:
+    """Mirror of search.fuzzy.fuzzy_docs."""
+    w = tokenize_py(word)[0]
+    return f"""
+WITH {_dict_cte(text_expr).strip()},
+variants AS (
+  SELECT term, levenshtein(term, '{w}')::BIGINT AS dist
+  FROM dict
+  WHERE abs(length(term) - {len(w)}) <= {max_dist}
+    AND levenshtein(term, '{w}') <= {max_dist}
+  ORDER BY dist ASC, df DESC, term ASC
+  LIMIT {k_terms}
+)
+SELECT tf.doc_id, min(v.dist)::BIGINT AS best_dist, sum(tf.tf)::BIGINT AS tf_sum
+FROM tf JOIN variants v USING (term)
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
+def fuzzy_batch_sql(words: list[str], max_dist: int = 1,
+                    text_expr: str = "text") -> str:
+    """Mirror of search.fuzzy.fuzzy_terms_batch — the oracle states the
+    SEMANTICS (all dictionary terms within max_dist of each probe); the
+    engine's deletion-neighborhood join must produce exactly this set."""
+    probes = sorted({tokenize_py(w)[0] for w in words})
+    values = ", ".join(f"('{p}')" for p in probes)
+    return f"""
+WITH {_dict_cte(text_expr).strip()},
+probes AS (SELECT * FROM (VALUES {values}) AS p(probe))
+SELECT p.probe, d.term, d.df, levenshtein(d.term, p.probe)::BIGINT AS dist
+FROM dict d CROSS JOIN probes p
+WHERE abs(length(d.term) - length(p.probe)) <= {max_dist}
+  AND levenshtein(d.term, p.probe) <= {max_dist}
+ORDER BY p.probe ASC, dist ASC, d.df DESC, d.term ASC
+"""
+
+
+def kwic_sample_sql(slots: list, dists: list, match_len: int, n: int,
+                    width: int = 5) -> str:
+    """Mirror of the deterministic concordance sample: engine.kwic lines
+    ordered by md5(doc_id || ':' || pos) (unique per line), first n —
+    the md5-family sampling discipline (ops/text.sample_10pct)."""
+    from fastmorph_spark.oracles import kwic_sql
+
+    inner = kwic_sql(slots, dists, match_len, width).strip()
+    return f"""
+SELECT doc_id, pos, left_ctx, keyword, right_ctx
+FROM ({inner})
+ORDER BY md5(doc_id::VARCHAR || ':' || pos::VARCHAR)
+LIMIT {n}
+"""
+
+
+def facet_counts_sql(query_text: str,
+                     fields: tuple[str, ...] = ("lang", "source")) -> str:
+    """Mirror of search.facets.facet_counts over engine.and_search's
+    match set for `query_text`."""
+    terms = sorted(set(tokenize_py(query_text)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK.format(col="text")
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{f}' AS facet, {f}::VARCHAR AS value, count(*)::BIGINT AS n_docs "
+        f"FROM j GROUP BY {f}"
+        for f in fields
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+matches AS (
+  SELECT doc_id FROM tok WHERE term IN ({inlist})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+),
+j AS (
+  SELECT d.lang, d.source FROM documents d JOIN matches USING (doc_id)
+)
+SELECT * FROM ({branches})
+ORDER BY facet ASC, n_docs DESC, value ASC
+"""
+
+
+_SENT_SPLIT = "[.!?]+"
+
+
+def _sentence_tok_cte(text_expr: str = "text") -> str:
+    tok = TOK.format(col="seg")
+    return f"""
+segarr AS (
+  SELECT doc_id,
+         regexp_split_to_array(coalesce({text_expr}, ''), '{_SENT_SPLIT}') AS segs
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(segs) AS seg,
+         unnest(range(len(segs)))::BIGINT AS sent_id
+  FROM segarr
+),
+tok AS (
+  SELECT doc_id, sent_id, unnest({tok}) AS term FROM segs
+)"""
+
+
+def within_sentence_sql(query_text: str, text_expr: str = "text") -> str:
+    """Mirror of search.sentence.within_sentence_search."""
+    terms = sorted(set(tokenize_py(query_text)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_sentence_tok_cte(text_expr).strip()}
+SELECT doc_id, sent_id FROM tok WHERE term IN ({inlist})
+GROUP BY doc_id, sent_id HAVING count(DISTINCT term) = {len(terms)}
+ORDER BY doc_id, sent_id
+"""
+
+
+def sentence_stats_sql(text_expr: str = "text") -> str:
+    """Mirror of search.sentence.sentence_stats."""
+    return f"""
+WITH {_sentence_tok_cte(text_expr).strip()},
+per_sent AS (
+  SELECT doc_id, sent_id, count(*)::BIGINT AS n_tokens FROM tok
+  GROUP BY doc_id, sent_id
+)
+SELECT count(*)::BIGINT AS n_sentences,
+       round(avg(n_tokens), {SCORE_DECIMALS}) AS avg_sent_len
+FROM per_sent
+"""

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fastmorph_spark import oracles, oracles_ops
+from fastmorph_spark import registry_corpus as _corpus_ext
 from fastmorph_spark.constants import SCORE_DECIMALS
 from fastmorph_spark.index import (
     build_dictionary,
@@ -1222,6 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_drop_list_spans": q_pipeline_drop_list_spans,
         "token_count_bpe": q_token_count_bpe,
         "pack_shards_bpe": q_pack_shards_bpe,
+        # --- (b2) new this round, wave 2: corpus analytics (keyness /
+        # ipm / dispersion), fuzzy matching, facets, sentence scope,
+        # concordance sampling (fastmorph_spark/registry_corpus.py)
+        **_corpus_ext.QUERIES,
         # --- (c) r04-green, code paths touched this round + flagships
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -1459,4 +1464,5 @@ ORDER BY doc_id
 """,
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+        **_corpus_ext.oracle_sqls(),
     }

@@ -1,0 +1,244 @@
+"""Round-5 corpus-analytics registry extension: keyness / relative
+frequency / dispersion, fuzzy (edit-distance) matching, result facets,
+sentence-bounded search, and the deterministic concordance sample.
+
+Kept in its own module so registry.py only merges two dicts; every query
+here follows the house rules — (spark, sf_dir) -> DataFrame, a mirrored
+DuckDB oracle with IDENTICAL column names, fixtures derived
+deterministically in both engines where the synthetic corpus lacks the
+phenomenon (typos, sentence enders — the slot_case convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastmorph_spark import oracles_corpus
+from fastmorph_spark.index import build_dictionary, build_postings
+from fastmorph_spark.search import engine, facets, fuzzy, keyness, sentence
+from fastmorph_spark.sources import read_documents
+from fastmorph_spark.tokenize import tokenize_py
+
+KEYNESS_FOCUS, KEYNESS_MIN, KEYNESS_K = "en", 5, 50
+PROFILE_TERMS = ["fast", "join", "the"]
+DISPERSION_PARTS = 8
+FUZZY_PROBE, FUZZY_DIST = "fast", 1
+FUZZY_BATCH_PROBES = ["fast", "fst"]
+SENT_QUERY = "fast join"
+KWIC_SAMPLE_N = 25
+
+
+def _memo(spark: SparkSession, key: tuple, build):
+    from fastmorph_spark.registry import _memo as m
+
+    return m(spark, key, build)
+
+
+def _fuzzy_tables(spark: SparkSession, sf_dir: str):
+    """Postings + dictionary over the typo-bearing derived corpus."""
+    def build():
+        docs = read_documents(spark, sf_dir).select(
+            "doc_id", fuzzy.fuzzy_text_col().alias("text"))
+        postings = build_postings(docs).persist()
+        dictionary = build_dictionary(postings).persist()
+        return docs, postings, dictionary
+
+    return _memo(spark, ("fuzzy_tables", sf_dir), build)
+
+
+def _sent_tables(spark: SparkSession, sf_dir: str):
+    """Derived punctuated corpus + postings + sentence-bounds side table."""
+    def build():
+        docs = read_documents(spark, sf_dir).select(
+            "doc_id", sentence.sent_text_col().alias("text"))
+        postings = build_postings(docs).persist()
+        bounds = sentence.sentence_bounds(docs).persist()
+        return docs, postings, bounds
+
+    return _memo(spark, ("sent_tables", sf_dir), build)
+
+
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G²-ranked key terms of the focus subcorpus vs the rest — the
+    corpus-comparison tab of a corpus search UI (Dunning log-likelihood
+    + Hardie log-ratio, pinned formulas in search/keyness.py)."""
+    return keyness.keyness(read_documents(spark, sf_dir),
+                           KEYNESS_FOCUS, KEYNESS_MIN, KEYNESS_K)
+
+
+def q_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subcorpus relative frequency (ipm) for a fixed term list."""
+    return keyness.term_profile(read_documents(spark, sf_dir), PROFILE_TERMS)
+
+
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Juilland's D dispersion over doc-id classes."""
+    return keyness.dispersion(read_documents(spark, sf_dir),
+                              PROFILE_TERMS, DISPERSION_PARTS)
+
+
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-first edit-distance expansion (typo fixture corpus:
+    'fasst'/'fst' planted 1-edit variants of 'fast')."""
+    _, _, dictionary = _fuzzy_tables(spark, sf_dir)
+    return fuzzy.fuzzy_terms(dictionary, FUZZY_PROBE, FUZZY_DIST, 50)
+
+
+def q_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing any fuzzy variant — broadcast expansion into
+    postings, the wildcard_docs plan family."""
+    _, postings, dictionary = _fuzzy_tables(spark, sf_dir)
+    return fuzzy.fuzzy_docs(postings, dictionary, FUZZY_PROBE, FUZZY_DIST)
+
+
+def q_fuzzy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood BATCH matching — candidates meet in
+    a hash join (no per-probe dictionary scan); oracle states the
+    semantics with a plain levenshtein cross join."""
+    _, _, dictionary = _fuzzy_tables(spark, sf_dir)
+    return fuzzy.fuzzy_terms_batch(spark, dictionary, FUZZY_BATCH_PROBES,
+                                   FUZZY_DIST)
+
+
+FUZZY_SLOTS = [{"fuzzy": "fasst", "dist": 1}, {"pattern": "h*"}]
+FUZZY_SLOT_DISTS = [(1, 4)]
+
+
+def q_slot_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-match SLOT inside a multi-slot pattern: `~fasst
+    h* within 1..4` — the dist-1 neighborhood {fasst, fast} expands
+    dictionary-first like stems/tags (engine.slot_search)."""
+    _, postings, dictionary = _fuzzy_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary,
+                              FUZZY_SLOTS, FUZZY_SLOT_DISTS)
+
+
+def _packed_fuzzy_index(spark: SparkSession, sf_dir: str):
+    """Packed physical index over the typo-fixture corpus (the
+    _packed_uni_index convention for derived texts)."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        docs = read_documents(spark, sf_dir).select(
+            "doc_id", fuzzy.fuzzy_text_col().alias("text"))
+        idx = build_index_frames(
+            docs, doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+        )
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_fuzzy", sf_dir), build)
+
+
+def q_slot_fuzzy_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fuzzy slot query through the PACKED index (dictionary
+    expansion -> pruned block decode) — shares q_slot_fuzzy_search's
+    oracle, the packed-twin convention."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_fuzzy_index(spark, sf_dir),
+                              FUZZY_SLOTS, FUZZY_SLOT_DISTS)
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page facet sidebar: lang/source doc counts over the
+    flagship AND query's match set — one join + ONE unpivoted groupBy."""
+    from fastmorph_spark.registry import FLAGSHIP_QUERY, _index_tables
+
+    docs, postings, *_ = _index_tables(spark, sf_dir)
+    matches = engine.and_search(postings, FLAGSHIP_QUERY)
+    return facets.facet_counts(docs, matches)
+
+
+def q_within_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fast ... join within <s>` over the punctuated fixture corpus —
+    text path (split -> per-segment tokens -> (doc,sent)-keyed AND)."""
+    docs, *_ = _sent_tables(spark, sf_dir)
+    return sentence.within_sentence_search(docs, SENT_QUERY)
+
+
+def q_within_sentence_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the POSITIONAL INDEX + sentence-bounds side
+    table (no query-time re-tokenization) — shares q_within_sentence's
+    oracle, the packed-twin convention."""
+    _, postings, bounds = _sent_tables(spark, sf_dir)
+    return sentence.within_sentence_indexed(postings, bounds, SENT_QUERY)
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sentence profile (count + mean length) on the same fixture."""
+    docs, *_ = _sent_tables(spark, sf_dir)
+    return sentence.sentence_stats(docs)
+
+
+def q_kwic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random sample' of concordance lines — md5-ordered
+    first N (the md5-family sampling discipline), the corpus-UI 'shuffle
+    hits' button with reproducible output."""
+    from fastmorph_spark.registry import KWIC_WIDTH, PHRASE_QUERY, _index_tables
+
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    matches = engine.slot_search(postings, dictionary, slots, dists)
+    lines = engine.kwic(docs, matches, match_len=len(terms), width=KWIC_WIDTH)
+    sample_key = F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("pos").cast("string")))
+    return lines.orderBy(sample_key).limit(KWIC_SAMPLE_N)
+
+
+QUERIES = {
+    "keyness": q_keyness,
+    "term_profile": q_term_profile,
+    "dispersion": q_dispersion,
+    "fuzzy_terms": q_fuzzy_terms,
+    "fuzzy_docs": q_fuzzy_docs,
+    "fuzzy_batch": q_fuzzy_batch,
+    "slot_fuzzy_search": q_slot_fuzzy_search,
+    "slot_fuzzy_packed": q_slot_fuzzy_packed,
+    "facet_counts": q_facet_counts,
+    "within_sentence": q_within_sentence,
+    "within_sentence_indexed": q_within_sentence_indexed,
+    "sentence_stats": q_sentence_stats,
+    "kwic_sample": q_kwic_sample,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    from fastmorph_spark import oracles
+    from fastmorph_spark.registry import FLAGSHIP_QUERY, KWIC_WIDTH, PHRASE_QUERY
+
+    within = oracles_corpus.within_sentence_sql(
+        SENT_QUERY, text_expr=sentence.SENT_TEXT_SQL)
+    _fuzzy_slot_oracle = oracles.slot_search_sql(
+        FUZZY_SLOTS, FUZZY_SLOT_DISTS, text_expr=fuzzy.FUZZY_TEXT_SQL)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    return {
+        "keyness": oracles_corpus.keyness_sql(
+            KEYNESS_FOCUS, KEYNESS_MIN, KEYNESS_K),
+        "term_profile": oracles_corpus.term_profile_sql(PROFILE_TERMS),
+        "dispersion": oracles_corpus.dispersion_sql(
+            PROFILE_TERMS, DISPERSION_PARTS),
+        "fuzzy_terms": oracles_corpus.fuzzy_terms_sql(
+            FUZZY_PROBE, FUZZY_DIST, 50, text_expr=fuzzy.FUZZY_TEXT_SQL),
+        "fuzzy_docs": oracles_corpus.fuzzy_docs_sql(
+            FUZZY_PROBE, FUZZY_DIST, text_expr=fuzzy.FUZZY_TEXT_SQL),
+        "fuzzy_batch": oracles_corpus.fuzzy_batch_sql(
+            FUZZY_BATCH_PROBES, FUZZY_DIST, text_expr=fuzzy.FUZZY_TEXT_SQL),
+        "slot_fuzzy_search": _fuzzy_slot_oracle,
+        "slot_fuzzy_packed": _fuzzy_slot_oracle,
+        "facet_counts": oracles_corpus.facet_counts_sql(FLAGSHIP_QUERY),
+        "within_sentence": within,
+        "within_sentence_indexed": within,
+        "sentence_stats": oracles_corpus.sentence_stats_sql(
+            text_expr=sentence.SENT_TEXT_SQL),
+        "kwic_sample": oracles_corpus.kwic_sample_sql(
+            slots, dists, len(terms), KWIC_SAMPLE_N, width=KWIC_WIDTH),
+    }

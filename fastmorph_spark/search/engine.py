@@ -177,6 +177,11 @@ def slot_search(
                                    realized with the pinned deterministic
                                    classifier; expanded dictionary-first
                                    like stems
+        {"fuzzy": "fasst"}         FUZZY slot: matches every token within
+                                   "dist" (default 1) Levenshtein edits
+                                   of the folded probe — approximate
+                                   matching inside slot patterns;
+                                   expanded dictionary-first
         + optional "case": True    case-SENSITIVE match (P5 case flags);
                                    requires the case-preserving twin index
                                    (postings_cs/dictionary_cs — same doc_id
@@ -242,6 +247,27 @@ def slot_search(
                 m = P.filter(tag_expr(F.col("term")) == s["tag"])
             else:
                 cand_terms = D.filter(tag_expr(F.col("term")) == s["tag"]).select("term")
+                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        elif "fuzzy" in s:
+            # FUZZY slot: matches every token within `dist` Levenshtein
+            # edits of the (folded) probe — approximate matching inside
+            # multi-slot patterns; expanded dictionary-first like stems
+            # (the |len| band + levenshtein run over the ~|vocab|
+            # dictionary, JVM codegen, never per-posting)
+            from fastmorph_spark.search.fuzzy import _fold_probe
+
+            if cs:
+                raise ValueError("fuzzy slots are case-folded by definition")
+            w = _fold_probe(s["fuzzy"])
+            d = int(s.get("dist", 1))
+            pred = (
+                (F.abs(F.length("term") - F.lit(len(w))) <= d)
+                & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
+            )
+            if D is None:
+                m = P.filter(pred)
+            else:
+                cand_terms = D.filter(pred).select("term")
                 m = P.join(F.broadcast(cand_terms), "term", "left_semi")
         else:
             pat = s["pattern"] if cs else s["pattern"].lower()

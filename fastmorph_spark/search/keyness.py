@@ -1,0 +1,170 @@
+"""Subcorpus frequency statistics: keyness, relative frequency, dispersion.
+
+The reference engine serves a national-corpus search UI whose analytical
+tabs compare SUBCORPORA — which words are characteristic of one slice
+(keyness), how frequent a word is per slice normalized for slice size
+(ipm — items per million), and how evenly a word spreads across the
+corpus (dispersion). All three are pure aggregations over the tokenized
+corpus; none touch positions.
+
+Pinned semantics (mirrored textually by oracles_corpus.py — the driver
+hash-compares at sf0.01):
+
+- **keyness** — log-likelihood G² (Dunning 1993, the standard corpus-
+  linguistics keyness statistic) between a FOCUS subcorpus (lang ==
+  focus_lang) and the REFERENCE subcorpus (every other doc):
+
+      e1 = (f1 + f2) * n1 / n        (expected focus count)
+      e2 = (f1 + f2) * n2 / n
+      g2 = 2 * (  [f1 > 0] * f1 * ln(f1 / e1)
+                + [f2 > 0] * f2 * ln(f2 / e2) )
+
+  plus Hardie's effect-size Log Ratio with a pinned always-on 0.5
+  additive smoothing (so zero counts stay finite):
+
+      log_ratio = log2( ((f1 + 0.5) / n1) / ((f2 + 0.5) / n2) )
+
+  Rank over the UNROUNDED g2 (DESC, term ASC tie-break), output rounded
+  to SCORE_DECIMALS — the search_topk / collocation discipline.
+
+- **term_profile** — per (term, lang): token frequency and
+  ipm = tf * 1000000 / lang_tokens. Only (term, lang) pairs where the
+  term occurs are emitted.
+
+- **dispersion** — Juilland's D over P = `parts` equal doc-id classes
+  (part = doc_id % parts — deterministic, balanced for sequential ids):
+
+      mean = s / p                  (s  = Σ per-part counts; zero parts
+      var  = ss / p - mean * mean    ss = Σ squared per-part counts —
+      d    = 1 - (sqrt(greatest(var, 0)) / mean) / sqrt(p - 1)
+
+  zeros enter through the /p divisors, so no part densification (and no
+  P×V grid materialization) is ever needed — the whole statistic folds
+  into two sums per term.
+
+Scale shape: each statistic is one tokenize scan (Catalyst `tokenize_expr`,
+WholeStageCodegen — no Python) + ONE map-side-partial groupBy on term
+(the vocabulary-sized shuffle an agg on 100 TB must pay) + a broadcast of
+the 1-row (or #langs-row) totals; keyness tops out in a
+TakeOrderedAndProject. No joins on corpus-sized frames, no windows over
+unbounded partitions, no driver-side materialization beyond top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LN2 = math.log(2.0)  # correctly-rounded double; == DuckDB ln(2)
+
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.tokenize import tokenize_expr
+
+KEYNESS_SCHEMA = ("rank long, term string, f_focus long, f_ref long, "
+                  "g2 double, log_ratio double")
+
+
+def _tokens_with_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, term) one row per token occurrence — Catalyst-only."""
+    return docs.select(
+        "lang", F.explode(tokenize_expr(text_col)).alias("term")
+    )
+
+
+def keyness(docs: DataFrame, focus_lang: str, min_count: int = 5,
+            k: int = 50, text_col: str = "text") -> DataFrame:
+    """G²-ranked key terms of the `focus_lang` subcorpus vs the rest.
+
+    Output: (rank, term, f_focus, f_ref, g2, log_ratio) — g2 always
+    positive (strength of evidence), log_ratio signed (direction:
+    positive = overused in focus).
+    """
+    tok = _tokens_with_lang(docs, text_col)
+    is_focus = F.col("lang") == focus_lang
+    # ONE shuffle: conditional sums split the sides without a self-join
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(is_focus, 1).otherwise(0)).cast("long").alias("f_focus"),
+        F.sum(F.when(is_focus, 0).otherwise(1)).cast("long").alias("f_ref"),
+    )
+    totals = counts.agg(
+        F.sum("f_focus").cast("double").alias("n1"),
+        F.sum("f_ref").cast("double").alias("n2"),
+    )
+    f1 = F.col("f_focus").cast("double")
+    f2 = F.col("f_ref").cast("double")
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    e1 = (f1 + f2) * n1 / n
+    e2 = (f1 + f2) * n2 / n
+    g2 = 2 * (
+        F.when(f1 > 0, f1 * F.log(f1 / e1)).otherwise(F.lit(0.0))
+        + F.when(f2 > 0, f2 * F.log(f2 / e2)).otherwise(F.lit(0.0))
+    )
+    # pinned as ln(x)/ln(2) — NOT the native log2, whose last bit may
+    # differ between engines (oracles_corpus.py mirrors this form)
+    log_ratio = F.log(((f1 + 0.5) / n1) / ((f2 + 0.5) / n2)) / _LN2
+    scored = (
+        counts.filter((F.col("f_focus") + F.col("f_ref")) >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("g2", g2)
+        .withColumn("log_ratio", log_ratio)
+    )
+    topk = scored.orderBy(F.desc("g2"), F.asc("term")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("g2"), F.asc("term")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "term", "f_focus", "f_ref",
+        F.round("g2", SCORE_DECIMALS).alias("g2"),
+        F.round("log_ratio", SCORE_DECIMALS).alias("log_ratio"),
+    )
+
+
+def term_profile(docs: DataFrame, terms: list[str],
+                 text_col: str = "text") -> DataFrame:
+    """Per-subcorpus relative frequency (ipm) for a fixed term list.
+
+    Output: (term, lang, tf, lang_tokens, ipm), one row per (term, lang)
+    pair where the term occurs; ordered (term ASC, lang ASC).
+    """
+    tok = _tokens_with_lang(docs, text_col)
+    lang_totals = tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("lang_tokens"))
+    counts = (
+        tok.filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy("term", "lang").agg(F.count("*").cast("long").alias("tf"))
+    )
+    ipm = F.col("tf").cast("double") * 1000000 / F.col("lang_tokens")
+    return (
+        counts.join(F.broadcast(lang_totals), "lang")
+        .select("term", "lang", "tf", "lang_tokens",
+                F.round(ipm, SCORE_DECIMALS).alias("ipm"))
+        .orderBy("term", "lang")
+    )
+
+
+def dispersion(docs: DataFrame, terms: list[str], parts: int = 8,
+               text_col: str = "text") -> DataFrame:
+    """Juilland's D for each term over `parts` doc-id classes.
+
+    Output: (term, cf, d) ordered by term; d in [0, 1], higher = more
+    evenly dispersed. Requires parts >= 2.
+    """
+    assert parts >= 2, "Juilland's D needs at least 2 parts"
+    tok = docs.select(
+        (F.col("doc_id") % parts).alias("part"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+    ).filter(F.col("term").isin(sorted(set(terms))))
+    per_part = tok.groupBy("term", "part").agg(
+        F.count("*").cast("double").alias("v"))
+    p = float(parts)
+    s, ss = F.sum("v"), F.sum(F.col("v") * F.col("v"))
+    mean = s / p
+    var = ss / p - mean * mean
+    d = 1 - (F.sqrt(F.greatest(var, F.lit(0.0))) / mean) / float((p - 1) ** 0.5)
+    return (
+        per_part.groupBy("term")
+        .agg(s.cast("long").alias("cf"), F.round(d, SCORE_DECIMALS).alias("d"))
+        .orderBy("term")
+    )

@@ -245,6 +245,13 @@ def _slot_pred(s: dict):
         from fastmorph_spark.tags import tag_expr
 
         return tag_expr(F.col("term")) == s["tag"]
+    if "fuzzy" in s:
+        from fastmorph_spark.search.fuzzy import _fold_probe
+
+        w = _fold_probe(s["fuzzy"])
+        d = int(s.get("dist", 1))
+        return (F.abs(F.length("term") - F.lit(len(w))) <= d) \
+            & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
     pat = s["pattern"] if s.get("case") else s["pattern"].lower()
     like = engine.wildcard_pattern_to_like(pat)
     return F.col("term").like(like)
@@ -325,6 +332,19 @@ def _expand_slot_term_groups(
                 raise ValueError(f"unknown tag class {s['tag']!r}")
             groups.append([])
             conds[cs].append((i, tag_expr(F.col("term")) == s["tag"]))
+        elif "fuzzy" in s:
+            from fastmorph_spark.search.fuzzy import _fold_probe
+
+            if cs:
+                raise ValueError("fuzzy slots are case-folded by definition")
+            w = _fold_probe(s["fuzzy"])
+            d = int(s.get("dist", 1))
+            groups.append([])
+            conds[cs].append((
+                i,
+                (F.abs(F.length("term") - F.lit(len(w))) <= d)
+                & (F.levenshtein(F.col("term"), F.lit(w)) <= d),
+            ))
         else:
             groups.append([])
             pat = s["pattern"] if cs else s["pattern"].lower()

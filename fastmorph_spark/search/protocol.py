@@ -18,6 +18,7 @@ Request shape (all engine capabilities reachable):
         {"pattern": "h*sh"},             # wildcard (* and ?)
         {"lemma": "running"},            # stem-folded match
         {"tag": "number"},               # token-class slot (tags.py)
+        {"fuzzy": "fasst", "dist": 1},   # approximate (edit-distance)
       ],
       "dists": [[1, 4], ...],            # len(slots)-1 [lo, hi] ranges
       "skip": 0, "until": 20,            # pagination window (ranks)
@@ -26,7 +27,9 @@ Request shape (all engine capabilities reachable):
                                          #    5 for format="kwic")
       "lang": "en",                      # subcorpus filter (optional)
       "format": "snippets",              # or "kwic": aligned concordance
-    }                                    #   columns instead of snippets
+                                         #   columns instead of snippets
+      "facets": true,                    # optional: response gains
+    }                                    #   per-lang/source match counts
 
 Response shape (one entry per page doc, occurrences nested in corpus
 order — the sentences/highlights/totals surface):
@@ -52,7 +55,10 @@ from pyspark.sql import DataFrame
 
 # engine slot spec key -> protocol key (the engine uses "term"/"stem";
 # the protocol speaks the reference's vocabulary: word/lemma)
-_SLOT_KEYS = {"word": "term", "pattern": "pattern", "lemma": "stem", "tag": "tag"}
+_SLOT_KEYS = {"word": "term", "pattern": "pattern", "lemma": "stem",
+              "tag": "tag", "fuzzy": "fuzzy"}
+_MAX_FUZZY_DIST = 2     # fuzzy slot edit-distance bound (expansion stays
+                        # dictionary-bounded, but d>2 matches ~everything)
 _MAX_SLOTS = 8          # fastmorph patterns are "up to ~5 slots" [PK]
 _MAX_UNTIL = 10_000     # pagination window cap: the page is collected
 
@@ -135,9 +141,12 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"bm25": q, "k": k, "lang": lang}
     unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang",
-                          "format"}
+                          "format", "facets"}
     if unknown:
         raise RequestError(f"unknown request fields: {sorted(unknown)}")
+    facets = req.get("facets", False)
+    if not isinstance(facets, bool):
+        raise RequestError("facets must be a boolean")
     fmt = req.get("format", "snippets")
     if fmt not in ("snippets", "kwic"):
         raise RequestError("format must be 'snippets' or 'kwic'")
@@ -154,13 +163,21 @@ def parse_request(req: dict) -> dict:
         if len(kinds) != 1:
             raise RequestError(
                 f"slot {i} needs exactly one of {sorted(_SLOT_KEYS)}")
-        extra = set(s) - {kinds[0], "case"}
+        kind = kinds[0]
+        extra = set(s) - {kind, "case"} - ({"dist"} if kind == "fuzzy" else set())
         if extra:
             raise RequestError(f"slot {i} has unknown fields: {sorted(extra)}")
-        kind = kinds[0]
         if not isinstance(s[kind], str) or not s[kind]:
             raise RequestError(f"slot {i}: {kind} must be a non-empty string")
         out = {_SLOT_KEYS[kind]: s[kind]}
+        if kind == "fuzzy":
+            d = s.get("dist", 1)
+            if not isinstance(d, int) or isinstance(d, bool) \
+                    or not 1 <= d <= _MAX_FUZZY_DIST:
+                raise RequestError(
+                    f"slot {i}: dist must be an integer in "
+                    f"[1, {_MAX_FUZZY_DIST}]")
+            out["dist"] = d
         if s.get("case"):
             if kind != "word":
                 raise RequestError(
@@ -199,7 +216,7 @@ def parse_request(req: dict) -> dict:
     if lang is not None and (not isinstance(lang, str) or not lang):
         raise RequestError("lang must be a non-empty string")
     return {"slots": slots, "dists": dists, "skip": skip, "until": until,
-            "width": width, "lang": lang, "format": fmt}
+            "width": width, "lang": lang, "format": fmt, "facets": facets}
 
 
 def _serialize(rows: list, skip: int, until: int,
@@ -318,6 +335,16 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                              "score": float(r["score"])} for r in rows]}
     try:
+        facet_src = None
+        if session is None and p.get("facets"):
+            # facet counts need the FULL match set, which the one-shot
+            # packed_search_request never exposes — route through the
+            # two-step (match set -> page) with an ephemeral session so
+            # the decode happens ONCE for page + facets, then unpersist.
+            session = {}
+            _ephemeral = True
+        else:
+            _ephemeral = False
         if session is not None:
             # pagination continuation (SURVEY §3.1 entry point 3
             # [PK-med]: the reference serves skip/until windows from
@@ -338,17 +365,33 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 skip=p["skip"], until=p["until"], width=p["width"],
                 assembly=p["format"],
             ).collect()
+            facet_src = m
         else:
             rows = packed_search_request(
                 documents, index, p["slots"], p["dists"],
                 skip=p["skip"], until=p["until"], width=p["width"], scope=scope,
                 assembly=p["format"],
             ).collect()
+        facet_rows = None
+        if p.get("facets"):
+            from fastmorph_spark.search.facets import facet_counts
+
+            facet_rows = facet_counts(documents, facet_src).collect()
+        if _ephemeral:
+            close_session(session)
     except ValueError as e:
         # engine-level contract violations surface as client errors
         # (e.g. a case-sensitive slot against an index with no cs twin)
         return {"error": str(e)}
-    return _serialize(rows, p["skip"], p["until"], fmt=p["format"])
+    resp = _serialize(rows, p["skip"], p["until"], fmt=p["format"])
+    if facet_rows is not None:
+        # the result-page sidebar: match-set doc counts per metadata
+        # dimension, within the request's subcorpus
+        fc: dict = {}
+        for r in facet_rows:
+            fc.setdefault(r["facet"], {})[r["value"]] = int(r["n_docs"])
+        resp["facets"] = fc
+    return resp
 
 
 def _continuation_key(p: dict, index) -> tuple:

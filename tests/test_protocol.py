@@ -346,3 +346,72 @@ def test_kwic_continuation_shares_match_set(spark, serving):
     assert (k1["total_docs"], k1["total_matches"]) == \
            (s1["total_docs"], s1["total_matches"])
     close_session(session)
+
+
+# ---------------- round-5: fuzzy slots + facets on the serving boundary
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ({"slots": [{"fuzzy": "fast", "dist": 0}], "dists": []}, "dist must be"),
+    ({"slots": [{"fuzzy": "fast", "dist": 3}], "dists": []}, "dist must be"),
+    ({"slots": [{"fuzzy": "fast", "dist": True}], "dists": []}, "dist must be"),
+    ({"slots": [{"fuzzy": "fast", "case": True}], "dists": []}, "word slots only"),
+    ({"slots": [{"word": "fast", "dist": 1}], "dists": []}, "unknown fields"),
+    ({"slots": [{"word": "fast"}], "dists": [], "facets": 1}, "facets must be"),
+])
+def test_fuzzy_facets_validation(bad, msg):
+    with pytest.raises(RequestError, match=None):
+        try:
+            parse_request(bad)
+        except RequestError as e:
+            assert msg in str(e)
+            raise
+
+
+def test_fuzzy_slot_request_parses_and_serves(spark, serving):
+    docs, idx = serving
+    p = parse_request({"slots": [{"fuzzy": "fasst", "dist": 1},
+                                 {"pattern": "h*"}],
+                       "dists": [[1, 4]]})
+    assert p["slots"][0] == {"fuzzy": "fasst", "dist": 1}
+    # default dist is 1
+    p2 = parse_request({"slots": [{"fuzzy": "fasst"}], "dists": []})
+    assert p2["slots"][0] == {"fuzzy": "fasst", "dist": 1}
+    # the corpus has no 1-edit neighbors of 'fast' except itself, so the
+    # fuzzy request must answer exactly like the exact-word request
+    ra = handle_request(docs, idx, {"slots": [{"fuzzy": "fast", "dist": 1},
+                                              {"pattern": "h*"}],
+                                    "dists": [[1, 4]], "until": 12})
+    rb = handle_request(docs, idx, {"slots": [{"word": "fast"},
+                                              {"pattern": "h*"}],
+                                    "dists": [[1, 4]], "until": 12})
+    assert "error" not in ra and ra == rb
+
+
+def test_facets_response(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, dict(REQ, facets=True))
+    assert "error" not in resp and "facets" in resp
+    assert set(resp["facets"]) == {"lang", "source"}
+    # facet doc counts must sum to the request's total_docs per field
+    for field, counts in resp["facets"].items():
+        assert sum(counts.values()) == resp["total_docs"], field
+    # page content identical to the facet-less request
+    base = handle_request(docs, idx, REQ)
+    assert resp["results"] == base["results"]
+    assert resp["total_matches"] == base["total_matches"]
+
+
+def test_facets_with_continuation_session(spark, serving):
+    from fastmorph_spark.search.protocol import close_session
+
+    docs, idx = serving
+    session: dict = {}
+    r1 = handle_request(docs, idx, dict(REQ, facets=True), session=session)
+    assert len(session) == 1
+    r2 = handle_request(docs, idx,
+                        dict(REQ, skip=0, until=5, facets=True),
+                        session=session)
+    assert len(session) == 1  # same shape -> same persisted match set
+    assert r1["facets"] == r2["facets"]
+    close_session(session)
