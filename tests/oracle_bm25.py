@@ -28,8 +28,10 @@ def tokenize(text: str) -> list[str]:
 class OracleIndex:
     """Exhaustive in-memory index over (doc_id -> text) pairs."""
 
-    def __init__(self, docs: dict[int, str], langs: dict[int, str] | None = None):
+    def __init__(self, docs: dict[int, str], langs: dict[int, str] | None = None,
+                 sources: dict[int, str] | None = None):
         self.langs = langs or {}
+        self.sources = sources or {}
         self._docs_src = dict(docs)
         self._init(docs)
 
@@ -149,6 +151,20 @@ def oracle_tag(t: str) -> str:
     return "ident"
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain unit-cost edit distance (the Spark/DuckDB builtin's twin)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _wildcard_re(pattern: str):
     return re.compile(
         pattern.lower().replace("?", "[a-z0-9_]").replace("*", "[a-z0-9_]*") + "$"
@@ -197,6 +213,11 @@ def _slot_docs(self, slots: list[dict], dists: list) -> list[tuple[int, int, str
         if "tag" in s:
             target = s["tag"]
             return lambda tok: oracle_tag(tok) == target
+        if "fuzzy" in s:
+            w = s["fuzzy"].lower()
+            dmax = int(s.get("dist", 1))
+            return lambda tok: (abs(len(tok) - len(w)) <= dmax
+                                and levenshtein(tok, w) <= dmax)
         pat = _wildcard_re(s["pattern"])
         return lambda tok: bool(pat.match(tok))
 
@@ -237,11 +258,13 @@ def load_oracle(sf_dir: str) -> OracleIndex:
     """OracleIndex with lang metadata (for filter_lang query specs)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
     ids = t["doc_id"].to_pylist()
     return OracleIndex(
         dict(zip(ids, t["text"].to_pylist())),
         dict(zip(ids, t["lang"].to_pylist())),
+        dict(zip(ids, t["source"].to_pylist())),
     )
 
 

@@ -90,6 +90,16 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
                [g[:4] for g in exp], spec["qid"]
         for r, g in zip(rows, exp):
             assert math.isclose(r["pmi"], float(g[4]), abs_tol=1e-6), spec["qid"]
+    elif spec["mode"] == "keyness":
+        assert [[r["rank"], r["term"], r["f_focus"], r["f_ref"]] for r in rows] \
+               == [g[:4] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["g2"], float(g[4]), abs_tol=1e-6), spec["qid"]
+            assert math.isclose(r["log_ratio"], float(g[5]), abs_tol=1e-6), spec["qid"]
+    elif spec["mode"] == "within_sentence_indexed":
+        assert [[r["doc_id"], r["sent_id"]] for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "facets":
+        assert [[r["facet"], r["value"], r["n_docs"]] for r in rows] == exp, spec["qid"]
     else:
         assert sorted(r["doc_id"] for r in rows) == exp, spec["qid"]
 
