@@ -196,7 +196,8 @@ TOK_CS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> 
 
 def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text",
                     lang: str | None = None, tok_fragment: str | None = None,
-                    tok_cs_fragment: str | None = None) -> str:
+                    tok_cs_fragment: str | None = None,
+                    pos_cte: str | None = None) -> str:
     """Mirror of engine.slot_search: same slot specs, same chained distance
     semantics, same output columns (doc_id, n_matches, match_starts). The
     case-sensitive twin tokenization shares positions with the folded one
@@ -252,14 +253,18 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
     # slots exist there), keeping the parallel unnest length-aligned
     tok = (tok_fragment or TOK).format(col="text")
     tok_cs = (tok_cs_fragment or (tok_fragment or TOK_CS)).format(col="text")
-    return f"""
-WITH docs AS (SELECT doc_id, {text_expr} AS text FROM documents{where}),
+    # a caller-supplied pos CTE chain (must end defining pos(doc_id,
+    # term, term_cs, pos)) swaps in an alternative position space —
+    # the sentence-scoped composite-key twin (oracles_corpus)
+    intro = pos_cte if pos_cte is not None else f"""docs AS (SELECT doc_id, {text_expr} AS text FROM documents{where}),
 tokarr AS (SELECT doc_id, {tok} AS toks, {tok_cs} AS toks_cs FROM docs),
 pos AS (
   SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
          unnest(range(len(toks)))::INT AS pos
   FROM tokarr
-),
+)"""
+    return f"""
+WITH {intro},
 {slot_ctes},
 cand AS (SELECT s0.doc_id, {proj} FROM s0 {joins}),
 m AS (

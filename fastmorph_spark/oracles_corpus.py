@@ -250,6 +250,43 @@ ORDER BY doc_id, sent_id
 """
 
 
+def slot_within_sentence_sql(slots: list, dists: list,
+                             text_expr: str = "text",
+                             key_base: int = 1 << 20) -> str:
+    """Mirror of search.sentence.slot_within_sentence: the composite-key
+    position space (doc_id*key_base + sent_id, sentence-local positions)
+    swapped into the UNCHANGED slot_search_sql machinery via pos_cte,
+    then decomposed back to (doc_id, sent_id)."""
+    from fastmorph_spark.oracles import slot_search_sql
+
+    tok = TOK.format(col="seg")
+    pos_cte = f"""segarr AS (
+  SELECT doc_id,
+         regexp_split_to_array(coalesce({text_expr}, ''), '{_SENT_SPLIT}') AS segs
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(segs) AS seg,
+         unnest(range(len(segs)))::BIGINT AS sent_id
+  FROM segarr
+),
+segtok AS (SELECT doc_id, sent_id, {tok} AS toks FROM segs),
+pos AS (
+  SELECT doc_id * {key_base} + sent_id AS doc_id,
+         unnest(toks) AS term, unnest(toks) AS term_cs,
+         unnest(range(len(toks)))::INT AS pos
+  FROM segtok
+)"""
+    inner = slot_search_sql(slots, dists, pos_cte=pos_cte).strip()
+    return f"""
+SELECT (doc_id // {key_base})::BIGINT AS doc_id,
+       (doc_id % {key_base})::BIGINT AS sent_id,
+       n_matches, match_starts
+FROM ({inner})
+ORDER BY doc_id, sent_id
+"""
+
+
 def sentence_stats_sql(text_expr: str = "text") -> str:
     """Mirror of search.sentence.sentence_stats."""
     return f"""

@@ -168,6 +168,58 @@ def q_within_sentence_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence.within_sentence_indexed(postings, bounds, SENT_QUERY)
 
 
+SENT_SLOTS = [{"term": "fast"}, {"pattern": "j*"}]
+SENT_SLOT_DISTS = [(1, 3)]
+
+
+def q_slot_within_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-slot pattern scoped to one sentence (`fast j* within <s>`,
+    distance 1..3) — engine.slot_search runs UNCHANGED over per-sentence
+    composite-key postings (sentence.sentence_postings); match_starts are
+    sentence-local highlight offsets."""
+    _, postings, bounds = _sent_tables(spark, sf_dir)
+    _, _, dictionary = _sent_dict_tables(spark, sf_dir)
+    return sentence.slot_within_sentence(postings, bounds, dictionary,
+                                         SENT_SLOTS, SENT_SLOT_DISTS)
+
+
+def _sent_dict_tables(spark: SparkSession, sf_dir: str):
+    """Dictionary over the punctuated corpus (slot expansions)."""
+    def build():
+        docs, postings, _ = _sent_tables(spark, sf_dir)
+        dictionary = build_dictionary(postings).persist()
+        return docs, postings, dictionary
+
+    return _memo(spark, ("sent_dict", sf_dir), build)
+
+
+def _packed_sent_index(spark: SparkSession, sf_dir: str):
+    """Packed physical index over the punctuated fixture corpus."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        docs, *_ = _sent_tables(spark, sf_dir)
+        idx = build_index_frames(
+            docs, doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+        )
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_sent", sf_dir), build)
+
+
+def q_slot_within_sentence_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sentence-scoped slot query off the PACKED index: pruned block
+    scan + Arrow decode feeds sentence re-basing — sentence scope rides
+    the decode, never a corpus pass. Shares the corpus path's oracle."""
+    _, _, bounds = _sent_tables(spark, sf_dir)
+    return sentence.slot_within_sentence_packed(
+        _packed_sent_index(spark, sf_dir), bounds,
+        SENT_SLOTS, SENT_SLOT_DISTS)
+
+
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sentence profile (count + mean length) on the same fixture."""
     docs, *_ = _sent_tables(spark, sf_dir)
@@ -204,6 +256,8 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "within_sentence": q_within_sentence,
     "within_sentence_indexed": q_within_sentence_indexed,
+    "slot_within_sentence": q_slot_within_sentence,
+    "slot_within_sentence_packed": q_slot_within_sentence_packed,
     "sentence_stats": q_sentence_stats,
     "kwic_sample": q_kwic_sample,
 }
@@ -217,6 +271,8 @@ def oracle_sqls() -> dict[str, str]:
         SENT_QUERY, text_expr=sentence.SENT_TEXT_SQL)
     _fuzzy_slot_oracle = oracles.slot_search_sql(
         FUZZY_SLOTS, FUZZY_SLOT_DISTS, text_expr=fuzzy.FUZZY_TEXT_SQL)
+    _slot_within_oracle = oracles_corpus.slot_within_sentence_sql(
+        SENT_SLOTS, SENT_SLOT_DISTS, text_expr=sentence.SENT_TEXT_SQL)
     terms = tokenize_py(PHRASE_QUERY)
     slots = [{"term": t} for t in terms]
     dists = [(1, 1)] * (len(terms) - 1)
@@ -237,6 +293,8 @@ def oracle_sqls() -> dict[str, str]:
         "facet_counts": oracles_corpus.facet_counts_sql(FLAGSHIP_QUERY),
         "within_sentence": within,
         "within_sentence_indexed": within,
+        "slot_within_sentence": _slot_within_oracle,
+        "slot_within_sentence_packed": _slot_within_oracle,
         "sentence_stats": oracles_corpus.sentence_stats_sql(
             text_expr=sentence.SENT_TEXT_SQL),
         "kwic_sample": oracles_corpus.kwic_sample_sql(

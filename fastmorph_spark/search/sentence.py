@@ -156,6 +156,98 @@ def within_sentence_indexed(postings: DataFrame, bounds: DataFrame,
     )
 
 
+SENT_KEY_BASE = 1 << 20  # composite (doc_id, sent_id) key: doc_id*BASE +
+#                          sent_id. Bounds: <2^20 sentences per doc and
+#                          doc_id < 2^43 — both comfortable for real
+#                          corpora (a doc with 10^6 sentences is a
+#                          shard-packing bug, not a document).
+
+
+def sentence_postings(postings: DataFrame, bounds: DataFrame,
+                      key_base: int = SENT_KEY_BASE) -> DataFrame:
+    """Per-SENTENCE postings derived from ANY postings frame (corpus-built
+    or packed-decoded) + the sentence-bounds side table: the composite
+    key doc_id*key_base + sent_id plays doc_id, positions are re-based to
+    sentence-LOCAL offsets.
+
+    Because position DIFFERENCES are offset-invariant, every slot /
+    phrase / proximity operator keeps its exact distance semantics when
+    run over this frame — scoped to one sentence by construction (a
+    match can never span two sentences: its tokens would live under
+    different composite keys). One explode + ONE (key, term) groupBy; at
+    scale this is the same shuffle family as the postings build itself,
+    and deriving it from PACKED decoded postings means sentence-scoped
+    queries ride the pruned block scan, not a corpus re-tokenization.
+    """
+    m = postings.join(bounds, "doc_id")
+    occ = m.select("doc_id", "term", "bounds",
+                   F.explode("positions").alias("p"))
+    sent = (F.size(F.filter(F.col("bounds"), lambda b: b <= F.col("p"))) - 1) \
+        .cast("long")
+    occ = occ.withColumn("sent", sent)
+    occ = occ.withColumn(
+        "local",
+        (F.col("p") - F.element_at(F.col("bounds"),
+                                   (F.col("sent") + 1).cast("int"))).cast("int"))
+    return (
+        occ.groupBy((F.col("doc_id") * key_base + F.col("sent")).alias("doc_id"),
+                    "term")
+        .agg(F.sort_array(F.collect_list("local")).alias("positions"),
+             F.count("*").cast("long").alias("tf"))
+    )
+
+
+def slot_within_sentence(postings: DataFrame, bounds: DataFrame,
+                         dictionary: DataFrame | None,
+                         slots: list[dict], dists: list[tuple[int, int]],
+                         key_base: int = SENT_KEY_BASE) -> DataFrame:
+    """Multi-slot token patterns scoped to ONE sentence — the corpus-query
+    `A ... B within <s>` composition, with the FULL slot vocabulary
+    (terms, wildcards, stems, tags, fuzzy) and distance ranges reused
+    UNCHANGED: engine.slot_search runs over sentence_postings and never
+    learns sentences exist.
+
+    Output: (doc_id, sent_id, n_matches, match_starts) — match_starts are
+    sentence-LOCAL token offsets (the within-sentence highlight
+    positions), ordered (doc_id, sent_id).
+    """
+    from fastmorph_spark.search import engine
+
+    sp = sentence_postings(postings, bounds, key_base)
+    m = engine.slot_search(sp, dictionary, slots, dists)
+    key = F.col("doc_id")
+    return m.select(
+        F.expr(f"doc_id div {key_base}").cast("long").alias("doc_id"),
+        (key % key_base).cast("long").alias("sent_id"),
+        "n_matches", "match_starts",
+    ).orderBy("doc_id", "sent_id")
+
+
+def slot_within_sentence_packed(index, bounds: DataFrame,
+                                slots: list[dict],
+                                dists: list[tuple[int, int]],
+                                key_base: int = SENT_KEY_BASE) -> DataFrame:
+    """slot_within_sentence off the PACKED index: the slots' postings come
+    from the pruned block scan + Arrow decode (term_bucket partition
+    pruning, doc-range block skip — exactly packed_slot_search's scan),
+    then re-base through the bounds table. Sentence scope costs one extra
+    join + groupBy over the ALREADY-PRUNED decode, never a corpus pass.
+    Case-sensitive slots are rejected (the cs twin's position space is
+    shared, but scoping it is untested territory — fail loudly)."""
+    from fastmorph_spark.search.packed import (
+        MAX_SLOT_EXPANSION,
+        _packed_slot_postings,
+    )
+
+    if any(s.get("case") for s in slots):
+        raise ValueError("case-sensitive slots are not supported within "
+                         "sentence scope")
+    decoded, dictionary, _, _ = _packed_slot_postings(
+        index, slots, MAX_SLOT_EXPANSION)
+    return slot_within_sentence(decoded, bounds, dictionary, slots, dists,
+                                key_base)
+
+
 def sentence_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus sentence profile: sentence count and mean tokens per
     non-empty sentence. Output: 1 row (n_sentences, avg_sent_len)."""

@@ -304,3 +304,88 @@ def test_keyness_repartition_stable(spark, docs, duck1):
     a = keyness.keyness(docs, "en", 5, 20).collect()
     b = keyness.keyness(docs.repartition(13), "en", 5, 20).collect()
     assert a == b
+
+
+# ------------------------------------------- sentence-scoped slot search
+
+
+def test_slot_within_sentence_matches_oracle(spark, docs_sent, duck1):
+    from fastmorph_spark.index import build_dictionary as bd
+
+    slots = [{"term": "fast"}, {"pattern": "j*"}]
+    dists = [(1, 3)]
+    postings = build_postings(docs_sent)
+    bounds = sentence.sentence_bounds(docs_sent)
+    got = sentence.slot_within_sentence(postings, bounds,
+                                        bd(postings), slots, dists)
+    sql = oracles_corpus.slot_within_sentence_sql(
+        slots, dists, text_expr=SENT_TEXT_SQL)
+    assert_frames_match(got, duck1.sql(sql))
+    assert got.count() > 0
+
+
+def test_slot_within_sentence_packed_parity(spark, docs_sent):
+    from fastmorph_spark.index import build_dictionary as bd
+    from fastmorph_spark.index.io import build_index_frames
+
+    slots = [{"term": "fast"}, {"pattern": "j*"}]
+    dists = [(1, 3)]
+    postings = build_postings(docs_sent)
+    bounds = sentence.sentence_bounds(docs_sent)
+    a = sentence.slot_within_sentence(postings, bounds, bd(postings),
+                                      slots, dists).collect()
+    idx = build_index_frames(docs_sent, doc_shard_size=100, block_size=16)
+    b = sentence.slot_within_sentence_packed(idx, bounds,
+                                             slots, dists).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
+def test_slot_within_sentence_hand_check(docs_sent):
+    """Brute-force python: per sentence, slot-0 matches with a j*-token
+    1..3 ahead INSIDE the sentence; match_starts are sentence-local."""
+    rows = docs_sent.select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        segs = re.split(r"[.!?]+", r["text"] or "")
+        for si, seg in enumerate(segs):
+            toks = tokenize_py(seg)
+            starts = [i for i, t in enumerate(toks) if t == "fast"
+                      and any(j < len(toks) and toks[j].startswith("j")
+                              for j in range(i + 1, i + 4))]
+            if starts:
+                want[(r["doc_id"], si)] = ",".join(map(str, starts))
+    from fastmorph_spark.index import build_dictionary as bd
+
+    postings = build_postings(docs_sent)
+    bounds = sentence.sentence_bounds(docs_sent)
+    got = {(r["doc_id"], r["sent_id"]): r["match_starts"]
+           for r in sentence.slot_within_sentence(
+               postings, bounds, bd(postings),
+               [{"term": "fast"}, {"pattern": "j*"}], [(1, 3)]).collect()}
+    assert got == want and got
+
+
+def test_slot_within_sentence_scope_shrinks(spark, docs_sent):
+    from fastmorph_spark.index import build_dictionary as bd
+
+    slots = [{"term": "fast"}, {"pattern": "j*"}]
+    dists = [(1, 3)]
+    postings = build_postings(docs_sent)
+    bounds = sentence.sentence_bounds(docs_sent)
+    scoped = {r["doc_id"] for r in sentence.slot_within_sentence(
+        postings, bounds, bd(postings), slots, dists).collect()}
+    from fastmorph_spark.search.engine import slot_search
+
+    unscoped = {r["doc_id"] for r in
+                slot_search(postings, bd(postings), slots, dists).collect()}
+    assert scoped <= unscoped and scoped < unscoped
+
+
+def test_slot_within_sentence_rejects_case(spark, docs_sent):
+    from fastmorph_spark.index.io import build_index_frames
+
+    bounds = sentence.sentence_bounds(docs_sent)
+    idx = build_index_frames(docs_sent, doc_shard_size=100, block_size=16)
+    with pytest.raises(ValueError):
+        sentence.slot_within_sentence_packed(
+            idx, bounds, [{"term": "Fast", "case": True}], [])
