@@ -299,3 +299,61 @@ SELECT count(*)::BIGINT AS n_sentences,
        round(avg(n_tokens), {SCORE_DECIMALS}) AS avg_sent_len
 FROM per_sent
 """
+
+
+def collocations_directional_sql(target: str, window: int = 3,
+                                 min_count: int = 2, k: int = 20) -> str:
+    """Mirror of search.collocation.collocations_directional — the
+    collocations_sql pinning (PMI parenthesization, rank over unrounded)
+    plus the left/right pair-count split."""
+    from fastmorph_spark.oracles import _positions_cte
+
+    return f"""
+WITH {_positions_cte().strip()},
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+tpos AS (SELECT doc_id, pos FROM pos WHERE term = '{target}'),
+pairs AS (
+  SELECT p.term,
+         sum(CASE WHEN t.pos - p.pos >= 1 AND t.pos - p.pos <= {window}
+             THEN 1 ELSE 0 END)::BIGINT AS left_n,
+         sum(CASE WHEN p.pos - t.pos >= 1 AND p.pos - t.pos <= {window}
+             THEN 1 ELSE 0 END)::BIGINT AS right_n
+  FROM pos p JOIN tpos t
+    ON p.doc_id = t.doc_id AND abs(p.pos - t.pos) <= {window}
+  WHERE p.term <> '{target}'
+  GROUP BY p.term
+),
+scored AS (
+  SELECT p.term, p.left_n + p.right_n AS cooc, p.left_n, p.right_n, cf.cf,
+         ln(((p.left_n + p.right_n)::DOUBLE * tot.total)
+            / (tcf.tcf * cf.cf::DOUBLE)) AS pmi
+  FROM pairs p
+  JOIN cf USING (term)
+  CROSS JOIN tot
+  CROSS JOIN (SELECT cf::DOUBLE AS tcf FROM cf WHERE term = '{target}') tcf
+  WHERE p.left_n + p.right_n >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY pmi DESC, term ASC) AS rank,
+       term, cooc, left_n, right_n, cf, round(pmi, {SCORE_DECIMALS}) AS pmi
+FROM scored
+ORDER BY pmi DESC, term ASC
+LIMIT {k}
+"""
+
+
+def paradigm_sql(word: str, text_expr: str = "text") -> str:
+    """Mirror of fastmorph_spark.stem.paradigm."""
+    from fastmorph_spark.stem import duckdb_stem, stem_py
+
+    target = stem_py(word.lower())
+    return f"""
+WITH {_corpus_ctes(None, text_expr=text_expr).strip()},
+dict AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY term
+)
+SELECT term, df, cf FROM dict
+WHERE {duckdb_stem("term")} = '{target}'
+ORDER BY cf DESC, term ASC
+"""

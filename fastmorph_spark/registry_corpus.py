@@ -226,6 +226,41 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence.sentence_stats(docs)
 
 
+def q_collocations_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-sketch-style collocation profile: the PMI ranking of the
+    `collocations` key plus the LEFT/RIGHT neighbor split (same pinned
+    PMI; left_n + right_n == cooc)."""
+    from fastmorph_spark.registry import (
+        COLLOC_K,
+        COLLOC_MIN,
+        COLLOC_TARGET,
+        COLLOC_WINDOW,
+        _index_tables,
+    )
+    from fastmorph_spark.search.collocation import collocations_directional
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return collocations_directional(postings, dictionary, COLLOC_TARGET,
+                                    COLLOC_WINDOW, COLLOC_MIN, COLLOC_K)
+
+
+def q_stem_paradigm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological paradigm view (the namesake surface): all dictionary
+    forms sharing the query word's stem, with df/cf — dictionary-first,
+    never a corpus pass. Runs over the inflection fixture corpus
+    (PARADIGM_TEXT_SQL plants 'joins'/'joined' beside 'join')."""
+    from fastmorph_spark.registry import STEM_QUERY
+    from fastmorph_spark.stem import paradigm, paradigm_text_col
+
+    def build():
+        docs = read_documents(spark, sf_dir).select(
+            "doc_id", paradigm_text_col().alias("text"))
+        return build_dictionary(build_postings(docs)).persist()
+
+    dictionary = _memo(spark, ("paradigm_dict", sf_dir), build)
+    return paradigm(dictionary, STEM_QUERY)
+
+
 def q_kwic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'random sample' of concordance lines — md5-ordered
     first N (the md5-family sampling discipline), the corpus-UI 'shuffle
@@ -259,12 +294,15 @@ QUERIES = {
     "slot_within_sentence": q_slot_within_sentence,
     "slot_within_sentence_packed": q_slot_within_sentence_packed,
     "sentence_stats": q_sentence_stats,
+    "collocations_directional": q_collocations_directional,
+    "stem_paradigm": q_stem_paradigm,
     "kwic_sample": q_kwic_sample,
 }
 
 
 def oracle_sqls() -> dict[str, str]:
     from fastmorph_spark import oracles
+    from fastmorph_spark import registry as _r
     from fastmorph_spark.registry import FLAGSHIP_QUERY, KWIC_WIDTH, PHRASE_QUERY
 
     within = oracles_corpus.within_sentence_sql(
@@ -273,6 +311,7 @@ def oracle_sqls() -> dict[str, str]:
         FUZZY_SLOTS, FUZZY_SLOT_DISTS, text_expr=fuzzy.FUZZY_TEXT_SQL)
     _slot_within_oracle = oracles_corpus.slot_within_sentence_sql(
         SENT_SLOTS, SENT_SLOT_DISTS, text_expr=sentence.SENT_TEXT_SQL)
+    from fastmorph_spark.stem import PARADIGM_TEXT_SQL as _paradigm_text
     terms = tokenize_py(PHRASE_QUERY)
     slots = [{"term": t} for t in terms]
     dists = [(1, 1)] * (len(terms) - 1)
@@ -297,6 +336,10 @@ def oracle_sqls() -> dict[str, str]:
         "slot_within_sentence_packed": _slot_within_oracle,
         "sentence_stats": oracles_corpus.sentence_stats_sql(
             text_expr=sentence.SENT_TEXT_SQL),
+        "collocations_directional": oracles_corpus.collocations_directional_sql(
+            _r.COLLOC_TARGET, _r.COLLOC_WINDOW, _r.COLLOC_MIN, _r.COLLOC_K),
+        "stem_paradigm": oracles_corpus.paradigm_sql(
+            _r.STEM_QUERY, text_expr=_paradigm_text),
         "kwic_sample": oracles_corpus.kwic_sample_sql(
             slots, dists, len(terms), KWIC_SAMPLE_N, width=KWIC_WIDTH),
     }

@@ -177,3 +177,80 @@ def packed_collocations(index, target: str, window: int = 3,
     decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
     cooc = _pair_counts(decoded, target, window)
     return _score(cooc, index.dictionary, target, min_count, k)
+
+
+def _pair_counts_directional(postings_rows: DataFrame, target: str,
+                             window: int,
+                             broadcast_target: bool = True) -> DataFrame:
+    """(term, left_n, right_n) pair counts — the word-sketch split:
+    left_n counts pairs where the neighbor occurrence PRECEDES the
+    target (q - p in [1, window]), right_n where it follows. Same join
+    shape as _pair_counts (one doc_id join + one term agg); the two
+    sides come from two aggregate expressions over the same row, not a
+    second pass."""
+    tgt = postings_rows.filter(F.col("term") == target) \
+        .select("doc_id", F.col("positions").alias("_tpos"))
+    if broadcast_target:
+        tgt = F.broadcast(tgt)
+    left_expr = F.expr(
+        "aggregate(positions, 0L, (acc, p) -> acc + CAST(size(filter("
+        "_tpos, q -> q - p >= 1 AND q - p <= {w})) AS BIGINT))"
+        .format(w=int(window)))
+    right_expr = F.expr(
+        "aggregate(positions, 0L, (acc, p) -> acc + CAST(size(filter("
+        "_tpos, q -> p - q >= 1 AND p - q <= {w})) AS BIGINT))"
+        .format(w=int(window)))
+    return (
+        postings_rows.filter(F.col("term") != target)
+        .join(tgt, "doc_id")
+        .select("term", left_expr.alias("_l"), right_expr.alias("_r"))
+        .groupBy("term")
+        .agg(F.sum("_l").alias("left_n"), F.sum("_r").alias("right_n"))
+        .filter((F.col("left_n") + F.col("right_n")) > 0)
+    )
+
+
+def collocations_directional(postings: DataFrame, dictionary: DataFrame,
+                             target: str, window: int = 3,
+                             min_count: int = 2, k: int = 20,
+                             broadcast_target: bool | None = None) -> DataFrame:
+    """PMI-ranked collocations with the LEFT/RIGHT positional split a
+    word-sketch view shows (does 'fast' attract 'join' before or after
+    it?). Ranking and PMI are computed over the TOTAL cooc with the
+    exact collocations() pinning; left_n/right_n are the breakdown
+    (left_n + right_n == cooc by construction: distinct terms never
+    share a position, so every within-window pair is strictly one-sided).
+    Output: (rank, term, cooc, left_n, right_n, cf, pmi)."""
+    if broadcast_target is None:
+        df_row = dictionary.filter(F.col("term") == target) \
+            .select("df").limit(1).collect()
+        broadcast_target = bool(df_row) and \
+            df_row[0]["df"] <= BROADCAST_TARGET_MAX_DF
+    cooc = _pair_counts_directional(postings, target, window,
+                                    broadcast_target=broadcast_target)
+    cooc = cooc.withColumn("cooc", F.col("left_n") + F.col("right_n"))
+    tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    scored = (
+        cooc.filter(F.col("cooc") >= min_count)
+        .join(dictionary.select("term", "cf"), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tcf))
+        .withColumn(
+            "pmi",
+            F.log((F.col("cooc").cast("double") * F.col("_total"))
+                  / (F.col("_tcf") * F.col("cf").cast("double"))),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("term")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("pmi"), F.asc("term")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "term",
+        F.col("cooc").cast("long").alias("cooc"),
+        F.col("left_n").cast("long").alias("left_n"),
+        F.col("right_n").cast("long").alias("right_n"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("pmi", SCORE_DECIMALS).alias("pmi"),
+    )

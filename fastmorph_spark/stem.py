@@ -67,3 +67,37 @@ def duckdb_stem(col: str) -> str:
 
 
 DUCKDB_STEM = duckdb_stem("{col}")
+
+
+# Driver-fixture twin (slot_case convention): the synthetic vocabulary is
+# uninflected, so the paradigm driver query derives inflected forms
+# deterministically in both engines — literal 3-arg `replace` on doc_id
+# classes plants 'joins' and 'joined' next to 'join'.
+PARADIGM_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN replace(text, ' join ', ' joins ') "
+    "WHEN doc_id % 4 = 0 THEN replace(text, ' join ', ' joined ') "
+    "ELSE text END"
+)
+
+
+def paradigm_text_col():
+    """Spark twin of PARADIGM_TEXT_SQL (same string, Spark SQL parser)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(PARADIGM_TEXT_SQL)
+
+
+def paradigm(dictionary, word: str):
+    """Morphological paradigm view — the namesake surface of a morphology
+    search engine: every dictionary form sharing `word`'s stem, with its
+    df/cf. Dictionary-first (the ~|vocab|-row frame, stem_expr in JVM
+    codegen), never a corpus pass. Output: (term, df, cf) ordered
+    (cf DESC, term ASC)."""
+    from pyspark.sql import functions as F
+
+    target = stem_py(word.lower())
+    return (
+        dictionary.filter(stem_expr(F.col("term")) == target)
+        .select("term", "df", "cf")
+        .orderBy(F.desc("cf"), F.asc("term"))
+    )

@@ -389,3 +389,47 @@ def test_slot_within_sentence_rejects_case(spark, docs_sent):
     with pytest.raises(ValueError):
         sentence.slot_within_sentence_packed(
             idx, bounds, [{"term": "Fast", "case": True}], [])
+
+
+# ---------------------------- directional collocations + paradigm view
+
+
+def test_collocations_directional_matches_oracle(spark, docs, duck1):
+    from fastmorph_spark.search.collocation import collocations_directional
+
+    postings = build_postings(docs)
+    got = collocations_directional(postings, build_dictionary(postings),
+                                   "fast", 3, 2, 20)
+    assert_frames_match(got, duck1.sql(
+        oracles_corpus.collocations_directional_sql("fast", 3, 2, 20)))
+
+
+def test_collocations_directional_consistency(spark, docs):
+    """left_n + right_n == cooc, and the (rank, term, cooc, cf, pmi)
+    projection must equal the plain collocations profile exactly."""
+    from fastmorph_spark.search.collocation import (
+        collocations,
+        collocations_directional,
+    )
+
+    postings = build_postings(docs)
+    d = build_dictionary(postings)
+    a = collocations_directional(postings, d, "fast", 3, 2, 20).collect()
+    b = collocations(postings, d, "fast", 3, 2, 20).collect()
+    assert all(r["left_n"] + r["right_n"] == r["cooc"] for r in a)
+    assert [(r["rank"], r["term"], r["cooc"], r["cf"], r["pmi"]) for r in a] \
+        == [(r["rank"], r["term"], r["cooc"], r["cf"], r["pmi"]) for r in b]
+    assert any(r["left_n"] != r["right_n"] for r in a), \
+        "fixture must show real left/right asymmetry"
+
+
+def test_stem_paradigm_matches_oracle(spark, docs, duck1):
+    from fastmorph_spark.stem import PARADIGM_TEXT_SQL, paradigm, paradigm_text_col
+
+    docs_p = docs.select("doc_id", paradigm_text_col().alias("text"))
+    d = build_dictionary(build_postings(docs_p))
+    got = paradigm(d, "joins")
+    assert_frames_match(got, duck1.sql(
+        oracles_corpus.paradigm_sql("joins", text_expr=PARADIGM_TEXT_SQL)))
+    forms = {r["term"] for r in got.collect()}
+    assert forms == {"join", "joins", "joined"}
