@@ -88,9 +88,14 @@ def keyness(docs: DataFrame, focus_lang: str, min_count: int = 5,
         F.sum(F.when(is_focus, 1).otherwise(0)).cast("long").alias("f_focus"),
         F.sum(F.when(is_focus, 0).otherwise(1)).cast("long").alias("f_ref"),
     )
-    totals = counts.agg(
-        F.sum("f_focus").cast("double").alias("n1"),
-        F.sum("f_ref").cast("double").alias("n2"),
+    # totals from the TOKEN stream, not from `counts`: numerically
+    # identical (both are exact integer sums of the same tokens), but the
+    # unpersisted `counts` subtree would otherwise be recomputed THROUGH
+    # ITS TERM SHUFFLE just to produce 2 numbers — this form's second
+    # corpus pass is scan + map-side partial agg only (plan-audited)
+    totals = tok.agg(
+        F.sum(F.when(is_focus, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(is_focus, 0).otherwise(1)).cast("double").alias("n2"),
     )
     f1 = F.col("f_focus").cast("double")
     f2 = F.col("f_ref").cast("double")
