@@ -42,11 +42,14 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Two further request forms share the boundary: ranked top-k
-(``{"bm25": "query text", "k": 10}`` → Block-Max WAND) and the
-collocation profile (``{"collocations": "term", "window": 3,
-"min_count": 2, "k": 20}`` → search/collocation.packed_collocations),
-both bounded by ``k``.
+Five further request forms share the boundary, all bounded by ``k``:
+ranked top-k (``{"bm25": "query text", "k": 10}`` → Block-Max WAND),
+the collocation profile (``{"collocations": "term", "window": 3,
+"min_count": 2, "k": 20}``), frequency profiles (``{"top_terms": n,
+"pattern": "s*"?}`` — dictionary metadata only), the corpus-comparison
+keyness table (``{"keyness": "en", "min_count": 5, "k": 50}`` —
+G² + log-ratio over documents), and the morphological paradigm view
+(``{"paradigm": "joins"}`` — every dictionary form sharing the stem).
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Four request forms behind one boundary: a slot-pattern request
+    Six request forms behind one boundary: a slot-pattern request
     ({"slots": ...}); a ranked request ({"bm25": "query text", "k": 10})
     — the contract's BM25 top-k surface; an analysis request
     ({"collocations": "term", "window": 3, "min_count": 2, "k": 20}),
@@ -83,11 +86,43 @@ def parse_request(req: dict) -> dict:
     dictionary metadata alone."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
-    forms = [f for f in ("slots", "bm25", "collocations", "top_terms")
+    forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
+                         "keyness", "paradigm")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
             f"request must use exactly one form, got {sorted(forms)}")
+    if "keyness" in req:
+        # corpus-comparison tab: G2 key terms of the `keyness` subcorpus
+        unknown = set(req) - {"keyness", "min_count", "k"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        focus = req["keyness"]
+        if not isinstance(focus, str) or not focus:
+            raise RequestError("keyness must be a non-empty focus lang")
+        min_count = req.get("min_count", 5)
+        if not isinstance(min_count, int) or isinstance(min_count, bool) \
+                or min_count < 1:
+            raise RequestError("min_count must be a positive integer")
+        k = req.get("k", 50)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        return {"keyness": focus, "min_count": min_count, "k": k, "lang": None}
+    if "paradigm" in req:
+        # morphological paradigm tab: all forms sharing the word's stem
+        unknown = set(req) - {"paradigm", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        word = req["paradigm"]
+        if not isinstance(word, str) or not word.strip():
+            raise RequestError("paradigm must be a non-empty word")
+        k = req.get("k", 100)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"paradigm": word.strip(), "k": k, "lang": lang}
     if "top_terms" in req:
         unknown = set(req) - {"top_terms", "pattern", "lang"}
         if unknown:
@@ -277,6 +312,22 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         p = parse_request(req)
     except RequestError as e:
         return {"error": str(e)}
+    if "keyness" in p:
+        # corpus-comparison: runs on the DOCUMENT corpus (both sides of
+        # the comparison), independent of which index serves — so it is
+        # answered before any per-lang routing
+        from fastmorph_spark.search.keyness import keyness as _keyness
+
+        rows = _keyness(documents, p["keyness"],
+                        p["min_count"], p["k"]).collect()
+        return {"focus": p["keyness"], "min_count": p["min_count"],
+                "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "term": r["term"],
+                             "f_focus": int(r["f_focus"]),
+                             "f_ref": int(r["f_ref"]),
+                             "g2": float(r["g2"]),
+                             "log_ratio": float(r["log_ratio"])}
+                            for r in rows]}
     if isinstance(index, dict):  # per-lang index map (subcorpus routing)
         if p["lang"] is None:
             return {"error": "this serving index requires a lang field"}
@@ -290,12 +341,24 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "top_terms" in p:
                 return {"top_terms": p["top_terms"], "pattern": p["pattern"],
                         "results": []}
+            if "paradigm" in p:
+                return {"word": p["paradigm"], "k": p["k"], "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "paradigm" in p:
+        # morphological paradigm view off dictionary METADATA (stem_expr
+        # over the ~|vocab| rows; no block decode)
+        from fastmorph_spark.stem import paradigm as _paradigm
+
+        rows = _paradigm(index.dictionary, p["paradigm"]) \
+            .limit(p["k"]).collect()
+        return {"word": p["paradigm"], "k": p["k"],
+                "results": [{"term": r["term"], "df": int(r["df"]),
+                             "cf": int(r["cf"])} for r in rows]}
     if "top_terms" in p:
         # frequency profile straight off dictionary METADATA (no block
         # decode; (df DESC, term ASC) — the ordering dictionary_top100

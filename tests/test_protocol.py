@@ -415,3 +415,35 @@ def test_facets_with_continuation_session(spark, serving):
     assert len(session) == 1  # same shape -> same persisted match set
     assert r1["facets"] == r2["facets"]
     close_session(session)
+
+
+def test_keyness_request(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"keyness": "en", "min_count": 5, "k": 10})
+    assert "error" not in resp and resp["focus"] == "en"
+    assert resp["results"] and len(resp["results"]) <= 10
+    from fastmorph_spark.search.keyness import keyness
+
+    want = keyness(docs, "en", 5, 10).collect()
+    assert [(r["rank"], r["term"], r["g2"]) for r in want] == \
+           [(r["rank"], r["term"], r["g2"]) for r in resp["results"]]
+    # validation
+    assert "error" in handle_request(docs, idx, {"keyness": ""})
+    assert "error" in handle_request(docs, idx, {"keyness": "en", "k": 0})
+    assert "error" in handle_request(docs, idx,
+                                     {"keyness": "en", "pattern": "x"})
+
+
+def test_paradigm_request(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"paradigm": "joins"})
+    assert "error" not in resp and resp["word"] == "joins"
+    # raw corpus holds one form of the 'join' stem
+    assert [r["term"] for r in resp["results"]] == ["join"]
+    assert resp["results"][0]["df"] > 0 and resp["results"][0]["cf"] > 0
+    assert "error" in handle_request(docs, idx, {"paradigm": "  "})
+    assert "error" in handle_request(docs, idx,
+                                     {"paradigm": "x", "window": 3})
+    # one-form-only request mixing two forms is rejected
+    assert "error" in handle_request(docs, idx,
+                                     {"paradigm": "x", "keyness": "en"})
