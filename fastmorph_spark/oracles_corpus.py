@@ -357,3 +357,98 @@ SELECT term, df, cf FROM dict
 WHERE {duckdb_stem("term")} = '{target}'
 ORDER BY cf DESC, term ASC
 """
+
+
+def thesaurus_sql(target: str, window: int = 3, min_shared: int = 2,
+                  k: int = 20) -> str:
+    """Mirror of search.thesaurus.thesaurus — symmetric windowed pair
+    counts (both orientations of the ordered-pair table summed), Dice
+    sim (2.0 * shared) / (tmass + mass), rank over the unrounded sim."""
+    from fastmorph_spark.oracles import _positions_cte
+
+    return f"""
+WITH {_positions_cte().strip()},
+op AS (
+  SELECT p.term AS a, q.term AS b, count(*)::BIGINT AS n
+  FROM pos p JOIN pos q
+    ON p.doc_id = q.doc_id
+   AND q.pos - p.pos >= 1 AND q.pos - p.pos <= {window}
+  WHERE p.term <> q.term
+  GROUP BY p.term, q.term
+),
+prof AS (
+  SELECT a, b, sum(n)::BIGINT AS n FROM (
+    SELECT a, b, n FROM op UNION ALL SELECT b AS a, a AS b, n FROM op
+  ) GROUP BY a, b
+),
+mass AS (SELECT a, sum(n)::BIGINT AS mass FROM prof GROUP BY a),
+tgt AS (SELECT b, n FROM prof WHERE a = '{target}'),
+tmass AS (SELECT mass::DOUBLE AS tmass FROM mass WHERE a = '{target}'),
+shared AS (
+  SELECT p.a, sum(least(p.n, t.n))::BIGINT AS shared
+  FROM prof p JOIN tgt t USING (b)
+  WHERE p.a <> '{target}'
+  GROUP BY p.a
+  HAVING sum(least(p.n, t.n)) >= {min_shared}
+),
+scored AS (
+  SELECT s.a AS term, s.shared, m.mass,
+         (2.0 * s.shared) / (tmass.tmass + m.mass::DOUBLE) AS sim
+  FROM shared s JOIN mass m ON s.a = m.a CROSS JOIN tmass
+)
+SELECT row_number() OVER (ORDER BY sim DESC, term ASC) AS rank,
+       term, shared, mass, round(sim, {SCORE_DECIMALS}) AS sim
+FROM scored
+ORDER BY sim DESC, term ASC
+LIMIT {k}
+"""
+
+
+def sketch_diff_sql(target_a: str, target_b: str, window: int = 3,
+                    min_count: int = 2, k: int = 20) -> str:
+    """Mirror of search.collocation.sketch_diff — each side is the
+    collocations_sql profile (same pinned PMI parenthesization and
+    min_count), inner-joined on the collocate term; diff = pmi_a -
+    pmi_b; rank over the unrounded diff."""
+    from fastmorph_spark.oracles import _positions_cte
+
+    def side(target: str, alias: str) -> str:
+        return f"""
+tpos_{alias} AS (SELECT doc_id, pos FROM pos WHERE term = '{target}'),
+pairs_{alias} AS (
+  SELECT p.term, count(*)::BIGINT AS cooc
+  FROM pos p JOIN tpos_{alias} t
+    ON p.doc_id = t.doc_id AND abs(p.pos - t.pos) <= {window}
+  WHERE p.term <> '{target}'
+  GROUP BY p.term
+),
+prof_{alias} AS (
+  SELECT p.term, p.cooc,
+         ln((p.cooc::DOUBLE * tot.total) / (tcf.tcf * cf.cf::DOUBLE)) AS pmi
+  FROM pairs_{alias} p
+  JOIN cf USING (term)
+  CROSS JOIN tot
+  CROSS JOIN (SELECT cf::DOUBLE AS tcf FROM cf WHERE term = '{target}') tcf
+  WHERE p.cooc >= {min_count}
+)"""
+
+    return f"""
+WITH {_positions_cte().strip()},
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+{side(target_a, 'a').strip()},
+{side(target_b, 'b').strip()},
+joined AS (
+  SELECT a.term, a.cooc AS cooc_a, b.cooc AS cooc_b,
+         a.pmi AS pmi_a, b.pmi AS pmi_b, a.pmi - b.pmi AS diff
+  FROM prof_a a JOIN prof_b b USING (term)
+)
+SELECT row_number() OVER (ORDER BY diff DESC, term ASC) AS rank,
+       term, cooc_a, cooc_b,
+       round(pmi_a, {SCORE_DECIMALS}) AS pmi_a,
+       round(pmi_b, {SCORE_DECIMALS}) AS pmi_b,
+       round(diff, {SCORE_DECIMALS}) AS diff
+FROM joined
+ORDER BY diff DESC, term ASC
+LIMIT {k}
+"""

@@ -279,6 +279,39 @@ def q_kwic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.orderBy(sample_key).limit(KWIC_SAMPLE_N)
 
 
+THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K = "fast", 3, 2, 20
+SKETCH_A, SKETCH_B = "fast", "slow"
+
+
+def q_thesaurus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional thesaurus: terms whose windowed collocate profile
+    overlaps 'fast' most (Dice over pair counts — search/thesaurus.py
+    pinning). One bounded explode + one partial-agg groupBy builds the
+    profile table; the query side broadcasts one term's profile."""
+    from fastmorph_spark.search import thesaurus as th
+
+    docs = read_documents(spark, sf_dir)
+    return th.thesaurus(docs, THES_TARGET, THES_WINDOW,
+                        THES_MIN_SHARED, THES_K)
+
+
+def q_sketch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-sketch diff 'fast' vs 'slow': shared collocates ranked by
+    pmi_a - pmi_b under the exact collocations PMI pinning — the
+    two-word comparison view of a corpus portal."""
+    from fastmorph_spark.registry import (
+        COLLOC_K,
+        COLLOC_MIN,
+        COLLOC_WINDOW,
+        _index_tables,
+    )
+    from fastmorph_spark.search.collocation import sketch_diff
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return sketch_diff(postings, dictionary, SKETCH_A, SKETCH_B,
+                       COLLOC_WINDOW, COLLOC_MIN, COLLOC_K)
+
+
 QUERIES = {
     "keyness": q_keyness,
     "term_profile": q_term_profile,
@@ -297,6 +330,8 @@ QUERIES = {
     "collocations_directional": q_collocations_directional,
     "stem_paradigm": q_stem_paradigm,
     "kwic_sample": q_kwic_sample,
+    "thesaurus": q_thesaurus,
+    "sketch_diff": q_sketch_diff,
 }
 
 
@@ -342,4 +377,9 @@ def oracle_sqls() -> dict[str, str]:
             _r.STEM_QUERY, text_expr=_paradigm_text),
         "kwic_sample": oracles_corpus.kwic_sample_sql(
             slots, dists, len(terms), KWIC_SAMPLE_N, width=KWIC_WIDTH),
+        "thesaurus": oracles_corpus.thesaurus_sql(
+            THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K),
+        "sketch_diff": oracles_corpus.sketch_diff_sql(
+            SKETCH_A, SKETCH_B, _r.COLLOC_WINDOW, _r.COLLOC_MIN,
+            _r.COLLOC_K),
     }

@@ -254,3 +254,79 @@ def collocations_directional(postings: DataFrame, dictionary: DataFrame,
         F.col("cf").cast("long").alias("cf"),
         F.round("pmi", SCORE_DECIMALS).alias("pmi"),
     )
+
+
+def _pmi_profile(postings: DataFrame, dictionary: DataFrame, target: str,
+                 window: int, min_count: int,
+                 broadcast_target: bool | None = None) -> DataFrame:
+    """One target's full PMI-scored collocate profile ``(term, cooc,
+    pmi)`` — `collocations` without the top-k cut, reused by
+    `sketch_diff` so both sides carry the exact A8 pinning."""
+    if broadcast_target is None:
+        df_row = dictionary.filter(F.col("term") == target) \
+            .select("df").limit(1).collect()
+        broadcast_target = bool(df_row) and \
+            df_row[0]["df"] <= BROADCAST_TARGET_MAX_DF
+    cooc = _pair_counts(postings, target, window,
+                        broadcast_target=broadcast_target)
+    tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    return (
+        cooc.filter(F.col("cooc") >= min_count)
+        .join(dictionary.select("term", "cf"), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tcf))
+        .select(
+            "term",
+            F.col("cooc").cast("long").alias("cooc"),
+            # the pinned collocations parenthesization:
+            # ln((cooc * total) / (cf_target * cf_n))
+            F.log((F.col("cooc").cast("double") * F.col("_total"))
+                  / (F.col("_tcf") * F.col("cf").cast("double"))).alias("pmi"),
+        )
+    )
+
+
+def sketch_diff(postings: DataFrame, dictionary: DataFrame,
+                target_a: str, target_b: str, window: int = 3,
+                min_count: int = 2, k: int = 20,
+                broadcast_target: bool | None = None) -> DataFrame:
+    """Word-sketch DIFF — the two-word comparison view a corpus portal
+    shows for near-synonyms [LIT: Kilgarriff et al. 2004, the Sketch
+    Engine's "sketch difference"]: collocates SHARED by `target_a` and
+    `target_b`, ranked by how much more strongly A attracts them than B.
+
+    Semantics (pinned, mirrored by oracles_corpus.sketch_diff_sql): each
+    side is the full `collocations` profile under the A8 pinning
+    (min_count applied per side); the panel is the INNER join on the
+    collocate term (the shared-collocate panel — one-sided collocates
+    are what the plain per-word sketch already shows);
+    ``diff = pmi_a - pmi_b``; order/tie-break ``(diff DESC, term ASC)``,
+    rank over the UNROUNDED diff, pmi/diff rounded on output.
+
+    Scale shape: two `_pair_counts` joins (each df(target)-bounded and
+    broadcast-gated exactly like `collocations`) + one join between two
+    collocate-profile frames that are each at most |vocab| rows."""
+    pa = _pmi_profile(postings, dictionary, target_a, window, min_count,
+                      broadcast_target)
+    pb = _pmi_profile(postings, dictionary, target_b, window, min_count,
+                      broadcast_target)
+    joined = (
+        pa.select("term", F.col("cooc").alias("cooc_a"),
+                  F.col("pmi").alias("pmi_a"))
+        .join(pb.select("term", F.col("cooc").alias("cooc_b"),
+                        F.col("pmi").alias("pmi_b")), "term")
+        .withColumn("diff", F.col("pmi_a") - F.col("pmi_b"))
+    )
+    topk = joined.orderBy(F.desc("diff"), F.asc("term")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("diff"), F.asc("term")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "term",
+        F.col("cooc_a").cast("long").alias("cooc_a"),
+        F.col("cooc_b").cast("long").alias("cooc_b"),
+        F.round("pmi_a", SCORE_DECIMALS).alias("pmi_a"),
+        F.round("pmi_b", SCORE_DECIMALS).alias("pmi_b"),
+        F.round("diff", SCORE_DECIMALS).alias("diff"),
+    )
