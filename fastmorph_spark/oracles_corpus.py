@@ -452,3 +452,53 @@ FROM joined
 ORDER BY diff DESC, term ASC
 LIMIT {k}
 """
+
+
+def kwic_sorted_sql(slots: list, dists: list, match_len: int,
+                    by: str = "right", n: int = 100,
+                    width: int = 5) -> str:
+    """Mirror of engine.kwic_sorted over engine.kwic's line set: binary
+    string collation on the sort key (right_ctx, or the reversed left
+    token sequence re-joined), the same total tie-break, rank
+    materializing the order."""
+    from fastmorph_spark.oracles import kwic_sql
+
+    inner = kwic_sql(slots, dists, match_len, width).strip()
+    if by == "right":
+        key, tail = "right_ctx", "left_ctx"
+    else:
+        key = "array_to_string(list_reverse(string_split(left_ctx, ' ')), ' ')"
+        tail = "right_ctx"
+    return f"""
+WITH lines AS ({inner})
+SELECT row_number() OVER (
+         ORDER BY {key} ASC, {tail} ASC, doc_id ASC, pos ASC) AS rank,
+       doc_id, pos, left_ctx, keyword, right_ctx
+FROM lines
+ORDER BY {key} ASC, {tail} ASC, doc_id ASC, pos ASC
+LIMIT {n}
+"""
+
+
+def lexdiv_sql(group_col: str = "lang") -> str:
+    """Mirror of search.keyness.lexdiv — per-group type/token/hapax
+    counts, ratios as single divisions of exact integers."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS grp, unnest({tok}) AS term FROM documents
+),
+per_term AS (
+  SELECT grp, term, count(*)::BIGINT AS cnt FROM tok GROUP BY grp, term
+)
+SELECT grp AS {group_col},
+       sum(cnt)::BIGINT AS tokens,
+       count(*)::BIGINT AS types,
+       round(count(*)::DOUBLE / sum(cnt)::DOUBLE, {SCORE_DECIMALS}) AS ttr,
+       sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(cnt)::DOUBLE, {SCORE_DECIMALS}) AS hapax_ratio
+FROM per_term
+GROUP BY grp
+ORDER BY {group_col}
+"""

@@ -279,6 +279,31 @@ def q_kwic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.orderBy(sample_key).limit(KWIC_SAMPLE_N)
 
 
+KWIC_SORT_BY, KWIC_SORT_N = "right", 50
+
+
+def q_kwic_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-sorted concordance page — engine.kwic lines ordered by the
+    right-context string (1R, 2R, ... read direction), rank
+    materializing the order; top-n via TakeOrderedAndProject."""
+    from fastmorph_spark.registry import KWIC_WIDTH, PHRASE_QUERY, _index_tables
+
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    terms = tokenize_py(PHRASE_QUERY)
+    slots = [{"term": t} for t in terms]
+    dists = [(1, 1)] * (len(terms) - 1)
+    matches = engine.slot_search(postings, dictionary, slots, dists)
+    return engine.kwic_sorted(docs, matches, match_len=len(terms),
+                              width=KWIC_WIDTH, by=KWIC_SORT_BY,
+                              n=KWIC_SORT_N)
+
+
+def q_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical diversity (tokens/types/ttr/hapax) — the
+    vocabulary-richness statistics panel."""
+    return keyness.lexdiv(read_documents(spark, sf_dir), "lang")
+
+
 THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K = "fast", 3, 2, 20
 SKETCH_A, SKETCH_B = "fast", "slow"
 
@@ -332,6 +357,8 @@ QUERIES = {
     "kwic_sample": q_kwic_sample,
     "thesaurus": q_thesaurus,
     "sketch_diff": q_sketch_diff,
+    "kwic_sorted": q_kwic_sorted,
+    "lexdiv": q_lexdiv,
 }
 
 
@@ -382,4 +409,8 @@ def oracle_sqls() -> dict[str, str]:
         "sketch_diff": oracles_corpus.sketch_diff_sql(
             SKETCH_A, SKETCH_B, _r.COLLOC_WINDOW, _r.COLLOC_MIN,
             _r.COLLOC_K),
+        "kwic_sorted": oracles_corpus.kwic_sorted_sql(
+            slots, dists, len(terms), by=KWIC_SORT_BY, n=KWIC_SORT_N,
+            width=KWIC_WIDTH),
+        "lexdiv": oracles_corpus.lexdiv_sql("lang"),
     }

@@ -661,3 +661,51 @@ def paginate(ranked: DataFrame, skip: int, until: int) -> DataFrame:
         .filter(F.col("rank") > skip)
         .select("rank", "doc_id", "score")
     )
+
+
+def kwic_sorted(
+    documents: DataFrame,
+    matches: DataFrame,
+    match_len: int,
+    width: int = 5,
+    by: str = "right",
+    n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SORTED concordance — the right-sort/left-sort view every corpus
+    concordancer offers (group the keyword's continuations together so
+    patterns pop out) [PK-high: sorting a concordance page is a core
+    portal interaction; LIT: Sinclair 1991 on KWIC sort conventions].
+
+    Pinned semantics (mirrored by oracles_corpus.kwic_sorted_sql):
+    `by="right"` orders lines by the right-context STRING (binary/
+    codepoint collation — tokens are space-joined, and ' ' < every
+    tokenizer-emitted char, so the string order equals the 1R, 2R, ...
+    token order), then left_ctx; `by="left"` orders by the REVERSED
+    left-context token sequence space-joined (the 1L, 2L, ... read
+    direction), then right_ctx. Final tie-break (doc_id, pos) makes the
+    order total; `rank` materializes it.
+
+    Scale shape: one `kwic` plan (explode + one doc_id join, no windows)
+    + TakeOrderedAndProject for the page — the global sort never
+    materializes, only top-n survives; the rank window runs over n rows
+    on one partition, the bounded-page discipline of search_request."""
+    if by not in ("right", "left"):
+        raise ValueError(f"by must be 'right' or 'left', got {by!r}")
+    lines = kwic(documents, matches, match_len, width, text_col, id_col)
+    if by == "right":
+        lines = lines.withColumn("_key", F.col("right_ctx"))
+        tail = F.col("left_ctx")
+    else:
+        lines = lines.withColumn(
+            "_key",
+            F.array_join(F.reverse(F.split("left_ctx", " ")), " "))
+        tail = F.col("right_ctx")
+    order = [F.asc("_key"), tail.asc(), F.asc(id_col), F.asc("pos")]
+    page = lines.orderBy(*order).limit(n)
+    rank = F.row_number().over(Window.orderBy(*order))
+    return page.select(
+        rank.cast("long").alias("rank"),
+        id_col, "pos", "left_ctx", "keyword", "right_ctx",
+    )

@@ -173,3 +173,48 @@ def dispersion(docs: DataFrame, terms: list[str], parts: int = 8,
         .agg(s.cast("long").alias("cf"), F.round(d, SCORE_DECIMALS).alias("d"))
         .orderBy("term")
     )
+
+
+def lexdiv(docs: DataFrame, group_col: str = "lang",
+           text_col: str = "text") -> DataFrame:
+    """Per-subcorpus lexical diversity — the vocabulary-richness panel of
+    a corpus statistics tab [LIT: type-token ratio; Baayen 2001 on
+    hapax-based richness measures]:
+
+      (group, tokens, types, ttr, hapax, hapax_ratio)
+
+    ttr = types / tokens, hapax = terms occurring exactly once WITHIN
+    the group, hapax_ratio = hapax / tokens; both ratios are single
+    divisions of exact integer counts (bit-identical across engines),
+    rounded to SCORE_DECIMALS; ordered by group.
+
+    Scale shape: one tokenize scan + ONE (group, term) partial-agg
+    groupBy (the keyness shuffle shape — hot terms absorbed map-side)
+    + a groups-sized re-agg. No joins, no windows."""
+    per_term = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(tokenize_expr(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_term.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("tokens"),
+            F.count(F.lit(1)).alias("types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("types").cast("long").alias("types"),
+            F.round(F.col("types").cast("double")
+                    / F.col("tokens").cast("double"),
+                    SCORE_DECIMALS).alias("ttr"),
+            F.col("hapax").cast("long").alias("hapax"),
+            F.round(F.col("hapax").cast("double")
+                    / F.col("tokens").cast("double"),
+                    SCORE_DECIMALS).alias("hapax_ratio"),
+        )
+        .orderBy(group_col)
+    )

@@ -433,3 +433,24 @@ def test_stem_paradigm_matches_oracle(spark, docs, duck1):
         oracles_corpus.paradigm_sql("joins", text_expr=PARADIGM_TEXT_SQL)))
     forms = {r["term"] for r in got.collect()}
     assert forms == {"join", "joins", "joined"}
+
+
+# ---------------------------------------------------------------- lexdiv
+
+
+def test_lexdiv_matches_oracle(spark, docs, duck1):
+    got = keyness.lexdiv(docs, "lang")
+    assert_frames_match(got, duck1.sql(oracles_corpus.lexdiv_sql("lang")))
+
+
+def test_lexdiv_hand_computed(spark):
+    """Tiny corpus where every statistic is countable by eye: one group,
+    tokens=6, types=4 (a,b,c,d), hapax=2 (c,d)."""
+    sdf = spark.createDataFrame(
+        [(0, "en", "a a b c"), (1, "en", "a b d")],
+        "doc_id long, lang string, text string")
+    rows = {r["lang"]: r for r in keyness.lexdiv(sdf, "lang").collect()}
+    r = rows["en"]
+    assert (r["tokens"], r["types"], r["hapax"]) == (7, 4, 2)
+    assert r["ttr"] == round(4 / 7, 6)
+    assert r["hapax_ratio"] == round(2 / 7, 6)

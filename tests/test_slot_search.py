@@ -181,3 +181,50 @@ def test_kwic_concordance_lines(spark, tables):
         (6, 1, "fast", "fast hash", "join join overlapping"),
     ]
     assert rows == expected
+
+
+def test_kwic_sorted_right_and_left(spark, tables):
+    """engine.kwic_sorted: by='right' groups lines by their continuation
+    (1R, 2R, ... read order); by='left' orders by the REVERSED left
+    context (1L, 2L, ...); rank is dense 1..n and materializes the
+    order; validated against a pure-Python sort of engine.kwic's rows."""
+    from fastmorph_spark.search.engine import kwic, kwic_sorted
+
+    p, d, pc, dc = tables
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    matches = slot_search(p, d, [{"term": "fast"}], [])
+    base = [tuple(r) for r in kwic(docs, matches, match_len=1, width=3).collect()]
+
+    got_r = [tuple(r) for r in
+             kwic_sorted(docs, matches, match_len=1, width=3, by="right",
+                         n=100).collect()]
+    want_r = sorted(base, key=lambda t: (t[4], t[2], t[0], t[1]))
+    assert got_r == [(i + 1, *t) for i, t in enumerate(want_r)]
+
+    got_l = [tuple(r) for r in
+             kwic_sorted(docs, matches, match_len=1, width=3, by="left",
+                         n=100).collect()]
+
+    def lkey(t):
+        return " ".join(reversed(t[2].split(" "))) if t[2] else ""
+
+    want_l = sorted(base, key=lambda t: (lkey(t), t[4], t[0], t[1]))
+    assert got_l == [(i + 1, *t) for i, t in enumerate(want_l)]
+    assert [r[0] for r in got_r] == list(range(1, len(base) + 1))
+
+    with pytest.raises(ValueError):
+        kwic_sorted(docs, matches, match_len=1, by="middle")
+
+
+def test_kwic_sorted_page_limit(spark, tables):
+    """n bounds the page: top-n of the sorted order, ranks 1..n."""
+    from fastmorph_spark.search.engine import kwic, kwic_sorted
+
+    p, d, pc, dc = tables
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    matches = slot_search(p, d, [{"term": "fast"}], [])
+    full = [tuple(r) for r in
+            kwic_sorted(docs, matches, match_len=1, by="right", n=100).collect()]
+    page = [tuple(r) for r in
+            kwic_sorted(docs, matches, match_len=1, by="right", n=2).collect()]
+    assert page == full[:2]
