@@ -619,3 +619,96 @@ SELECT doc_id, n_bpe AS n_tokens,
        floor((sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe) / {budget_tokens})::BIGINT AS shard_id
 FROM c ORDER BY doc_id
 """
+
+
+# ---- repetition + PII quality filters (ops/quality.py) -----------------
+
+
+def line_repetition_sql(src: str = "documents") -> str:
+    """Mirror of ops.quality.line_repetition: non-empty newline-split
+    lines; dup fractions over occurrence counts and character mass;
+    docs with zero non-empty lines emit no row. ``src`` lets the
+    registry substitute the deterministically line-structured derived
+    corpus (the dedup-augmentation discipline: the raw fixture has no
+    newlines, so the raw query would be vacuous)."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)),
+                            l -> length(l) > 0)) AS line
+  FROM {src} AS documents
+),
+c AS (
+  SELECT doc_id, line, count(*)::BIGINT AS cnt,
+         length(line)::BIGINT AS chars
+  FROM lines GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct_lines,
+         sum((cnt - 1) * chars) AS dup_chars,
+         sum(cnt * chars) AS all_chars
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_distinct_lines,
+       round((n_lines - n_distinct_lines)::DOUBLE / n_lines, {R}) AS dup_line_frac,
+       round(dup_chars::DOUBLE / all_chars, {R}) AS dup_line_char_frac
+FROM agg ORDER BY doc_id
+"""
+
+
+def top_ngram_repetition_sql(ns: tuple[int, ...] = (2, 3),
+                             src: str = "documents") -> str:
+    """Mirror of ops.quality.top_ngram_repetition: per (doc, n) the
+    (count DESC, ngram ASC) winner and its character-mass fraction of
+    all n-gram occurrences; docs shorter than n tokens contribute no
+    row for that n."""
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, "
+        f"unnest(list_transform(range(len(t) - {n} + 1), "
+        f"i -> array_to_string(t[i+1:i+{n}], ' '))) AS ngram "
+        f"FROM tok WHERE len(t) >= {n}"
+        for n in ns
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM {src} AS documents),
+g AS ({branches}),
+c AS (
+  SELECT doc_id, n, ngram, count(*)::BIGINT AS cnt
+  FROM g GROUP BY doc_id, n, ngram
+),
+r AS (
+  SELECT doc_id, n, ngram, cnt,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, ngram) AS rn,
+         sum(cnt * length(ngram)) OVER (PARTITION BY doc_id, n) AS all_chars
+  FROM c
+)
+SELECT doc_id, n::INT AS n, ngram AS top_ngram, cnt AS top_count,
+       round((cnt * length(ngram))::DOUBLE / all_chars, {R}) AS top_char_frac
+FROM r WHERE rn = 1 ORDER BY doc_id, n
+"""
+
+
+def pii_profile_sql(src: str = "documents") -> str:
+    """Mirror of ops.quality.pii_profile: pinned patterns (identical
+    Java-regex/RE2 semantics by construction: classes + bounded greedy
+    quantifiers only), counts on the original text, sha256 of the
+    PII_SCRUB-ordered replace-all chain."""
+    from fastmorph_spark.ops.quality import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{PII_IPV4}', '<IP>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{PII_PHONE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+       sha256({scrub}) AS scrub_sha256
+FROM {src} AS documents ORDER BY doc_id
+"""

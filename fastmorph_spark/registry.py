@@ -739,6 +739,113 @@ def q_pipeline_drop_list_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                               span_tokens=SPAN_W)
 
 
+# repetition-filter augmentation: the fixture has NO newlines, so raw
+# line_repetition would be vacuous (every doc = one line, all fractions
+# 0). Both engines derive a line-structured corpus from the pinned
+# tokens: 6-token windows become lines, and the FIRST line is re-appended
+# once for every 3rd doc and twice more for every 7th — planted duplicate
+# lines with known mass, same text bytes in both engines.
+LINE_AUG_W = 6
+LINE_AUG_SRC = (
+    "(SELECT doc_id, array_to_string("
+    "ln || (CASE WHEN doc_id % 3 = 0 THEN [ln[1]] ELSE []::VARCHAR[] END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN [ln[1], ln[1]] ELSE []::VARCHAR[] END),"
+    " chr(10)) AS text FROM ("
+    f"SELECT doc_id, list_transform(range(CAST(ceil(len(t)/{LINE_AUG_W}.0) AS INT)), "
+    f"i -> array_to_string(t[i*{LINE_AUG_W}+1:i*{LINE_AUG_W}+{LINE_AUG_W}], ' ')) AS ln "
+    f"FROM (SELECT doc_id, {oracles.TOK.format(col='text')} AS t "
+    "FROM main.documents) WHERE len(t) >= 1))"
+)
+
+
+def _line_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.tokenize import tokenize_expr
+
+    w = LINE_AUG_W
+    t = tokenize_expr("text")
+    d = read_documents(spark, sf_dir).select("doc_id", t.alias("_t")) \
+        .filter(F.size("_t") >= 1)
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_t") / F.lit(float(w))).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * w + 1, w)))
+    empty = F.expr("array()").cast("array<string>")
+    first = lambda: F.element_at(F.col("_ln"), 1)  # noqa: E731
+    aug = F.concat(
+        F.col("_ln"),
+        F.when(F.col("doc_id") % 3 == 0, F.array(first())).otherwise(empty),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.array(first(), first())).otherwise(empty),
+    )
+    return d.select("doc_id", lines.alias("_ln")) \
+        .select("doc_id", F.concat_ws("\n", aug).alias("text"))
+
+
+def q_repetition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line fractions over the line-augmented
+    corpus — non-vacuous by construction (every 3rd/7th doc carries
+    planted repeat lines of known character mass)."""
+    from fastmorph_spark.ops.quality import line_repetition
+
+    return line_repetition(_line_aug_docs(spark, sf_dir))
+
+
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-{2,3}-gram mass fractions on the RAW corpus (the
+    small fixture vocabulary repeats n-grams within docs naturally, so
+    no augmentation is needed for a non-vacuous check)."""
+    from fastmorph_spark.ops.quality import top_ngram_repetition
+
+    return top_ngram_repetition(read_documents(spark, sf_dir), ns=(2, 3))
+
+
+# PII augmentation: the fixture has zero '@'/'+'/dotted-quad content, so
+# both engines append a deterministic PII tail (one email, one phone,
+# one IPv4 built from doc_id arithmetic) to every 5th doc — counts and
+# the scrub hash become non-vacuous while the other 4/5 of the corpus
+# exercises the patterns' false-positive behavior on real text.
+PII_AUG_MOD = 5
+_PII_TAIL_SQL = (
+    "' contact user' || doc_id::VARCHAR || '@example.com call +1-555-' || "
+    "(1000 + doc_id % 9000)::VARCHAR || ' host 10.' || "
+    "(doc_id % 200)::VARCHAR || '.' || ((doc_id * 7) % 250)::VARCHAR || "
+    "'.' || (doc_id % 100)::VARCHAR"
+)
+PII_AUG_SRC = (
+    f"(SELECT doc_id, CASE WHEN doc_id % {PII_AUG_MOD} = 0 "
+    f"THEN text || {_PII_TAIL_SQL} ELSE text END AS text "
+    "FROM main.documents)"
+)
+
+
+def _pii_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    tail = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" host 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % PII_AUG_MOD == 0,
+               F.concat(F.col("text"), tail))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + scrub hash over the PII-augmented corpus: every 5th
+    doc carries exactly one planted email/phone/IPv4, so the counts, the
+    pattern boundaries, and the replace-all chain are all exercised for
+    real (the scrub sha256 proves byte-identical redaction)."""
+    from fastmorph_spark.ops.quality import pii_profile
+
+    return pii_profile(_pii_aug_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.dedup import exact_duplicates
 
@@ -1223,6 +1330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_drop_list_spans": q_pipeline_drop_list_spans,
         "token_count_bpe": q_token_count_bpe,
         "pack_shards_bpe": q_pack_shards_bpe,
+        # --- (b3) new this round, wave 3: repetition + PII quality
+        # filters (ops/quality.py — the Gopher/RefinedWeb filter family)
+        "repetition_lines": q_repetition_lines,
+        "repetition_ngrams": q_repetition_ngrams,
+        "pii_profile": q_pii_profile,
         # --- (b2) new this round, wave 2: corpus analytics (keyness /
         # ipm / dispersion), fuzzy matching, facets, sentence scope,
         # concordance sampling (fastmorph_spark/registry_corpus.py)
@@ -1356,6 +1468,12 @@ def oracle_sqls() -> dict[str, str]:
         # compose over it
         "token_count_bpe": oracles_ops.token_count_bpe_sql(),
         "pack_shards_bpe": oracles_ops.pack_shards_bpe_sql(2000),
+        # repetition + PII quality filters: line/PII paths run over the
+        # deterministically augmented corpora (the fixture has no
+        # newlines and no PII — the dedup-augmentation discipline)
+        "repetition_lines": oracles_ops.line_repetition_sql(src=LINE_AUG_SRC),
+        "repetition_ngrams": oracles_ops.top_ngram_repetition_sql(ns=(2, 3)),
+        "pii_profile": oracles_ops.pii_profile_sql(src=PII_AUG_SRC),
         "dedup_span": oracles_ops.span_duplicates_sql(SPAN_W, src=SPAN_AUG_SRC),
         "span_drop_list": oracles_ops.span_drop_list_sql(SPAN_W, src=SPAN_AUG_SRC),
         "pipeline_drop_list_spans": (

@@ -1,0 +1,132 @@
+"""Repetition + PII quality filters (ops/quality.py): pinned semantics
+on crafted micro-corpora, determinism under repartition, and the
+augmented-corpus driver paths vs their DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from fastmorph_spark.ops.quality import (
+    line_repetition,
+    pii_profile,
+    top_ngram_repetition,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- line_repetition -----------------------------------------------------
+
+
+def test_line_repetition_known_fractions(spark):
+    # 4 lines, "aa bb" twice: dup_line_frac = 1/4; dup char mass = 5,
+    # total char mass = 5+5+4+2 = 16 -> dup_line_char_frac = 5/16
+    df = _docs(spark, [(1, "aa bb\ncc d\naa bb\nzz")])
+    row = line_repetition(df).collect()[0]
+    assert row["n_lines"] == 4
+    assert row["n_distinct_lines"] == 3
+    assert row["dup_line_frac"] == pytest.approx(0.25)
+    assert row["dup_line_char_frac"] == pytest.approx(0.3125)
+
+
+def test_line_repetition_all_unique_and_empty_lines(spark):
+    # empty segments ("\n\n") are dropped before counting; a doc with
+    # no non-empty lines emits NO row
+    df = _docs(spark, [(1, "aa\n\nbb\n"), (2, "\n\n"), (3, "")])
+    rows = {r["doc_id"]: r for r in line_repetition(df).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_lines"] == 2
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["dup_line_char_frac"] == 0.0
+
+
+def test_line_repetition_fully_duplicated(spark):
+    df = _docs(spark, [(7, "x y\nx y\nx y")])
+    row = line_repetition(df).collect()[0]
+    assert row["n_lines"] == 3 and row["n_distinct_lines"] == 1
+    assert row["dup_line_frac"] == pytest.approx(round(2 / 3, 6), abs=1e-6)
+    assert row["dup_line_char_frac"] == pytest.approx(round(2 / 3, 6), abs=1e-6)
+
+
+# ---- top_ngram_repetition --------------------------------------------------
+
+
+def test_top_ngram_counts_and_tiebreak(spark):
+    # "a b a b a" -> 2-grams: "a b" x2, "b a" x2 -> tie broken by
+    # ngram ASC => "a b"; char mass: top 2*3=6 over total 4*3=12
+    df = _docs(spark, [(1, "a b a b a")])
+    rows = {r["n"]: r for r in top_ngram_repetition(df, ns=(2, 3)).collect()}
+    assert rows[2]["top_ngram"] == "a b" and rows[2]["top_count"] == 2
+    assert rows[2]["top_char_frac"] == pytest.approx(0.5)
+    # 3-grams: "a b a" x2 > "b a b" x1
+    assert rows[3]["top_ngram"] == "a b a" and rows[3]["top_count"] == 2
+
+
+def test_top_ngram_short_doc_skips_n(spark):
+    # 2 tokens: contributes the n=2 row only; 1 token: no rows at all
+    df = _docs(spark, [(1, "aa bb"), (2, "solo")])
+    rows = top_ngram_repetition(df, ns=(2, 3)).collect()
+    assert {(r["doc_id"], r["n"]) for r in rows} == {(1, 2)}
+    assert rows[0]["top_char_frac"] == pytest.approx(1.0)
+
+
+def test_top_ngram_repartition_deterministic(spark):
+    import fastmorph_spark.sources as sources
+
+    docs = sources.read_documents(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, top_ngram_repetition(docs, ns=(2,)).collect()))
+    b = sorted(map(tuple,
+                   top_ngram_repetition(docs.repartition(13), ns=(2,)).collect()))
+    assert a == b
+
+
+# ---- pii_profile -----------------------------------------------------------
+
+
+def test_pii_counts_and_scrub(spark):
+    from pyspark.sql import functions as F
+
+    from fastmorph_spark.ops.quality import pii_scrub_expr
+
+    df = _docs(spark, [
+        (1, "mail me at bob.smith+x@corp-lab.example.org or call +1-555-0147"),
+        (2, "hosts 10.0.0.1 and 192.168.4.250 plus version 1.2 text"),
+        (3, "no pii here just words"),
+    ])
+    rows = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    # "version 1.2" must NOT count as IPv4 (needs 4 dotted groups)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ipv4"]) == (0, 0, 2)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ipv4"]) == (0, 0, 0)
+    scrubbed = df.select("doc_id", pii_scrub_expr("text").alias("s")).collect()
+    s = {r["doc_id"]: r["s"] for r in scrubbed}
+    assert s[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert s[2] == "hosts <IP> and <IP> plus version 1.2 text"
+    assert s[3] == "no pii here just words"
+
+
+def test_pii_scrub_hash_matches_plain_sha_when_clean(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [(9, "clean text")])
+    got = pii_profile(df).collect()[0]["scrub_sha256"]
+    want = df.select(F.sha2("text", 256).alias("h")).collect()[0]["h"]
+    assert got == want
+
+
+# ---- augmented driver paths vs DuckDB --------------------------------------
+
+
+def test_quality_keys_vs_oracle(spark, duck):
+    """The three registry keys hash-match their DuckDB oracles at
+    sf0.001 (the driver re-checks at sf0.01)."""
+    from tests.conftest import SF0001, assert_frames_match, register_views
+
+    from fastmorph_spark.registry import oracle_sqls, queries
+
+    register_views(duck, SF0001)
+    q, o = queries(), oracle_sqls()
+    for key in ("repetition_lines", "repetition_ngrams", "pii_profile"):
+        assert_frames_match(q[key](spark, SF0001), duck.sql(o[key]))
