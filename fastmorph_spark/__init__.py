@@ -40,6 +40,8 @@ def __getattr__(name):
         "purge_tombstones": ("fastmorph_spark.index.tombstones", "purge_tombstones"),
         "handle_request": ("fastmorph_spark.search.protocol", "handle_request"),
         "parse_request": ("fastmorph_spark.search.protocol", "parse_request"),
+        "parse_cql": ("fastmorph_spark.search.cql", "parse_cql"),
+        "corpus_summary": ("fastmorph_spark.search.keyness", "corpus_summary"),
     }
     if name in lazy:
         import importlib
@@ -55,6 +57,6 @@ __all__ = [
     "build_index_resumable", "search_wand", "bm25_topk_expression",
     "slot_search", "search_request", "kwic", "benchmark_contamination",
     "ngram_freq", "delete_docs", "purge_tombstones",
-    "handle_request", "parse_request",
+    "handle_request", "parse_request", "parse_cql", "corpus_summary",
 ]
 __version__ = "0.2.0"

@@ -502,3 +502,25 @@ FROM per_term
 GROUP BY grp
 ORDER BY {group_col}
 """
+
+
+def corpus_summary_sql() -> str:
+    """Mirror of search.keyness.corpus_summary — whole-corpus summary
+    card (served as the protocol's {"stats": true} form): doc count,
+    token occurrences, distinct vocabulary, avg doc length. avgdl is ONE
+    division of two exact integers, bit-equal across engines before
+    SCORE_DECIMALS rounding."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT unnest({tok}) AS term FROM documents
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS vocab
+  FROM tok
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT n.n_docs, t.n_tokens, t.vocab,
+       round(t.n_tokens::DOUBLE / n.n_docs::DOUBLE, {SCORE_DECIMALS}) AS avgdl
+FROM n, t
+"""

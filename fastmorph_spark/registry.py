@@ -1298,9 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 76 keys, the 26 expected cap casualties are ALL
-    r04-driver-green, and jobs/check_queries.py re-verifies every key
-    locally before the driver run (BENCH/check_all_r05.txt)."""
+    suite. With 103 keys, the cap casualties are the r04-driver-green
+    tail PLUS the last 3 corpus-extension keys (cql_search,
+    cql_within_sentence, corpus_summary — added after the 50 new-key
+    slots filled; pytest-pinned), and jobs/check_queries.py re-verifies
+    EVERY key locally before the driver run (BENCH/check_all_r05.txt)."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
@@ -1339,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ipm / dispersion), fuzzy matching, facets, sentence scope,
         # concordance sampling (fastmorph_spark/registry_corpus.py)
         **_corpus_ext.QUERIES,
+        # ---------------- 50-key cap lands 3 keys BEFORE the end of the
+        # corpus extension (its last 3 keys are this round's documented
+        # cap casualties — see the docstring) ----------------
         # --- (c) r04-green, code paths touched this round + flagships
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -1364,7 +1369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_request": q_slot_request,
         "doc_stats": q_doc_stats,
         "dictionary_top100": q_dictionary_top100,
-        # ---------------- 50-key cap lands here ----------------
         # --- (d) tail: r04-driver-green, untouched, pytest-pinned
         "and_search": q_and_search,
         "phrase_search": q_phrase_search,

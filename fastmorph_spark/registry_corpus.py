@@ -304,6 +304,50 @@ def q_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyness.lexdiv(read_documents(spark, sf_dir), "lang")
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus summary card (n_docs / n_tokens / vocab / avgdl) —
+    the numbers the serving protocol's {"stats": true} form answers."""
+    return keyness.corpus_summary(read_documents(spark, sf_dir))
+
+
+# CQL driver fixtures: the queries are STRINGS parsed by search/cql.py at
+# query time, while the oracles pin the HAND-WRITTEN compilation — a
+# parser bug (wrong slot kind, off-by-one gap→distance rewrite, dropped
+# within flag) diverges the two engines instead of cancelling out.
+CQL_QUERY = '[word="fast"] []{0,2} "j*"'
+CQL_EXPECTED_SLOTS = [{"term": "fast"}, {"pattern": "j*"}]
+CQL_EXPECTED_DISTS = [(1, 3)]
+CQL_SENT_QUERY = '"fast" []{0,1} "j*" within s'
+CQL_SENT_SLOTS = [{"term": "fast"}, {"pattern": "j*"}]
+CQL_SENT_DISTS = [(1, 2)]
+
+
+def q_cql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual corpus query — `[word="fast"] []{0,2} "j*"` parsed by the
+    CQL-lite dialect (search/cql.py) at query time, compiled to the slot
+    engine; the oracle mirrors the hand-pinned expected compilation."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search.cql import parse_cql
+
+    c = parse_cql(CQL_QUERY)
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, c["slots"], c["dists"])
+
+
+def q_cql_within_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-scoped textual query — `"fast" []{0,1} "j*" within s`:
+    the parser's within-flag routes to sentence.slot_within_sentence over
+    the punctuated fixture corpus."""
+    from fastmorph_spark.search.cql import parse_cql
+
+    c = parse_cql(CQL_SENT_QUERY)
+    assert c["within_sentence"]
+    _, postings, bounds = _sent_tables(spark, sf_dir)
+    _, _, dictionary = _sent_dict_tables(spark, sf_dir)
+    return sentence.slot_within_sentence(postings, bounds, dictionary,
+                                         c["slots"], c["dists"])
+
+
 THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K = "fast", 3, 2, 20
 SKETCH_A, SKETCH_B = "fast", "slow"
 
@@ -359,6 +403,9 @@ QUERIES = {
     "sketch_diff": q_sketch_diff,
     "kwic_sorted": q_kwic_sorted,
     "lexdiv": q_lexdiv,
+    "cql_search": q_cql_search,
+    "cql_within_sentence": q_cql_within_sentence,
+    "corpus_summary": q_corpus_summary,
 }
 
 
@@ -413,4 +460,12 @@ def oracle_sqls() -> dict[str, str]:
             slots, dists, len(terms), by=KWIC_SORT_BY, n=KWIC_SORT_N,
             width=KWIC_WIDTH),
         "lexdiv": oracles_corpus.lexdiv_sql("lang"),
+        # the CQL oracles pin the EXPECTED compilation by hand (the Spark
+        # side parses the string at runtime — see the fixture comment)
+        "cql_search": oracles.slot_search_sql(
+            CQL_EXPECTED_SLOTS, CQL_EXPECTED_DISTS),
+        "cql_within_sentence": oracles_corpus.slot_within_sentence_sql(
+            CQL_SENT_SLOTS, CQL_SENT_DISTS,
+            text_expr=sentence.SENT_TEXT_SQL),
+        "corpus_summary": oracles_corpus.corpus_summary_sql(),
     }

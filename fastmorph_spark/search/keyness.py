@@ -218,3 +218,30 @@ def lexdiv(docs: DataFrame, group_col: str = "lang",
         )
         .orderBy(group_col)
     )
+
+
+def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-corpus summary card — the "about this corpus" numbers a
+    portal's front page and the serving protocol's ``{"stats": true}``
+    form surface: (n_docs, n_tokens, vocab, avgdl), one row.
+
+    n_docs counts ALL documents (token-less ones included); avgdl is one
+    division of two exact integers rounded to SCORE_DECIMALS. Scale
+    shape: one tokenize scan with a map-side-partial global agg (count +
+    approx-free exact distinct via the term-keyed partial) plus a
+    metadata-cheap count of documents; the single-row cross join is
+    trivially broadcast."""
+    t = (
+        docs.select(F.explode(tokenize_expr(text_col)).alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("term").cast("long").alias("vocab"),
+        )
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n.crossJoin(F.broadcast(t)).select(
+        "n_docs", "n_tokens", "vocab",
+        F.round(F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+                SCORE_DECIMALS).alias("avgdl"),
+    )

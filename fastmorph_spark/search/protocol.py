@@ -42,14 +42,20 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Five further request forms share the boundary, all bounded by ``k``:
-ranked top-k (``{"bm25": "query text", "k": 10}`` → Block-Max WAND),
-the collocation profile (``{"collocations": "term", "window": 3,
-"min_count": 2, "k": 20}``), frequency profiles (``{"top_terms": n,
-"pattern": "s*"?}`` — dictionary metadata only), the corpus-comparison
-keyness table (``{"keyness": "en", "min_count": 5, "k": 50}`` —
-G² + log-ratio over documents), and the morphological paradigm view
-(``{"paradigm": "joins"}`` — every dictionary form sharing the stem).
+Seven further request forms share the boundary, all bounded by ``k`` /
+``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
+Block-Max WAND), the collocation profile (``{"collocations": "term",
+"window": 3, "min_count": 2, "k": 20}``), frequency profiles
+(``{"top_terms": n, "pattern": "s*"?}`` — dictionary metadata only),
+the corpus-comparison keyness table (``{"keyness": "en", "min_count":
+5, "k": 50}`` — G² + log-ratio over documents), the morphological
+paradigm view (``{"paradigm": "joins"}`` — every dictionary form
+sharing the stem), the TEXTUAL query form (``{"cql": '[word="fast"]
+[]{0,2} [lemma="join"]'}`` — the CQL-lite dialect of search/cql.py,
+compiled into the slots form with every slots-form option available;
+``... within s`` answers sentence-scoped matches instead), and the
+index summary (``{"stats": true}`` — n_docs/avgdl/vocab/Σdf/Σcf from
+metadata alone).
 """
 
 from __future__ import annotations
@@ -87,11 +93,69 @@ def parse_request(req: dict) -> dict:
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
-                         "keyness", "paradigm")
+                         "keyness", "paradigm", "cql", "stats")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
             f"request must use exactly one form, got {sorted(forms)}")
+    if "stats" in req:
+        # corpus/index summary tab: one cheap metadata answer
+        unknown = set(req) - {"stats", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        if req["stats"] is not True:
+            raise RequestError("stats must be true")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"stats": True, "lang": lang}
+    if "cql" in req:
+        # textual corpus-query form (search/cql.py dialect): compiles to
+        # the slots form — same options, same lifecycle — except
+        # `within s`, which becomes its own sentence-scoped parsed form
+        from fastmorph_spark.search.cql import CQLError, parse_cql
+
+        q = req["cql"]
+        if not isinstance(q, str) or not q.strip():
+            raise RequestError("cql must be a non-empty query string")
+        try:
+            c = parse_cql(q)
+        except CQLError as e:
+            raise RequestError(str(e)) from None
+        if c["within_sentence"]:
+            unknown = set(req) - {"cql", "until", "lang"}
+            if unknown:
+                raise RequestError(
+                    f"'within s' requests take only until/lang, "
+                    f"got extra fields: {sorted(unknown)}")
+            until = req.get("until", 20)
+            if not isinstance(until, int) or isinstance(until, bool) \
+                    or not 1 <= until <= _MAX_UNTIL:
+                raise RequestError(
+                    f"until must be an integer in [1, {_MAX_UNTIL}]")
+            lang = req.get("lang")
+            if lang is not None and (not isinstance(lang, str) or not lang):
+                raise RequestError("lang must be a non-empty string")
+            return {"within_slots": c["slots"], "dists": c["dists"],
+                    "until": until, "lang": lang}
+        # re-express as a slots-form request and fall through the SAME
+        # validation (slot shape, dists arity, pagination bounds) — the
+        # compiled slots are engine-form, so map keys back to protocol
+        # vocabulary first
+        eng_to_proto = {v: k for k, v in _SLOT_KEYS.items()}
+        proto_slots = []
+        for s in c["slots"]:
+            kind = next(k for k in s if k in eng_to_proto)
+            ps = {eng_to_proto[kind]: s[kind]}
+            if s.get("case"):
+                ps["case"] = True
+            if "dist" in s:
+                ps["dist"] = s["dist"]
+            proto_slots.append(ps)
+        synth = {k: v for k, v in req.items() if k != "cql"}
+        synth["slots"] = proto_slots
+        synth["dists"] = [list(d) for d in c["dists"]]
+        return parse_request(synth)
     if "keyness" in req:
         # corpus-comparison tab: G2 key terms of the `keyness` subcorpus
         unknown = set(req) - {"keyness", "min_count", "k"}
@@ -343,12 +407,56 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                         "results": []}
             if "paradigm" in p:
                 return {"word": p["paradigm"], "k": p["k"], "results": []}
+            if "stats" in p:
+                return {"n_docs": 0, "avgdl": 0.0, "vocab": 0,
+                        "postings": 0, "tokens": 0}
+            if "within_slots" in p:
+                return {"until": p["until"], "n_results": 0, "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "stats" in p:
+        # index summary off METADATA alone: the stats table (n_docs,
+        # avgdl — one memoized driver row) + ONE dictionary aggregate
+        # (vocab / Σdf / Σcf). No block decode, no corpus scan. Like the
+        # frequency profile, numbers are pre-delete until purge.
+        from pyspark.sql import functions as F
+
+        s = index.stats_row()
+        d = index.dictionary.agg(
+            F.count("*").alias("vocab"),
+            F.sum("df").alias("postings"),
+            F.sum("cf").alias("tokens"),
+        ).collect()[0]
+        return {"n_docs": int(s["n_docs"]), "avgdl": float(s["avgdl"]),
+                "vocab": int(d["vocab"]), "postings": int(d["postings"] or 0),
+                "tokens": int(d["tokens"] or 0)}
+    if "within_slots" in p:
+        # sentence-scoped CQL (`... within s`): packed pruned decode ->
+        # composite-key re-base -> unchanged slot engine. The response is
+        # the bounded head of the (doc_id, sent_id)-ordered match list —
+        # sentence-LOCAL highlight offsets, no snippet assembly.
+        from fastmorph_spark.search.sentence import (
+            sentence_bounds,
+            slot_within_sentence_packed,
+        )
+
+        try:
+            bounds = sentence_bounds(documents)
+            rows = slot_within_sentence_packed(
+                index, bounds, p["within_slots"], p["dists"]
+            ).limit(p["until"]).collect()
+        except ValueError as e:
+            return {"error": str(e)}
+        return {"until": p["until"], "n_results": len(rows),
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "sent_id": int(r["sent_id"]),
+                             "n_matches": int(r["n_matches"]),
+                             "positions": r["match_starts"]}
+                            for r in rows]}
     if "paradigm" in p:
         # morphological paradigm view off dictionary METADATA (stem_expr
         # over the ~|vocab| rows; no block decode)
