@@ -524,3 +524,47 @@ SELECT n.n_docs, t.n_tokens, t.vocab,
        round(t.n_tokens::DOUBLE / n.n_docs::DOUBLE, {SCORE_DECIMALS}) AS avgdl
 FROM n, t
 """
+
+
+def collocations_measures_sql(target: str, window: int = 3,
+                              min_count: int = 2, k: int = 20) -> str:
+    """Mirror of search.collocation.collocations_measures — the A8 pair
+    counts with the three-measure panel. Pins (textual, float64):
+    pmi = ln((cooc * total) / (tcf * cf));
+    logdice = 14 + ln((2.0 * cooc) / (tcf + cf)) / ln(2);
+    tscore = (cooc - (tcf * cf) / total) / sqrt(cooc);
+    rank over the UNROUNDED logdice, order (logdice DESC, term ASC)."""
+    from fastmorph_spark.oracles import _positions_cte
+    return f"""
+WITH {_positions_cte().strip()},
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+tpos AS (SELECT doc_id, pos FROM pos WHERE term = '{target}'),
+pairs AS (
+  SELECT p.term, count(*)::BIGINT AS cooc
+  FROM pos p JOIN tpos t
+    ON p.doc_id = t.doc_id AND abs(p.pos - t.pos) <= {window}
+  WHERE p.term <> '{target}'
+  GROUP BY p.term
+),
+scored AS (
+  SELECT p.term, p.cooc, cf.cf,
+         ln((p.cooc::DOUBLE * tot.total) / (tcf.tcf * cf.cf::DOUBLE)) AS pmi,
+         14 + ln((2.0 * p.cooc::DOUBLE) / (tcf.tcf + cf.cf::DOUBLE)) / ln(2) AS logdice,
+         (p.cooc::DOUBLE - (tcf.tcf * cf.cf::DOUBLE) / tot.total)
+           / sqrt(p.cooc::DOUBLE) AS tscore
+  FROM pairs p
+  JOIN cf USING (term)
+  CROSS JOIN tot
+  CROSS JOIN (SELECT cf::DOUBLE AS tcf FROM cf WHERE term = '{target}') tcf
+  WHERE p.cooc >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY logdice DESC, term ASC) AS rank,
+       term, cooc, cf,
+       round(pmi, {SCORE_DECIMALS}) AS pmi,
+       round(logdice, {SCORE_DECIMALS}) AS logdice,
+       round(tscore, {SCORE_DECIMALS}) AS tscore
+FROM scored
+ORDER BY logdice DESC, term ASC
+LIMIT {k}
+"""

@@ -352,6 +352,25 @@ THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K = "fast", 3, 2, 20
 SKETCH_A, SKETCH_B = "fast", "slow"
 
 
+def q_collocations_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation tab with the full association-measure panel: PMI +
+    logDice (the Sketch Engine default ranking) + t-score per collocate,
+    one pair-count join, three expressions."""
+    from fastmorph_spark.registry import (
+        COLLOC_K,
+        COLLOC_MIN,
+        COLLOC_TARGET,
+        COLLOC_WINDOW,
+        _index_tables,
+    )
+    from fastmorph_spark.search.collocation import collocations_measures
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return collocations_measures(postings, dictionary, COLLOC_TARGET,
+                                 window=COLLOC_WINDOW, min_count=COLLOC_MIN,
+                                 k=COLLOC_K)
+
+
 def q_thesaurus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional thesaurus: terms whose windowed collocate profile
     overlaps 'fast' most (Dice over pair counts — search/thesaurus.py
@@ -406,6 +425,7 @@ QUERIES = {
     "cql_search": q_cql_search,
     "cql_within_sentence": q_cql_within_sentence,
     "corpus_summary": q_corpus_summary,
+    "collocations_measures": q_collocations_measures,
 }
 
 
@@ -468,4 +488,6 @@ def oracle_sqls() -> dict[str, str]:
             CQL_SENT_SLOTS, CQL_SENT_DISTS,
             text_expr=sentence.SENT_TEXT_SQL),
         "corpus_summary": oracles_corpus.corpus_summary_sql(),
+        "collocations_measures": oracles_corpus.collocations_measures_sql(
+            _r.COLLOC_TARGET, _r.COLLOC_WINDOW, _r.COLLOC_MIN, _r.COLLOC_K),
     }

@@ -330,3 +330,73 @@ def sketch_diff(postings: DataFrame, dictionary: DataFrame,
         F.round("pmi_b", SCORE_DECIMALS).alias("pmi_b"),
         F.round("diff", SCORE_DECIMALS).alias("diff"),
     )
+
+
+def collocations_measures(postings: DataFrame, dictionary: DataFrame,
+                          target: str, window: int = 3, min_count: int = 2,
+                          k: int = 20,
+                          broadcast_target: bool | None = None) -> DataFrame:
+    """The full association-measure PANEL per collocate — the three
+    scores a corpus portal's collocation tab lets the user rank by
+    [LIT: Rychlý 2008 "A lexicographer-friendly association score"
+    (logDice, the Sketch Engine default); Church et al. 1991 (t-score);
+    Church & Hanks 1990 (PMI)]:
+
+      (rank, term, cooc, cf, pmi, logdice, tscore)
+
+    Pinned formulas (mirrored textually by
+    oracles_corpus.collocations_measures_sql; all float64, rounded to
+    SCORE_DECIMALS on output, rank over the UNROUNDED logdice):
+
+    - ``pmi`` — exactly the A8 pinning:
+      ``ln((cooc * total) / (cf_target * cf_n))``;
+    - ``logdice = 14 + ln((2.0 * cooc) / (cf_target + cf_n)) / ln(2)``
+      (log2 pinned as ln/ln2, the keyness discipline) — frequency-stable
+      under corpus growth, which is why it is the default RANKING here:
+      order/tie-break ``(logdice DESC, term ASC)``;
+    - ``tscore = (cooc - (cf_target * cf_n) / total) / sqrt(cooc)`` —
+      pair counts against the independence expectation.
+
+    Same scale shape as `collocations`: ONE df(target)-gated doc_id join
+    for pair counts + one term agg; the measures are three expressions
+    over the same joined row (no extra pass, no extra shuffle).
+    """
+    if broadcast_target is None:
+        df_row = dictionary.filter(F.col("term") == target) \
+            .select("df").limit(1).collect()
+        broadcast_target = bool(df_row) and \
+            df_row[0]["df"] <= BROADCAST_TARGET_MAX_DF
+    cooc = _pair_counts(postings.select("term", "doc_id", "positions"),
+                        target, window, broadcast_target)
+    tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    c = F.col("cooc").cast("double")
+    n = F.col("cf").cast("double")
+    scored = (
+        cooc.filter(F.col("cooc") >= min_count)
+        .join(dictionary.select("term", "cf"), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tcf))
+        .withColumn("pmi", F.log((c * F.col("_total"))
+                                 / (F.col("_tcf") * n)))
+        .withColumn("logdice",
+                    F.lit(14.0) + F.log((F.lit(2.0) * c)
+                                        / (F.col("_tcf") + n))
+                    / F.log(F.lit(2.0)))
+        .withColumn("tscore",
+                    (c - (F.col("_tcf") * n) / F.col("_total"))
+                    / F.sqrt(c))
+    )
+    topk = scored.orderBy(F.desc("logdice"), F.asc("term")).limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("logdice"), F.asc("term")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "term",
+        F.col("cooc").cast("long").alias("cooc"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("pmi", SCORE_DECIMALS).alias("pmi"),
+        F.round("logdice", SCORE_DECIMALS).alias("logdice"),
+        F.round("tscore", SCORE_DECIMALS).alias("tscore"),
+    )

@@ -162,3 +162,44 @@ def test_broadcast_and_shuffle_join_agree(spark, tables):
     a = collocations(postings, dictionary, TARGET, window=WINDOW,
                      min_count=MIN_COUNT, k=K).collect()  # auto gate
     assert [tuple(r) for r in b] == [tuple(r) for r in s] == [tuple(r) for r in a]
+
+
+def test_measures_panel_consistent_with_pmi_profile(spark, tables):
+    """collocations_measures: same (term, cooc, cf, pmi) facts as
+    collocations() for every shared term (the panel adds columns and
+    re-ranks by logDice — it must not change the underlying counts),
+    plus the formula pins: logdice <= 14 always (2*cooc <= tcf + cf
+    because cooc <= min(tcf, cf)), and both new scores recompute
+    bit-close from the row's own integers."""
+    from fastmorph_spark.search.collocation import collocations_measures
+
+    _, postings, dictionary = tables
+    base = {
+        r["term"]: r
+        for r in collocations(postings, dictionary, TARGET, WINDOW,
+                              MIN_COUNT, k=1000).collect()
+    }
+    panel = collocations_measures(postings, dictionary, TARGET, WINDOW,
+                                  MIN_COUNT, k=1000).collect()
+    assert panel, "fixture must produce collocates"
+    tcf = None
+    total = None
+    for row in dictionary.collect():
+        if row["term"] == TARGET:
+            tcf = float(row["cf"])
+    total = float(
+        dictionary.agg({"cf": "sum"}).collect()[0][0])
+    assert set(r["term"] for r in panel) == set(base)
+    for r in panel:
+        b = base[r["term"]]
+        assert (r["cooc"], r["cf"]) == (b["cooc"], b["cf"])
+        assert r["pmi"] == b["pmi"]
+        assert r["logdice"] <= 14.0 + 1e-9
+        ld = 14.0 + math.log((2.0 * r["cooc"]) / (tcf + r["cf"])) / math.log(2.0)
+        ts = (r["cooc"] - (tcf * r["cf"]) / total) / math.sqrt(r["cooc"])
+        assert abs(r["logdice"] - round(ld, 6)) <= 1e-6
+        assert abs(r["tscore"] - round(ts, 6)) <= 1e-6
+    # ranking pin: (logdice DESC, term ASC), rank = position
+    keys = [(-r["logdice"], r["term"]) for r in panel]
+    assert keys == sorted(keys)
+    assert [r["rank"] for r in panel] == list(range(1, len(panel) + 1))
