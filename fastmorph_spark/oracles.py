@@ -227,6 +227,10 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
             d = int(s.get("dist", 1))
             return (f"(abs(length({col}) - {len(w)}) <= {d} "
                     f"AND levenshtein({col}, '{w}') <= {d})")
+        if "regex" in s:
+            from fastmorph_spark.search.regex import duckdb_regex_cond
+
+            return duckdb_regex_cond(col, s["regex"], case=cs)
         pat = s["pattern"] if cs else s["pattern"].lower()
         like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
         return f"{col} LIKE '{like}' ESCAPE '\\'"

@@ -568,3 +568,17 @@ FROM scored
 ORDER BY logdice DESC, term ASC
 LIMIT {k}
 """
+
+
+def regex_terms_sql(pattern: str) -> str:
+    """Mirror of search.regex.regex_terms — dictionary expansion of a
+    validated, folded, anchored regex (same subset/anchoring pins as the
+    Spark side; RE2 `regexp_matches` ≡ Java `rlike` on the subset)."""
+    from fastmorph_spark.oracles import _corpus_ctes
+    from fastmorph_spark.search.regex import duckdb_regex_cond
+    return f"""
+WITH {_corpus_ctes(None)}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE {duckdb_regex_cond('term', pattern)}
+GROUP BY term ORDER BY df DESC, term ASC
+"""

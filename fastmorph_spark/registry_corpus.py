@@ -352,6 +352,45 @@ THES_TARGET, THES_WINDOW, THES_MIN_SHARED, THES_K = "fast", 3, 2, 20
 SKETCH_A, SKETCH_B = "fast", "slow"
 
 
+# regex-slot fixtures: alternation + bounded repeat — power the
+# wildcard vocabulary can't write; non-vacuous against the fixture
+# vocabulary (scan/small/slow/sort/spark/batch/big all match the
+# dictionary view; fast|slow makes the slot a genuine 2-term union)
+REGEX_PATTERN = "(s|b).{2,4}"
+REGEX_SLOTS = [{"regex": "fast|slow"}, {"term": "join"}]
+REGEX_DISTS = [(1, 3)]
+
+
+def q_regex_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary expansion of a whole-token regex (search/regex.py) —
+    the vocabulary view behind regex slots, (df DESC, term ASC)."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search.regex import regex_terms
+
+    _, _, dictionary, *_ = _index_tables(spark, sf_dir)
+    return regex_terms(dictionary, REGEX_PATTERN)
+
+
+def q_slot_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-in-slot: alternation `s.*s|f(a|o)st` then `join` within
+    1..3 — CWB-style regex power inside multi-slot patterns."""
+    from fastmorph_spark.registry import _index_tables
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return engine.slot_search(postings, dictionary, REGEX_SLOTS, REGEX_DISTS)
+
+
+def q_slot_regex_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_regex_search through the packed index (dictionary-first
+    expansion feeding block-skip pruning; predicate-direct regime when
+    the expansion is too wide). Shares slot_regex_search's oracle."""
+    from fastmorph_spark.registry import _packed_index
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_index(spark, sf_dir),
+                              REGEX_SLOTS, REGEX_DISTS)
+
+
 def q_collocations_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation tab with the full association-measure panel: PMI +
     logDice (the Sketch Engine default ranking) + t-score per collocate,
@@ -426,6 +465,9 @@ QUERIES = {
     "cql_within_sentence": q_cql_within_sentence,
     "corpus_summary": q_corpus_summary,
     "collocations_measures": q_collocations_measures,
+    "regex_terms": q_regex_terms,
+    "slot_regex_search": q_slot_regex_search,
+    "slot_regex_packed": q_slot_regex_packed,
 }
 
 
@@ -490,4 +532,8 @@ def oracle_sqls() -> dict[str, str]:
         "corpus_summary": oracles_corpus.corpus_summary_sql(),
         "collocations_measures": oracles_corpus.collocations_measures_sql(
             _r.COLLOC_TARGET, _r.COLLOC_WINDOW, _r.COLLOC_MIN, _r.COLLOC_K),
+        "regex_terms": oracles_corpus.regex_terms_sql(REGEX_PATTERN),
+        # packed twin shares the corpus-path oracle (must be identical)
+        "slot_regex_search": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
+        "slot_regex_packed": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
     }

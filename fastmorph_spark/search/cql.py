@@ -17,7 +17,7 @@ Dialect (CQL-LIKE, not CWB-compatible — differences pinned here):
     query  := unit (gap? unit)* (WITHIN 's')?
     unit   := '"' value '"'                       bare word shorthand
             | '[' attr '=' '"' value '"' flag* ']'
-    attr   := 'word' | 'lemma' | 'tag' | 'fuzzy' | 'pattern'
+    attr   := 'word' | 'lemma' | 'tag' | 'fuzzy' | 'pattern' | 'regex'
     flag   := 'case'                              (word only)
             | 'dist' '=' INT                      (fuzzy only)
     gap    := '[]'                                exactly one any-token
@@ -54,8 +54,8 @@ import re
 
 _MAX_GAP = 1000          # sanity cap on []{lo,hi} — hi+1 becomes a
                          # position-distance bound in the HOF predicate
-_ATTRS = ("word", "lemma", "tag", "fuzzy", "pattern")
-_ATTR_TO_SLOT = {"word": "term", "lemma": "stem", "tag": "tag",
+_ATTRS = ("word", "lemma", "tag", "fuzzy", "pattern", "regex")
+_ATTR_TO_SLOT = {"word": "term", "lemma": "stem", "tag": "tag", "regex": "regex",
                  "fuzzy": "fuzzy", "pattern": "pattern"}
 
 _LEXEME = re.compile(
@@ -182,6 +182,15 @@ def _parse_bracket(c: _Cursor) -> dict | tuple:
         raise CQLError("CQL: 'dist' applies to fuzzy slots only")
     if attr == "word":
         return _word_slot(value, case)
+    if attr == "regex":
+        # validate at parse time — a bad pattern is a query-string
+        # error, same boundary as every other CQL grammar problem
+        from fastmorph_spark.search.regex import validate_regex
+
+        try:
+            validate_regex(value.lower())
+        except ValueError as e:
+            raise CQLError(f"CQL: {e}") from None
     slot = {_ATTR_TO_SLOT[attr]: value}
     if dist is not None:
         if not 1 <= dist <= 2:

@@ -163,6 +163,10 @@ def slot_search(
     ``slots``: one dict per slot —
         {"term": "foo"}            exact token (case-folded match)
         {"pattern": "f*o?"}        wildcard slot (dictionary-first expansion)
+        {"regex": "jo(in|b)s?"}    REGEX slot: whole-token match on the
+                                   pinned cross-engine regex subset
+                                   (search/regex.py); dictionary-first
+                                   like wildcards
         {"stem": "joins"}          LEMMA slot: matches every token whose
                                    stem equals stem(value) — fastmorph's
                                    lemma-constrained slots [PK-high],
@@ -264,6 +268,19 @@ def slot_search(
                 (F.abs(F.length("term") - F.lit(len(w))) <= d)
                 & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
             )
+            if D is None:
+                m = P.filter(pred)
+            else:
+                cand_terms = D.filter(pred).select("term")
+                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        elif "regex" in s:
+            # REGEX slot: whole-token match against the pinned
+            # cross-engine subset (search/regex.py) — the CWB-style
+            # power wildcards can't write; dictionary-first like
+            # wildcards (RLike codegen over the ~|vocab| dictionary)
+            from fastmorph_spark.search.regex import regex_pred
+
+            pred = regex_pred(s["regex"], case=cs)
             if D is None:
                 m = P.filter(pred)
             else:

@@ -252,6 +252,10 @@ def _slot_pred(s: dict):
         d = int(s.get("dist", 1))
         return (F.abs(F.length("term") - F.lit(len(w))) <= d) \
             & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
+    if "regex" in s:
+        from fastmorph_spark.search.regex import regex_pred
+
+        return regex_pred(s["regex"], case=bool(s.get("case")))
     pat = s["pattern"] if s.get("case") else s["pattern"].lower()
     like = engine.wildcard_pattern_to_like(pat)
     return F.col("term").like(like)
@@ -345,6 +349,11 @@ def _expand_slot_term_groups(
                 (F.abs(F.length("term") - F.lit(len(w))) <= d)
                 & (F.levenshtein(F.col("term"), F.lit(w)) <= d),
             ))
+        elif "regex" in s:
+            from fastmorph_spark.search.regex import regex_pred
+
+            groups.append([])
+            conds[cs].append((i, regex_pred(s["regex"], case=cs)))
         else:
             groups.append([])
             pat = s["pattern"] if cs else s["pattern"].lower()

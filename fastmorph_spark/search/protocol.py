@@ -19,6 +19,8 @@ Request shape (all engine capabilities reachable):
         {"lemma": "running"},            # stem-folded match
         {"tag": "number"},               # token-class slot (tags.py)
         {"fuzzy": "fasst", "dist": 1},   # approximate (edit-distance)
+        {"regex": "jo(in|b)s?"},         # whole-token regex on the
+                                         #   pinned subset (search/regex)
       ],
       "dists": [[1, 4], ...],            # len(slots)-1 [lo, hi] ranges
       "skip": 0, "until": 20,            # pagination window (ranks)
@@ -65,7 +67,7 @@ from pyspark.sql import DataFrame
 # engine slot spec key -> protocol key (the engine uses "term"/"stem";
 # the protocol speaks the reference's vocabulary: word/lemma)
 _SLOT_KEYS = {"word": "term", "pattern": "pattern", "lemma": "stem",
-              "tag": "tag", "fuzzy": "fuzzy"}
+              "tag": "tag", "fuzzy": "fuzzy", "regex": "regex"}
 _MAX_FUZZY_DIST = 2     # fuzzy slot edit-distance bound (expansion stays
                         # dictionary-bounded, but d>2 matches ~everything)
 _MAX_SLOTS = 8          # fastmorph patterns are "up to ~5 slots" [PK]
@@ -269,6 +271,15 @@ def parse_request(req: dict) -> dict:
         if not isinstance(s[kind], str) or not s[kind]:
             raise RequestError(f"slot {i}: {kind} must be a non-empty string")
         out = {_SLOT_KEYS[kind]: s[kind]}
+        if kind == "regex":
+            # validate HERE so a bad pattern is a client-addressable
+            # request error, not an executor-side exception
+            from fastmorph_spark.search.regex import validate_regex
+
+            try:
+                validate_regex(s[kind].lower())
+            except ValueError as e:
+                raise RequestError(f"slot {i}: {e}") from None
         if kind == "fuzzy":
             d = s.get("dist", 1)
             if not isinstance(d, int) or isinstance(d, bool) \
