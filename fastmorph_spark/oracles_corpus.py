@@ -582,3 +582,56 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf WHERE {duckdb_regex_cond('term', pattern)}
 GROUP BY term ORDER BY df DESC, term ASC
 """
+
+
+def freq_spectrum_sql() -> str:
+    """Mirror of search.keyness.freq_spectrum — all-integer, no pins
+    beyond the shared tokenizer."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT unnest({tok}) AS term FROM documents
+),
+per_term AS (SELECT term, count(*)::BIGINT AS freq FROM tok GROUP BY term)
+SELECT freq, count(*)::BIGINT AS n_types
+FROM per_term GROUP BY freq ORDER BY freq
+"""
+
+
+def vocab_growth_sql(points: int = 10) -> str:
+    """Mirror of search.keyness.vocab_growth — same integer bucket
+    formula ((doc_id * points) // N + 1), same first-occurrence type
+    attribution, same empty-bucket grid + cumulative sums."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+per_doc AS (
+  SELECT ((doc_id * {int(points)}) // n.n) + 1 AS bucket,
+         len({tok})::BIGINT AS n_toks
+  FROM documents, n
+),
+b_doc AS (
+  SELECT bucket, count(*)::BIGINT AS _docs, sum(n_toks)::BIGINT AS _tokens
+  FROM per_doc GROUP BY bucket
+),
+first_occ AS (
+  SELECT term, min(doc_id) AS doc_id
+  FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+  GROUP BY term
+),
+b_type AS (
+  SELECT ((doc_id * {int(points)}) // n.n) + 1 AS bucket,
+         count(*)::BIGINT AS _types
+  FROM first_occ, n GROUP BY bucket
+),
+grid AS (SELECT unnest(range(1, {int(points)} + 1))::BIGINT AS bucket)
+SELECT grid.bucket,
+       sum(coalesce(b_doc._docs, 0)) OVER w::BIGINT AS docs,
+       sum(coalesce(b_doc._tokens, 0)) OVER w::BIGINT AS tokens,
+       sum(coalesce(b_type._types, 0)) OVER w::BIGINT AS types
+FROM grid
+LEFT JOIN b_doc USING (bucket)
+LEFT JOIN b_type USING (bucket)
+WINDOW w AS (ORDER BY grid.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY grid.bucket
+"""

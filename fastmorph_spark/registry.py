@@ -1298,13 +1298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 107 keys, the cap casualties are the r04-driver-green
-    tail PLUS the last 7 corpus-extension keys (cql_search,
+    suite. With 109 keys, the cap casualties are the r04-driver-green
+    tail PLUS the last 9 corpus-extension keys (cql_search,
     cql_within_sentence, corpus_summary, collocations_measures,
-    regex_terms, slot_regex_search, slot_regex_packed — added after the
-    50 new-key slots filled; pytest-pinned), and jobs/check_queries.py
-    re-verifies EVERY key locally before the driver run
-    (BENCH/check_all_r05.txt)."""
+    regex_terms, slot_regex_search, slot_regex_packed, freq_spectrum,
+    vocab_growth — added after the 50 new-key slots filled;
+    pytest-pinned), and jobs/check_queries.py re-verifies EVERY key
+    locally before the driver run (BENCH/check_all_r05.txt)."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
@@ -1343,8 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ipm / dispersion), fuzzy matching, facets, sentence scope,
         # concordance sampling (fastmorph_spark/registry_corpus.py)
         **_corpus_ext.QUERIES,
-        # ---------------- 50-key cap lands 7 keys BEFORE the end of the
-        # corpus extension (its last 7 keys are this round's documented
+        # ---------------- 50-key cap lands 9 keys BEFORE the end of the
+        # corpus extension (its last 9 keys are this round's documented
         # cap casualties — see the docstring) ----------------
         # --- (c) r04-green, code paths touched this round + flagships
         "bm25_topk": q_bm25_topk,

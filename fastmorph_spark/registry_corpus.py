@@ -304,6 +304,22 @@ def q_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyness.lexdiv(read_documents(spark, sf_dir), "lang")
 
 
+GROWTH_POINTS = 10
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency spectrum (freq, n_types) — the corpus's Zipfian shape
+    table; spectrum[1] is the hapax count."""
+    return keyness.freq_spectrum(read_documents(spark, sf_dir))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve: cumulative (docs, tokens, types) at 10
+    equal-width doc_id prefixes — the empirical Heaps'-law plot."""
+    return keyness.vocab_growth(read_documents(spark, sf_dir),
+                                points=GROWTH_POINTS)
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus summary card (n_docs / n_tokens / vocab / avgdl) —
     the numbers the serving protocol's {"stats": true} form answers."""
@@ -468,6 +484,8 @@ QUERIES = {
     "regex_terms": q_regex_terms,
     "slot_regex_search": q_slot_regex_search,
     "slot_regex_packed": q_slot_regex_packed,
+    "freq_spectrum": q_freq_spectrum,
+    "vocab_growth": q_vocab_growth,
 }
 
 
@@ -536,4 +554,6 @@ def oracle_sqls() -> dict[str, str]:
         # packed twin shares the corpus-path oracle (must be identical)
         "slot_regex_search": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
         "slot_regex_packed": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
+        "freq_spectrum": oracles_corpus.freq_spectrum_sql(),
+        "vocab_growth": oracles_corpus.vocab_growth_sql(GROWTH_POINTS),
     }

@@ -245,3 +245,89 @@ def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.col("n_docs").cast("double"),
                 SCORE_DECIMALS).alias("avgdl"),
     )
+
+
+def freq_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency spectrum — the (frequency, number of types with exactly
+    that frequency) table under a corpus statistics tab [LIT: Baayen
+    2001, "Word Frequency Distributions": the spectrum is the standard
+    summary of a corpus's Zipfian shape, and spectrum[1] is the hapax
+    count lexdiv reports per group].
+
+    Returns (freq, n_types), every occurring frequency, ascending. All
+    integers — bit-exact across engines, no rounding pins needed.
+
+    Scale shape: one tokenize scan + term-keyed partial-agg groupBy
+    (the A2 dictionary shuffle) + a second groupBy over ~|vocab| rows
+    keyed by count — at most |distinct frequencies| output rows (tiny;
+    Zipf guarantees it)."""
+    per_term = (
+        docs.select(F.explode(tokenize_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        per_term.groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .select(F.col("freq").cast("long").alias("freq"), "n_types")
+        .orderBy("freq")
+    )
+
+
+def vocab_growth(docs: DataFrame, points: int = 10,
+                 text_col: str = "text") -> DataFrame:
+    """Vocabulary growth curve — cumulative (docs, tokens, types) at
+    ``points`` equal-width corpus prefixes in doc_id order: the
+    empirical Heaps'-law curve a corpus statistics tab plots [LIT:
+    Heaps 1978; Baayen 2001 on vocabulary growth]. Relies on the data
+    model's pinned DENSE doc_ids (SURVEY §1.3: dense rank over
+    (repo,path,commit) — ids are 0..N-1 by construction).
+
+    Pinned semantics (mirrored by oracles_corpus.vocab_growth_sql):
+    ``bucket(d) = (doc_id(d) * points) DIV N + 1`` (integer division,
+    N = document count) assigns each doc to one of 1..points; a TYPE
+    counts from the bucket of its FIRST occurrence (min doc_id); row i
+    reports the totals over buckets 1..i. Empty buckets still produce a
+    row (the curve is defined at every checkpoint). All integers —
+    bit-exact, no rounding.
+
+    Scale shape: one tokenize scan feeding (a) per-doc token counts and
+    (b) the term-keyed min(doc_id) partial agg; both reduce to ≤points
+    rows BEFORE the only window (a cumulative sum over the points-row
+    frame — bounded by the argument, not the data). N rides a 1-row
+    broadcast; no global row_number over the corpus."""
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    bucket = (F.expr(f"(doc_id * {int(points)}) DIV _n") + 1).alias("bucket")
+    per_doc = (
+        docs.select("doc_id", F.size(tokenize_expr(text_col)).alias("_toks"))
+        .crossJoin(F.broadcast(n))
+        .select(bucket, "_toks")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_docs"), F.sum("_toks").alias("_tokens"))
+    )
+    first_occ = (
+        docs.select("doc_id", F.explode(tokenize_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(n))
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_types"))
+    )
+    spark = docs.sparkSession
+    grid = spark.range(1, int(points) + 1).select(F.col("id").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_doc, "bucket", "left")
+        .join(first_occ, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("_docs", F.lit(0))).over(w)
+            .cast("long").alias("docs"),
+            F.sum(F.coalesce("_tokens", F.lit(0))).over(w)
+            .cast("long").alias("tokens"),
+            F.sum(F.coalesce("_types", F.lit(0))).over(w)
+            .cast("long").alias("types"),
+        )
+        .orderBy("bucket")
+    )

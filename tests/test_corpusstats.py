@@ -454,3 +454,40 @@ def test_lexdiv_hand_computed(spark):
     assert (r["tokens"], r["types"], r["hapax"]) == (7, 4, 2)
     assert r["ttr"] == round(4 / 7, 6)
     assert r["hapax_ratio"] == round(2 / 7, 6)
+
+
+def test_freq_spectrum_mass_identities(spark, docs):
+    """Σ n_types == vocab and Σ freq·n_types == total tokens — the
+    spectrum is a partition of the vocabulary by frequency; spectrum[1]
+    is the corpus-wide hapax count by definition."""
+    spec = keyness.freq_spectrum(docs).collect()
+    summ = keyness.corpus_summary(docs).collect()[0]
+    assert sum(r["n_types"] for r in spec) == summ["vocab"]
+    assert sum(r["freq"] * r["n_types"] for r in spec) == summ["n_tokens"]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    cnt: dict[str, int] = {}
+    for t in texts:
+        for w in tokenize_py(t):
+            cnt[w] = cnt.get(w, 0) + 1
+    hapax = sum(1 for v in cnt.values() if v == 1)
+    by_freq = {r["freq"]: r["n_types"] for r in spec}
+    assert by_freq.get(1, 0) == hapax
+
+
+def test_vocab_growth_curve_shape(spark, docs):
+    """10 rows always (empty buckets included), all three series
+    monotone non-decreasing, and the LAST row equals the whole-corpus
+    summary card — the curve lands exactly on (N, tokens, vocab)."""
+    rows = keyness.vocab_growth(docs, points=10).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    for col in ("docs", "tokens", "types"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
+    summ = keyness.corpus_summary(docs).collect()[0]
+    last = rows[-1]
+    assert last["docs"] == summ["n_docs"]
+    assert last["tokens"] == summ["n_tokens"]
+    assert last["types"] == summ["vocab"]
+    # growth is concave in expectation under Zipf: the first bucket must
+    # contribute more NEW types than the last (non-vacuous on fixture)
+    assert rows[0]["types"] > rows[-1]["types"] - rows[-2]["types"]
