@@ -312,6 +312,12 @@ def sketch_diff(postings: DataFrame, dictionary: DataFrame,
                       broadcast_target)
     pb = _pmi_profile(postings, dictionary, target_b, window, min_count,
                       broadcast_target)
+    return _sketch_diff_tail(pa, pb, k)
+
+
+def _sketch_diff_tail(pa: DataFrame, pb: DataFrame, k: int) -> DataFrame:
+    """Shared-collocate join + diff ranking — the sketch_diff tail,
+    shared with the packed twin so both carry one pinning."""
     joined = (
         pa.select("term", F.col("cooc").alias("cooc_a"),
                   F.col("pmi").alias("pmi_a"))
@@ -330,6 +336,42 @@ def sketch_diff(postings: DataFrame, dictionary: DataFrame,
         F.round("pmi_b", SCORE_DECIMALS).alias("pmi_b"),
         F.round("diff", SCORE_DECIMALS).alias("diff"),
     )
+
+
+def packed_sketch_diff(index, target_a: str, target_b: str, window: int = 3,
+                       min_count: int = 2, k: int = 20,
+                       scope=None) -> DataFrame:
+    """`sketch_diff` off the PACKED index — the serving path for the
+    `{"sketch_diff": [a, b]}` request form.
+
+    Block selection is metadata-only like packed_collocations, with the
+    UNION of both targets' doc-shard envelopes as the keep set (a
+    correct superset of each side's needs: pair counting only reads
+    neighbor postings inside the respective target's docs, and extra
+    decoded rows can't create pairs). Both PMI profiles run over ONE
+    pinned decode; the tail is byte-identical to the corpus path."""
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search.packed import (
+        _apply_keep,
+        _decode_blocks,
+        _live,
+        pruned_blocks,
+    )
+
+    spark = index.postings.sparkSession
+    tgt_blocks = pruned_blocks(index, [target_a, target_b])
+    if tgt_blocks is None:
+        empty = spark.createDataFrame(
+            [], "term string, cooc long, pmi double")
+        return _sketch_diff_tail(empty, empty, k)
+    keep = tgt_blocks.groupBy("doc_shard").agg(
+        F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+    )
+    blocks = _apply_keep(index.postings, keep)
+    decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
+    pa = _pmi_profile(decoded, index.dictionary, target_a, window, min_count)
+    pb = _pmi_profile(decoded, index.dictionary, target_b, window, min_count)
+    return _sketch_diff_tail(pa, pb, k)
 
 
 def collocations_measures(postings: DataFrame, dictionary: DataFrame,

@@ -44,7 +44,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Seven further request forms share the boundary, all bounded by ``k`` /
+Nine further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND), the collocation profile (``{"collocations": "term",
 "window": 3, "min_count": 2, "k": 20}``), frequency profiles
@@ -55,9 +55,14 @@ paradigm view (``{"paradigm": "joins"}`` — every dictionary form
 sharing the stem), the TEXTUAL query form (``{"cql": '[word="fast"]
 []{0,2} [lemma="join"]'}`` — the CQL-lite dialect of search/cql.py,
 compiled into the slots form with every slots-form option available;
-``... within s`` answers sentence-scoped matches instead), and the
+``... within s`` answers sentence-scoped matches instead), the
 index summary (``{"stats": true}`` — n_docs/avgdl/vocab/Σdf/Σcf from
-metadata alone).
+metadata alone), the distributional thesaurus (``{"thesaurus": "word",
+"window": 3, "min_shared": 2, "k": 20}`` — "similar words" over
+co-occurrence profiles), and the word-sketch diff (``{"sketch_diff":
+["a", "b"], "window": 3, "min_count": 2, "k": 20}`` — shared
+collocates ranked by pmi_a − pmi_b, served off the packed index with
+one union-envelope-bounded decode).
 """
 
 from __future__ import annotations
@@ -95,7 +100,8 @@ def parse_request(req: dict) -> dict:
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
-                         "keyness", "paradigm", "cql", "stats")
+                         "keyness", "paradigm", "cql", "stats",
+                         "thesaurus", "sketch_diff")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -158,6 +164,61 @@ def parse_request(req: dict) -> dict:
         synth["slots"] = proto_slots
         synth["dists"] = [list(d) for d in c["dists"]]
         return parse_request(synth)
+    if "thesaurus" in req:
+        # "similar words" tab: distributional neighbors of one word
+        unknown = set(req) - {"thesaurus", "window", "min_shared", "k",
+                              "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        word = req["thesaurus"]
+        if not isinstance(word, str) or not word:
+            raise RequestError("thesaurus must be a non-empty word")
+        window = req.get("window", 3)
+        if not isinstance(window, int) or isinstance(window, bool) \
+                or not 1 <= window <= 10:
+            raise RequestError("window must be an integer in [1, 10]")
+        min_shared = req.get("min_shared", 2)
+        if not isinstance(min_shared, int) or isinstance(min_shared, bool) \
+                or min_shared < 1:
+            raise RequestError("min_shared must be a positive integer")
+        k = req.get("k", 20)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"thesaurus": word, "window": window,
+                "min_shared": min_shared, "k": k, "lang": lang}
+    if "sketch_diff" in req:
+        # two-word comparison tab: shared collocates ranked by pmi_a-pmi_b
+        unknown = set(req) - {"sketch_diff", "window", "min_count", "k",
+                              "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        pair = req["sketch_diff"]
+        ok = (isinstance(pair, (list, tuple)) and len(pair) == 2
+              and all(isinstance(w, str) and w for w in pair))
+        if not ok:
+            raise RequestError(
+                "sketch_diff must be a pair of non-empty words [a, b]")
+        window = req.get("window", 3)
+        if not isinstance(window, int) or isinstance(window, bool) \
+                or not 1 <= window <= 10:
+            raise RequestError("window must be an integer in [1, 10]")
+        min_count = req.get("min_count", 2)
+        if not isinstance(min_count, int) or isinstance(min_count, bool) \
+                or min_count < 1:
+            raise RequestError("min_count must be a positive integer")
+        k = req.get("k", 20)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"sketch_diff": [pair[0], pair[1]], "window": window,
+                "min_count": min_count, "k": k, "lang": lang}
     if "keyness" in req:
         # corpus-comparison tab: G2 key terms of the `keyness` subcorpus
         unknown = set(req) - {"keyness", "min_count", "k"}
@@ -423,6 +484,12 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                         "postings": 0, "tokens": 0}
             if "within_slots" in p:
                 return {"until": p["until"], "n_results": 0, "results": []}
+            if "thesaurus" in p:
+                return {"target": p["thesaurus"], "k": p["k"],
+                        "results": []}
+            if "sketch_diff" in p:
+                return {"targets": p["sketch_diff"], "k": p["k"],
+                        "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
@@ -497,6 +564,36 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"rank": i + 1, "term": r["term"],
                              "df": int(r["df"]), "cf": int(r["cf"])}
                             for i, r in enumerate(rows)]}
+    if "thesaurus" in p:
+        # "similar words": co-occurrence profiles over the (lang-routed)
+        # document corpus; the target's profile broadcasts
+        from fastmorph_spark.search.thesaurus import thesaurus as _thes
+
+        rows = _thes(documents, p["thesaurus"], window=p["window"],
+                     min_shared=p["min_shared"], k=p["k"]).collect()
+        return {"target": p["thesaurus"], "window": p["window"],
+                "min_shared": p["min_shared"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "term": r["term"],
+                             "shared": int(r["shared"]),
+                             "mass": int(r["mass"]),
+                             "sim": float(r["sim"])} for r in rows]}
+    if "sketch_diff" in p:
+        # two-word comparison off the packed index: ONE decode bounded
+        # by the union of both targets' doc-shard envelopes
+        from fastmorph_spark.search.collocation import packed_sketch_diff
+
+        a, b = p["sketch_diff"]
+        rows = packed_sketch_diff(index, a, b, window=p["window"],
+                                  min_count=p["min_count"], k=p["k"],
+                                  scope=scope).collect()
+        return {"targets": [a, b], "window": p["window"],
+                "min_count": p["min_count"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "term": r["term"],
+                             "cooc_a": int(r["cooc_a"]),
+                             "cooc_b": int(r["cooc_b"]),
+                             "pmi_a": float(r["pmi_a"]),
+                             "pmi_b": float(r["pmi_b"]),
+                             "diff": float(r["diff"])} for r in rows]}
     if "collocations" in p:
         from fastmorph_spark.search.collocation import packed_collocations
 

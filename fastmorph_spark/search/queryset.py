@@ -159,6 +159,15 @@ def run_query(
         from fastmorph_spark.search.facets import facet_counts
 
         return facet_counts(documents, engine.and_search(postings, q))
+    if mode == "cql":
+        # the textual query surface end-to-end: parse the CQL string at
+        # query time (driver-side, bytes not data), run the compiled
+        # slot plan — measures the whole portal path, parser included
+        from fastmorph_spark.search.cql import parse_cql
+
+        c = parse_cql(q)
+        assert not c["within_sentence"], "use a sentence mode for within s"
+        return engine.slot_search(postings, dictionary, c["slots"], c["dists"])
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -225,6 +234,11 @@ def run_query_oracle(spec: dict, oracle) -> list:
         return _oracle_within_sentence(oracle, q)
     if mode == "facets":
         return _oracle_facets(oracle, q)
+    if mode == "cql":
+        from fastmorph_spark.search.cql import parse_cql
+
+        c = parse_cql(q)
+        return oracle.slot_docs(c["slots"], c["dists"])
     raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -218,6 +218,13 @@ def _slot_docs(self, slots: list[dict], dists: list) -> list[tuple[int, int, str
             dmax = int(s.get("dist", 1))
             return lambda tok: (abs(len(tok) - len(w)) <= dmax
                                 and levenshtein(tok, w) <= dmax)
+        if "regex" in s:
+            # Python re is a THIRD independent engine for the pinned
+            # subset (search/regex.py): anchored whole-token, folded
+            import re as _re
+
+            rx = _re.compile("^(?:" + s["regex"].lower() + ")$")
+            return lambda tok: bool(rx.match(tok))
         pat = _wildcard_re(s["pattern"])
         return lambda tok: bool(pat.match(tok))
 

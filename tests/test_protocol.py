@@ -447,3 +447,43 @@ def test_paradigm_request(spark, serving):
     # one-form-only request mixing two forms is rejected
     assert "error" in handle_request(docs, idx,
                                      {"paradigm": "x", "keyness": "en"})
+
+
+def test_thesaurus_request(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx,
+                          {"thesaurus": "fast", "window": 3,
+                           "min_shared": 2, "k": 10})
+    assert "error" not in resp and resp["target"] == "fast"
+    assert resp["results"] and len(resp["results"]) <= 10
+    from fastmorph_spark.search.thesaurus import thesaurus
+
+    want = thesaurus(docs, "fast", 3, 2, 10).collect()
+    assert [(r["rank"], r["term"], r["sim"]) for r in want] == \
+           [(r["rank"], r["term"], r["sim"]) for r in resp["results"]]
+    assert "error" in handle_request(docs, idx, {"thesaurus": ""})
+    assert "error" in handle_request(docs, idx,
+                                     {"thesaurus": "fast", "window": 0})
+    assert "error" in handle_request(docs, idx,
+                                     {"thesaurus": "fast", "dists": []})
+
+
+def test_sketch_diff_request_matches_corpus_path(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx,
+                          {"sketch_diff": ["fast", "slow"], "window": 3,
+                           "min_count": 2, "k": 10})
+    assert "error" not in resp and resp["targets"] == ["fast", "slow"]
+    assert resp["results"], "fixture must produce shared collocates"
+    from fastmorph_spark.index import build_dictionary, build_postings
+    from fastmorph_spark.search.collocation import sketch_diff
+
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    want = sketch_diff(postings, dictionary, "fast", "slow", 3, 2, 10).collect()
+    assert [(r["rank"], r["term"], r["diff"]) for r in want] == \
+           [(r["rank"], r["term"], r["diff"]) for r in resp["results"]]
+    assert "error" in handle_request(docs, idx, {"sketch_diff": ["a"]})
+    assert "error" in handle_request(docs, idx, {"sketch_diff": ["a", ""]})
+    assert "error" in handle_request(docs, idx,
+                                     {"sketch_diff": ["a", "b"], "skip": 1})

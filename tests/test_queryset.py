@@ -71,7 +71,7 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         assert [[r["doc_id"], r["n_terms"], r["total_tf"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "stem":
         assert [[r["doc_id"], r["total_tf"]] for r in rows] == exp, spec["qid"]
-    elif spec["mode"] in ("slot", "slot_packed", "slot_packed_direct"):
+    elif spec["mode"] in ("slot", "slot_packed", "slot_packed_direct", "cql"):
         assert [[r["doc_id"], r["n_matches"], r["match_starts"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "kwic_packed":
         # fully pinned including the concordance text — the oracle holds
