@@ -203,3 +203,19 @@ def test_measures_panel_consistent_with_pmi_profile(spark, tables):
     keys = [(-r["logdice"], r["term"]) for r in panel]
     assert keys == sorted(keys)
     assert [r["rank"] for r in panel] == list(range(1, len(panel) + 1))
+
+
+def test_measures_plan_is_single_pair_join(spark, tables):
+    """collocations_measures adds NO pass over the A8 shape: exactly one
+    join against the (broadcast) target postings drives pair counting;
+    the three measures are expressions (no extra shuffle beyond the term
+    agg + the two 1-row broadcasts)."""
+    from fastmorph_spark.search.collocation import collocations_measures
+
+    _, postings, dictionary = tables
+    plan = collocations_measures(postings, dictionary, TARGET, WINDOW,
+                                 MIN_COUNT, K) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(") >= 1  # the HOF pair-count expr
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+    assert "BatchEvalPython" not in plan

@@ -169,3 +169,17 @@ def test_anchoring_is_whole_token(spark, tables):
     assert anchored("fas") == "^(?:fas)$"
     assert regex_terms(dictionary, "fas").count() == 0
     assert regex_terms(dictionary, "fast").count() == 1
+
+
+def test_regex_slot_plan_shape(spark, tables):
+    """The 100x-scale pins: a regex slot's dictionary expansion resolves
+    to a LeftSemi BROADCAST join into postings (the wildcard-slot shape
+    — vocabulary-sized RLike, never per-posting), and the plan carries
+    the RLike predicate on the dictionary side, not a Python UDF."""
+    _, postings, dictionary = tables
+    df = engine.slot_search(postings, dictionary,
+                            [{"regex": "fast|slow"}], [])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "RLIKE" in plan or "rlike" in plan.lower()
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
