@@ -566,11 +566,24 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                             for i, r in enumerate(rows)]}
     if "thesaurus" in p:
         # "similar words": co-occurrence profiles over the (lang-routed)
-        # document corpus; the target's profile broadcasts
+        # document corpus; the target's profile broadcasts. In a serving
+        # session the PROFILES are the reusable scan state (the at-scale
+        # shape thesaurus(profiles=) exists for): one corpus pair-count
+        # pass serves every thesaurus request of the burst, keyed by
+        # (lang, window); close_session unpersists it like any match set.
+        from fastmorph_spark.search.thesaurus import cooc_profiles
         from fastmorph_spark.search.thesaurus import thesaurus as _thes
 
+        profiles = None
+        if session is not None:
+            pkey = ("thesaurus_profiles", p["lang"], p["window"])
+            profiles = session.get(pkey)
+            if profiles is None:
+                profiles = cooc_profiles(documents, p["window"]).persist()
+                session[pkey] = profiles
         rows = _thes(documents, p["thesaurus"], window=p["window"],
-                     min_shared=p["min_shared"], k=p["k"]).collect()
+                     min_shared=p["min_shared"], k=p["k"],
+                     profiles=profiles).collect()
         return {"target": p["thesaurus"], "window": p["window"],
                 "min_shared": p["min_shared"], "k": p["k"],
                 "results": [{"rank": int(r["rank"]), "term": r["term"],

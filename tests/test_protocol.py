@@ -487,3 +487,27 @@ def test_sketch_diff_request_matches_corpus_path(spark, serving):
     assert "error" in handle_request(docs, idx, {"sketch_diff": ["a", ""]})
     assert "error" in handle_request(docs, idx,
                                      {"sketch_diff": ["a", "b"], "skip": 1})
+
+
+def test_thesaurus_session_reuses_profiles(spark, serving):
+    """A serving session scans the corpus for co-occurrence profiles
+    ONCE per (lang, window): the second thesaurus request reuses the
+    persisted frame (identical answers), and close_session frees it."""
+    from fastmorph_spark.search.protocol import close_session
+
+    docs, idx = serving
+    session: dict = {}
+    r1 = handle_request(docs, idx, {"thesaurus": "fast", "k": 5},
+                        session=session)
+    keys = [k for k in session if k[0] == "thesaurus_profiles"]
+    assert len(keys) == 1
+    prof = session[keys[0]]
+    assert prof.storageLevel.useMemory or prof.storageLevel.useDisk
+    r2 = handle_request(docs, idx, {"thesaurus": "slow", "k": 5},
+                        session=session)
+    assert [k for k in session if k[0] == "thesaurus_profiles"] == keys
+    # same answers as the session-less path (profiles change nothing)
+    assert r1 == handle_request(docs, idx, {"thesaurus": "fast", "k": 5})
+    assert r2 == handle_request(docs, idx, {"thesaurus": "slow", "k": 5})
+    close_session(session)
+    assert not session and prof.storageLevel.useMemory is False
