@@ -44,7 +44,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Nine further request forms share the boundary, all bounded by ``k`` /
+Ten further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND), the collocation profile (``{"collocations": "term",
 "window": 3, "min_count": 2, "k": 20}``), frequency profiles
@@ -62,7 +62,9 @@ metadata alone), the distributional thesaurus (``{"thesaurus": "word",
 co-occurrence profiles), and the word-sketch diff (``{"sketch_diff":
 ["a", "b"], "window": 3, "min_count": 2, "k": 20}`` — shared
 collocates ranked by pmi_a − pmi_b, served off the packed index with
-one union-envelope-bounded decode).
+one union-envelope-bounded decode), and the did-you-mean box
+(``{"suggest": "fasst", "dist": 1, "k": 10}`` — dictionary terms near
+the probe, (dist ASC, df DESC), metadata only).
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ def parse_request(req: dict) -> dict:
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
-                         "thesaurus", "sketch_diff")
+                         "thesaurus", "sketch_diff", "suggest")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -164,6 +166,28 @@ def parse_request(req: dict) -> dict:
         synth["slots"] = proto_slots
         synth["dists"] = [list(d) for d in c["dists"]]
         return parse_request(synth)
+    if "suggest" in req:
+        # did-you-mean box: dictionary terms near the (possibly
+        # mistyped) probe — metadata only, no decode, no corpus scan
+        unknown = set(req) - {"suggest", "dist", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        word = req["suggest"]
+        if not isinstance(word, str) or not word.strip():
+            raise RequestError("suggest must be a non-empty word")
+        d = req.get("dist", 1)
+        if not isinstance(d, int) or isinstance(d, bool) \
+                or not 1 <= d <= _MAX_FUZZY_DIST:
+            raise RequestError(
+                f"dist must be an integer in [1, {_MAX_FUZZY_DIST}]")
+        k = req.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"suggest": word, "dist": d, "k": k, "lang": lang}
     if "thesaurus" in req:
         # "similar words" tab: distributional neighbors of one word
         unknown = set(req) - {"thesaurus", "window", "min_shared", "k",
@@ -487,6 +511,9 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "thesaurus" in p:
                 return {"target": p["thesaurus"], "k": p["k"],
                         "results": []}
+            if "suggest" in p:
+                return {"word": p["suggest"], "dist": p["dist"],
+                        "k": p["k"], "results": []}
             if "sketch_diff" in p:
                 return {"targets": p["sketch_diff"], "k": p["k"],
                         "results": []}
@@ -564,6 +591,17 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"rank": i + 1, "term": r["term"],
                              "df": int(r["df"]), "cf": int(r["cf"])}
                             for i, r in enumerate(rows)]}
+    if "suggest" in p:
+        # did-you-mean: length-band + levenshtein over the ~|vocab|-row
+        # dictionary, (dist ASC, df DESC) — the ranking a portal's
+        # suggestion box wants (closest first, then commonest)
+        from fastmorph_spark.search.fuzzy import fuzzy_terms
+
+        rows = fuzzy_terms(index.dictionary, p["suggest"],
+                           max_dist=p["dist"], k=p["k"]).collect()
+        return {"word": p["suggest"], "dist": p["dist"], "k": p["k"],
+                "results": [{"term": r["term"], "df": int(r["df"]),
+                             "dist": int(r["dist"])} for r in rows]}
     if "thesaurus" in p:
         # "similar words": co-occurrence profiles over the (lang-routed)
         # document corpus; the target's profile broadcasts. In a serving

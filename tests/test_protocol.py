@@ -511,3 +511,24 @@ def test_thesaurus_session_reuses_profiles(spark, serving):
     assert r2 == handle_request(docs, idx, {"thesaurus": "slow", "k": 5})
     close_session(session)
     assert not session and prof.storageLevel.useMemory is False
+
+
+def test_suggest_request(spark, serving):
+    """Did-you-mean off dictionary metadata: matches fuzzy_terms
+    (dist ASC, df DESC, term ASC), dist=0 probe included when present,
+    bad fields are client-addressable errors."""
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"suggest": "fasst", "dist": 1, "k": 5})
+    assert "error" not in resp and resp["word"] == "fasst"
+    assert resp["results"], "fixture vocabulary holds 'fast' at dist 1"
+    from fastmorph_spark.search.fuzzy import fuzzy_terms
+
+    want = fuzzy_terms(idx.dictionary, "fasst", 1, 5).collect()
+    assert [(r["term"], r["df"], r["dist"]) for r in want] == \
+           [(r["term"], r["df"], r["dist"]) for r in resp["results"]]
+    assert resp["results"][0]["term"] == "fast"
+    assert "error" in handle_request(docs, idx, {"suggest": "  "})
+    assert "error" in handle_request(docs, idx, {"suggest": "x", "dist": 9})
+    assert "error" in handle_request(docs, idx, {"suggest": "x", "until": 5})
+    assert "error" in handle_request(docs, idx,
+                                     {"suggest": "x", "thesaurus": "y"})
