@@ -15,7 +15,11 @@ than document a minefield, `validate_regex` pins a SUBSET on which the
 engines are semantically identical, and everything else is a
 client-addressable error:
 
-  allowed   literals ``A-Za-z0-9_`` (the token alphabet), ``.``,
+  allowed   literals: any Unicode letter or digit plus ``_`` (the
+            union of the ASCII and uni tokenizers' alphabets — a
+            literal codepoint matches itself identically in Java regex
+            and RE2, so Cyrillic-corpus queries like ``йорт(лар)?``
+            are in the subset), ``.``,
             quantifiers ``* + ?`` and bounded ``{m}`` / ``{m,n}``,
             alternation ``|``, plain groups ``( )``, character classes
             ``[abc]`` / ``[a-z0-9]`` / negated ``[^...]`` with literal
@@ -44,12 +48,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_LITERALS = frozenset(
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 # atoms a quantifier may follow: a literal, `.`, a closed class/group,
 # or another closed quantifier (Java and RE2 both allow e.g. `a{2}?` as
 # reluctant — reject quantifier-after-quantifier to stay unambiguous)
 _QUANTS = frozenset("*+?")
+
+
+def _is_literal(ch: str) -> bool:
+    """A self-matching literal codepoint: Unicode letter/digit or `_` —
+    the token alphabets of both tokenizer contracts. Literal-codepoint
+    equality is dialect-independent (no metacharacter among them)."""
+    return ch == "_" or ch.isalnum()
 
 
 def validate_regex(pat: str) -> str:
@@ -63,7 +72,7 @@ def validate_regex(pat: str) -> str:
     i, n = 0, len(pat)
     while i < n:
         ch = pat[i]
-        if ch in _LITERALS:
+        if _is_literal(ch):
             prev_atom = True
         elif ch == ".":
             prev_atom = True
@@ -114,7 +123,7 @@ def validate_regex(pat: str) -> str:
             body_start = j
             while j < n and pat[j] != "]":
                 cj = pat[j]
-                if cj in _LITERALS or cj == "-":
+                if _is_literal(cj) or cj == "-":
                     j += 1
                 else:
                     raise ValueError(
