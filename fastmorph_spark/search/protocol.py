@@ -30,6 +30,9 @@ Request shape (all engine capabilities reachable):
       "lang": "en",                      # subcorpus filter (optional)
       "format": "snippets",              # or "kwic": aligned concordance
                                          #   columns instead of snippets
+      "sort": "right",                   # kwic only: right-/left-sorted
+                                         #   concordance page (flat lines,
+                                         #   ranks of the SORTED order)
       "facets": true,                    # optional: response gains
     }                                    #   per-lang/source match counts
 
@@ -92,13 +95,9 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Six request forms behind one boundary: a slot-pattern request
-    ({"slots": ...}); a ranked request ({"bm25": "query text", "k": 10})
-    — the contract's BM25 top-k surface; an analysis request
-    ({"collocations": "term", "window": 3, "min_count": 2, "k": 20}),
-    the PMI collocation profile (search/collocation.py); and a frequency
-    profile ({"top_terms": 100, "pattern": "s*"?}) served from
-    dictionary metadata alone."""
+    Eleven request forms behind one boundary (module docstring): slots
+    (incl. format/sort/facets options), bm25, collocations, top_terms,
+    keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
@@ -327,7 +326,7 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"bm25": q, "k": k, "lang": lang}
     unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang",
-                          "format", "facets"}
+                          "format", "facets", "sort"}
     if unknown:
         raise RequestError(f"unknown request fields: {sorted(unknown)}")
     facets = req.get("facets", False)
@@ -336,6 +335,17 @@ def parse_request(req: dict) -> dict:
     fmt = req.get("format", "snippets")
     if fmt not in ("snippets", "kwic"):
         raise RequestError("format must be 'snippets' or 'kwic'")
+    sort = req.get("sort")
+    if sort is not None:
+        # the concordancer's sort buttons: only meaningful on kwic lines
+        if sort not in ("right", "left"):
+            raise RequestError("sort must be 'right' or 'left'")
+        if fmt != "kwic":
+            raise RequestError("sort requires format='kwic'")
+        if facets:
+            raise RequestError(
+                "sort and facets cannot combine (sorted view is a flat "
+                "line page; request facets from the unsorted view)")
     raw_slots = req.get("slots")
     if not isinstance(raw_slots, list) or not raw_slots:
         raise RequestError("slots must be a non-empty list")
@@ -411,7 +421,8 @@ def parse_request(req: dict) -> dict:
     if lang is not None and (not isinstance(lang, str) or not lang):
         raise RequestError("lang must be a non-empty string")
     return {"slots": slots, "dists": dists, "skip": skip, "until": until,
-            "width": width, "lang": lang, "format": fmt, "facets": facets}
+            "width": width, "lang": lang, "format": fmt, "facets": facets,
+            "sort": sort}
 
 
 def _serialize(rows: list, skip: int, until: int,
@@ -664,6 +675,38 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         return {"query": p["bm25"], "k": p["k"],
                 "results": [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                              "score": float(r["score"])} for r in rows]}
+    if p.get("sort"):
+        # sorted concordance page: the match set (session-shared when a
+        # continuation session exists — sort is ASSEMBLY, same class as
+        # format/width) feeds kwic_sorted's TakeOrderedAndProject page;
+        # ranks (skip, until] of the sorted order come back flat
+        from fastmorph_spark.search.engine import kwic_sorted
+        from fastmorph_spark.search.packed import packed_request_matches
+
+        try:
+            if session is not None:
+                key = _continuation_key(p, index)
+                m = session.get(key)
+                if m is None:
+                    m = packed_request_matches(index, p["slots"], p["dists"])
+                    session[key] = m
+            else:
+                m = packed_request_matches(index, p["slots"], p["dists"],
+                                           scope=scope)
+            lines = kwic_sorted(documents, m, len(p["slots"]),
+                                width=p["width"], by=p["sort"],
+                                n=p["until"]).collect()
+        except ValueError as e:
+            return {"error": str(e)}
+        rows = [r for r in lines if r["rank"] > p["skip"]]
+        return {"sort": p["sort"], "skip": p["skip"], "until": p["until"],
+                "n_lines": len(rows),
+                "results": [{"rank": int(r["rank"]),
+                             "doc_id": int(r["doc_id"]),
+                             "pos": int(r["pos"]),
+                             "left_ctx": r["left_ctx"],
+                             "keyword": r["keyword"],
+                             "right_ctx": r["right_ctx"]} for r in rows]}
     try:
         facet_src = None
         if session is None and p.get("facets"):

