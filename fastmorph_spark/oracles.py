@@ -194,6 +194,40 @@ ORDER BY a.doc_id
 TOK_CS = "list_filter(regexp_split_to_array({col}, '[^A-Za-z0-9_]+'), x -> x <> '')"
 
 
+def _slot_cond(s: dict) -> str:
+    """DuckDB predicate for ONE slot spec over the pos CTE's (term,
+    term_cs) columns — the SQL mirror of engine.slot_postings, shared by
+    slot_search_sql and the concordance context-filter oracle."""
+    cs = bool(s.get("case"))
+    col = "term_cs" if cs else "term"
+    if "term" in s:
+        t = s["term"] if cs else s["term"].lower()
+        return f"{col} = '{t}'"
+    if "stem" in s:
+        from fastmorph_spark.stem import duckdb_stem, stem_py
+
+        assert not cs, "stem slots are case-folded by definition"
+        return f"{duckdb_stem(col)} = '{stem_py(s['stem'].lower())}'"
+    if "tag" in s:
+        from fastmorph_spark.tags import duckdb_tag
+
+        assert not cs, "tag slots are case-folded by definition"
+        return f"{duckdb_tag(col)} = '{s['tag']}'"
+    if "fuzzy" in s:
+        assert not cs, "fuzzy slots are case-folded by definition"
+        w = tokenize_py(s["fuzzy"])[0]
+        d = int(s.get("dist", 1))
+        return (f"(abs(length({col}) - {len(w)}) <= {d} "
+                f"AND levenshtein({col}, '{w}') <= {d})")
+    if "regex" in s:
+        from fastmorph_spark.search.regex import duckdb_regex_cond
+
+        return duckdb_regex_cond(col, s["regex"], case=cs)
+    pat = s["pattern"] if cs else s["pattern"].lower()
+    like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+    return f"{col} LIKE '{like}' ESCAPE '\\'"
+
+
 def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: str = "text",
                     lang: str | None = None, tok_fragment: str | None = None,
                     tok_cs_fragment: str | None = None,
@@ -204,36 +238,7 @@ def slot_search_sql(slots: list[dict], dists: list[tuple[int, int]], text_expr: 
     (identical boundaries under ASCII), so one parallel unnest zips both."""
     n = len(slots)
     assert n >= 1 and len(dists) == n - 1
-
-    def cond(s: dict) -> str:
-        cs = bool(s.get("case"))
-        col = "term_cs" if cs else "term"
-        if "term" in s:
-            t = s["term"] if cs else s["term"].lower()
-            return f"{col} = '{t}'"
-        if "stem" in s:
-            from fastmorph_spark.stem import duckdb_stem, stem_py
-
-            assert not cs, "stem slots are case-folded by definition"
-            return f"{duckdb_stem(col)} = '{stem_py(s['stem'].lower())}'"
-        if "tag" in s:
-            from fastmorph_spark.tags import duckdb_tag
-
-            assert not cs, "tag slots are case-folded by definition"
-            return f"{duckdb_tag(col)} = '{s['tag']}'"
-        if "fuzzy" in s:
-            assert not cs, "fuzzy slots are case-folded by definition"
-            w = tokenize_py(s["fuzzy"])[0]
-            d = int(s.get("dist", 1))
-            return (f"(abs(length({col}) - {len(w)}) <= {d} "
-                    f"AND levenshtein({col}, '{w}') <= {d})")
-        if "regex" in s:
-            from fastmorph_spark.search.regex import duckdb_regex_cond
-
-            return duckdb_regex_cond(col, s["regex"], case=cs)
-        pat = s["pattern"] if cs else s["pattern"].lower()
-        like = pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
-        return f"{col} LIKE '{like}' ESCAPE '\\'"
+    cond = _slot_cond
 
     slot_ctes = ",\n".join(
         f"s{i} AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps FROM pos "
@@ -495,4 +500,88 @@ SELECT row_number() OVER (ORDER BY pmi DESC, term ASC) AS rank,
 FROM scored
 ORDER BY pmi DESC, term ASC
 LIMIT {k}
+"""
+
+
+def filter_context_sql(slots: list[dict], dists: list[tuple[int, int]],
+                       filt: dict, window: tuple[int, int],
+                       mode: str = "positive", lang: str | None = None) -> str:
+    """Mirror of confilter.filter_context over slot_search_sql's result:
+    a match start p survives a positive filter iff some occurrence q of
+    the filter slot has q - p in [lo, hi]; negative iff none does. Docs
+    without the filter pattern keep all (negative) / lose all (positive)
+    matches via the LEFT JOIN's NULL fps."""
+    base = slot_search_sql(slots, dists, lang=lang)
+    lo, hi = int(window[0]), int(window[1])
+    fcond = _slot_cond(filt)
+    where = f" WHERE lang = '{lang}'" if lang else ""
+    tok = TOK.format(col="text")
+    tok_cs = TOK_CS.format(col="text")
+    inwin = f"len(list_filter(fps, q -> q - p >= {lo} AND q - p <= {hi})) > 0"
+    keep = (f"fps IS NOT NULL AND {inwin}" if mode == "positive"
+            else f"(fps IS NULL OR NOT ({inwin}))")
+    return f"""
+WITH base AS (SELECT * FROM ({base}) _b),
+docs AS (SELECT doc_id, text FROM documents{where}),
+tokarr AS (SELECT doc_id, {tok} AS toks, {tok_cs} AS toks_cs FROM docs),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
+         unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+),
+fs AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS fps FROM pos
+       WHERE {fcond} GROUP BY doc_id),
+st AS (SELECT doc_id,
+              list_transform(string_split(match_starts, ','), x -> x::INT) AS starts
+       FROM base),
+flt AS (
+  SELECT st.doc_id,
+         list_sort(list_filter(starts, p -> {keep})) AS starts
+  FROM st LEFT JOIN fs USING (doc_id)
+)
+SELECT doc_id, len(starts)::BIGINT AS n_matches,
+       array_to_string(starts, ',') AS match_starts
+FROM flt WHERE len(starts) > 0 ORDER BY doc_id
+"""
+
+
+def conc_freq_node_sql(slots: list[dict], dists: list[tuple[int, int]],
+                       match_len: int | None = None, k: int = 100,
+                       lang: str | None = None) -> str:
+    """Mirror of confilter.conc_freq_node: breakdown of the concordance by
+    matched node form (the match_len tokens at each start position)."""
+    base = slot_search_sql(slots, dists, lang=lang)
+    ml = len(slots) if match_len is None else int(match_len)
+    where = f" WHERE lang = '{lang}'" if lang else ""
+    tok = TOK.format(col="text")
+    return f"""
+WITH base AS (SELECT * FROM ({base}) _b),
+docs AS (SELECT doc_id, text FROM documents{where}),
+tokarr AS (SELECT doc_id, {tok} AS toks FROM docs),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(match_starts, ','), x -> x::INT)) AS pos
+  FROM base
+),
+kw AS (
+  SELECT occ.doc_id,
+         array_to_string(toks[pos + 1 : pos + {ml}], ' ') AS keyword
+  FROM occ JOIN tokarr USING (doc_id)
+)
+SELECT keyword, count(*)::BIGINT AS n_occ, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM kw GROUP BY keyword ORDER BY n_occ DESC, keyword ASC LIMIT {k}
+"""
+
+
+def conc_freq_attr_sql(slots: list[dict], dists: list[tuple[int, int]],
+                       attr: str = "lang", lang: str | None = None) -> str:
+    """Mirror of confilter.conc_freq_attr: text-type distribution of a
+    concordance over a document attribute."""
+    base = slot_search_sql(slots, dists, lang=lang)
+    return f"""
+WITH base AS (SELECT * FROM ({base}) _b)
+SELECT d.{attr} AS {attr}, sum(base.n_matches)::BIGINT AS n_occ,
+       count(*)::BIGINT AS n_docs
+FROM base JOIN documents d USING (doc_id)
+GROUP BY d.{attr} ORDER BY n_occ DESC, {attr} ASC
 """

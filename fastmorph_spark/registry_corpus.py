@@ -455,7 +455,90 @@ def q_sketch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                        COLLOC_WINDOW, COLLOC_MIN, COLLOC_K)
 
 
+# --- concordance context filters + frequency breakdown (round 5, wave 4)
+# window (-5, 5): "within 5 tokens either side of the match start" — the
+# portal's default filter range; the node itself is a single token here so
+# offset 0 is the node position (a self-hit is impossible: the filter term
+# differs from the node term in the fixture)
+CONF_SLOTS = [{"term": "fast"}]
+CONF_DISTS: list = []
+CONF_FILTER = {"term": "join"}
+CONF_WINDOW = (-5, 5)
+FREQNODE_SLOTS = [{"pattern": "s*"}]
+FREQNODE_K = 50
+CONF_ATTR = "lang"
+
+
+def q_conc_filter_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive concordance filter: keep 'fast' matches only where 'join'
+    occurs within +-5 tokens — the CQP/Sketch-Engine 'positive filter'
+    operation ON a result set [PK-high: every concordancer in the
+    fastmorph family offers it]."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search import confilter
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, CONF_SLOTS, CONF_DISTS)
+    return confilter.filter_context(m, postings, dictionary, CONF_FILTER,
+                                    CONF_WINDOW, "positive")
+
+
+def q_conc_filter_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative twin: keep 'fast' matches only where 'join' does NOT occur
+    within +-5 tokens. positive ∪ negative partitions the unfiltered match
+    starts (pinned by test_confilter)."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search import confilter
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, CONF_SLOTS, CONF_DISTS)
+    return confilter.filter_context(m, postings, dictionary, CONF_FILTER,
+                                    CONF_WINDOW, "negative")
+
+
+def q_conc_filter_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conc_filter_positive through the packed index: ONE pruned decode
+    covers the node slot AND the filter pattern. Shares the corpus-path
+    oracle (result-identical)."""
+    from fastmorph_spark.registry import _packed_index
+    from fastmorph_spark.search.confilter import packed_filter_context
+
+    return packed_filter_context(_packed_index(spark, sf_dir), CONF_SLOTS,
+                                 CONF_DISTS, CONF_FILTER, CONF_WINDOW,
+                                 "positive")
+
+
+def q_conc_freq_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency breakdown of a wildcard concordance by NODE FORM: which
+    h-words matched, with occurrence + document counts — the portal's
+    'Frequency > node forms' tab."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search import confilter
+
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, FREQNODE_SLOTS, [])
+    return confilter.conc_freq_node(m, docs, match_len=1, k=FREQNODE_K)
+
+
+def q_conc_freq_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-type distribution of a concordance over the lang attribute —
+    occurrences + matched docs per subcorpus, never re-reading text."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search import confilter
+
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, CONF_SLOTS, CONF_DISTS)
+    return confilter.conc_freq_attr(m, docs, CONF_ATTR)
+
+
 QUERIES = {
+    # wave-4 conc-filter/freq keys lead the extension so they land inside
+    # the driver's 50-key window (new keys earn driver-green rows first)
+    "conc_filter_positive": q_conc_filter_positive,
+    "conc_filter_negative": q_conc_filter_negative,
+    "conc_filter_packed": q_conc_filter_packed,
+    "conc_freq_node": q_conc_freq_node,
+    "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
     "term_profile": q_term_profile,
     "dispersion": q_dispersion,
@@ -504,7 +587,18 @@ def oracle_sqls() -> dict[str, str]:
     terms = tokenize_py(PHRASE_QUERY)
     slots = [{"term": t} for t in terms]
     dists = [(1, 1)] * (len(terms) - 1)
+    _conf_pos = oracles.filter_context_sql(
+        CONF_SLOTS, CONF_DISTS, CONF_FILTER, CONF_WINDOW, "positive")
     return {
+        "conc_filter_positive": _conf_pos,
+        "conc_filter_negative": oracles.filter_context_sql(
+            CONF_SLOTS, CONF_DISTS, CONF_FILTER, CONF_WINDOW, "negative"),
+        # packed twin must be result-identical to the corpus path
+        "conc_filter_packed": _conf_pos,
+        "conc_freq_node": oracles.conc_freq_node_sql(
+            FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
+        "conc_freq_lang": oracles.conc_freq_attr_sql(
+            CONF_SLOTS, CONF_DISTS, CONF_ATTR),
         "keyness": oracles_corpus.keyness_sql(
             KEYNESS_FOCUS, KEYNESS_MIN, KEYNESS_K),
         "term_profile": oracles_corpus.term_profile_sql(PROFILE_TERMS),

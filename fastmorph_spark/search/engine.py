@@ -148,6 +148,92 @@ def proximity_search(
     return cand.filter(pred).select("doc_id").orderBy("doc_id")
 
 
+def slot_postings(
+    postings: DataFrame,
+    dictionary: DataFrame | None,
+    s: dict,
+    postings_cs: DataFrame | None = None,
+    dictionary_cs: DataFrame | None = None,
+) -> DataFrame:
+    """Postings rows matching ONE slot spec (the per-slot expansion shared
+    by `slot_search` and the concordance context filter,
+    fastmorph_spark.search.confilter).
+
+    Dictionary-first expansion (broadcast semi-join) is the default: the
+    stem/like/regex predicate then runs over the ~|vocab|-row dictionary,
+    never per-posting. dictionary=None switches to DIRECT predicates on
+    the postings' term column — only correct/cheap when the postings are
+    already pruned to candidate terms (the packed decode path, where a
+    huge wildcard expansion must not be collected or broadcast)."""
+    cs = bool(s.get("case"))
+    P = postings_cs if cs else postings
+    D = dictionary_cs if cs else dictionary
+    if cs and P is None:
+        raise ValueError("case-sensitive slot needs postings_cs")
+    if "term" in s:
+        t = s["term"] if cs else s["term"].lower()
+        return P.filter(F.col("term") == t)
+    if "stem" in s:
+        from fastmorph_spark.stem import stem_expr, stem_py
+
+        if cs:
+            raise ValueError("stem slots are case-folded by definition")
+        target = stem_py(s["stem"].lower())
+        if D is None:
+            return P.filter(stem_expr(F.col("term")) == target)
+        cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
+        return P.join(F.broadcast(cand_terms), "term", "left_semi")
+    if "tag" in s:
+        from fastmorph_spark.tags import TAG_CLASSES, tag_expr
+
+        if cs:
+            raise ValueError("tag slots are case-folded by definition")
+        if s["tag"] not in TAG_CLASSES:
+            raise ValueError(f"unknown tag class {s['tag']!r}")
+        if D is None:
+            return P.filter(tag_expr(F.col("term")) == s["tag"])
+        cand_terms = D.filter(tag_expr(F.col("term")) == s["tag"]).select("term")
+        return P.join(F.broadcast(cand_terms), "term", "left_semi")
+    if "fuzzy" in s:
+        # FUZZY slot: matches every token within `dist` Levenshtein
+        # edits of the (folded) probe — approximate matching inside
+        # multi-slot patterns; expanded dictionary-first like stems
+        # (the |len| band + levenshtein run over the ~|vocab|
+        # dictionary, JVM codegen, never per-posting)
+        from fastmorph_spark.search.fuzzy import _fold_probe
+
+        if cs:
+            raise ValueError("fuzzy slots are case-folded by definition")
+        w = _fold_probe(s["fuzzy"])
+        d = int(s.get("dist", 1))
+        pred = (
+            (F.abs(F.length("term") - F.lit(len(w))) <= d)
+            & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
+        )
+        if D is None:
+            return P.filter(pred)
+        cand_terms = D.filter(pred).select("term")
+        return P.join(F.broadcast(cand_terms), "term", "left_semi")
+    if "regex" in s:
+        # REGEX slot: whole-token match against the pinned
+        # cross-engine subset (search/regex.py) — the CWB-style
+        # power wildcards can't write; dictionary-first like
+        # wildcards (RLike codegen over the ~|vocab| dictionary)
+        from fastmorph_spark.search.regex import regex_pred
+
+        pred = regex_pred(s["regex"], case=cs)
+        if D is None:
+            return P.filter(pred)
+        cand_terms = D.filter(pred).select("term")
+        return P.join(F.broadcast(cand_terms), "term", "left_semi")
+    pat = s["pattern"] if cs else s["pattern"].lower()
+    like = wildcard_pattern_to_like(pat)
+    if D is None:
+        return P.filter(F.col("term").like(like))
+    cand_terms = D.filter(F.col("term").like(like)).select("term")
+    return P.join(F.broadcast(cand_terms), "term", "left_semi")
+
+
 def slot_search(
     postings: DataFrame,
     dictionary: DataFrame,
@@ -215,85 +301,8 @@ def slot_search(
     assert n >= 1 and len(dists) == n - 1
     parts = []
     for i, s in enumerate(slots):
-        cs = bool(s.get("case"))
-        P = postings_cs if cs else postings
-        D = dictionary_cs if cs else dictionary
-        if cs and P is None:
-            raise ValueError("case-sensitive slot needs postings_cs")
-        # dictionary-first expansion (broadcast semi-join) is the default:
-        # the stem/like predicate then runs over the ~|vocab|-row
-        # dictionary, never per-posting. D=None switches to DIRECT
-        # predicates on P's term column — only correct/cheap when P is
-        # already pruned to candidate terms (the packed decode path, where
-        # a huge wildcard expansion must not be collected or broadcast).
-        if "term" in s:
-            t = s["term"] if cs else s["term"].lower()
-            m = P.filter(F.col("term") == t)
-        elif "stem" in s:
-            from fastmorph_spark.stem import stem_expr, stem_py
-
-            if cs:
-                raise ValueError("stem slots are case-folded by definition")
-            target = stem_py(s["stem"].lower())
-            if D is None:
-                m = P.filter(stem_expr(F.col("term")) == target)
-            else:
-                cand_terms = D.filter(stem_expr(F.col("term")) == target).select("term")
-                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
-        elif "tag" in s:
-            from fastmorph_spark.tags import TAG_CLASSES, tag_expr
-
-            if cs:
-                raise ValueError("tag slots are case-folded by definition")
-            if s["tag"] not in TAG_CLASSES:
-                raise ValueError(f"unknown tag class {s['tag']!r}")
-            if D is None:
-                m = P.filter(tag_expr(F.col("term")) == s["tag"])
-            else:
-                cand_terms = D.filter(tag_expr(F.col("term")) == s["tag"]).select("term")
-                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
-        elif "fuzzy" in s:
-            # FUZZY slot: matches every token within `dist` Levenshtein
-            # edits of the (folded) probe — approximate matching inside
-            # multi-slot patterns; expanded dictionary-first like stems
-            # (the |len| band + levenshtein run over the ~|vocab|
-            # dictionary, JVM codegen, never per-posting)
-            from fastmorph_spark.search.fuzzy import _fold_probe
-
-            if cs:
-                raise ValueError("fuzzy slots are case-folded by definition")
-            w = _fold_probe(s["fuzzy"])
-            d = int(s.get("dist", 1))
-            pred = (
-                (F.abs(F.length("term") - F.lit(len(w))) <= d)
-                & (F.levenshtein(F.col("term"), F.lit(w)) <= d)
-            )
-            if D is None:
-                m = P.filter(pred)
-            else:
-                cand_terms = D.filter(pred).select("term")
-                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
-        elif "regex" in s:
-            # REGEX slot: whole-token match against the pinned
-            # cross-engine subset (search/regex.py) — the CWB-style
-            # power wildcards can't write; dictionary-first like
-            # wildcards (RLike codegen over the ~|vocab| dictionary)
-            from fastmorph_spark.search.regex import regex_pred
-
-            pred = regex_pred(s["regex"], case=cs)
-            if D is None:
-                m = P.filter(pred)
-            else:
-                cand_terms = D.filter(pred).select("term")
-                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
-        else:
-            pat = s["pattern"] if cs else s["pattern"].lower()
-            like = wildcard_pattern_to_like(pat)
-            if D is None:
-                m = P.filter(F.col("term").like(like))
-            else:
-                cand_terms = D.filter(F.col("term").like(like)).select("term")
-                m = P.join(F.broadcast(cand_terms), "term", "left_semi")
+        m = slot_postings(postings, dictionary, s,
+                          postings_cs=postings_cs, dictionary_cs=dictionary_cs)
         parts.append(m.select("doc_id", F.lit(i).alias("slot"), "positions"))
     matched = reduce(DataFrame.unionByName, parts)
     per_slot = matched.groupBy("doc_id", "slot").agg(

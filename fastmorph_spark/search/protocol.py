@@ -34,7 +34,17 @@ Request shape (all engine capabilities reachable):
                                          #   concordance page (flat lines,
                                          #   ranks of the SORTED order)
       "facets": true,                    # optional: response gains
-    }                                    #   per-lang/source match counts
+                                         #   per-lang/source match counts
+      "filter": {                        # optional CONTEXT FILTER on the
+        "slot": {"word": "join"},        #   result set (any slot spec):
+        "window": [-5, 5],               #   keep matches that DO
+        "mode": "positive",              #   ("positive") / do NOT
+      },                                 #   ("negative") have it nearby
+      "freq": "node",                    # optional: answer the FREQUENCY
+      "k": 50,                           #   BREAKDOWN of the (filtered)
+    }                                    #   concordance instead of a
+                                         #   page: by node form or by a
+                                         #   doc attribute (lang/source)
 
 Response shape (one entry per page doc, occurrences nested in corpus
 order — the sentences/highlights/totals surface):
@@ -86,6 +96,48 @@ _MAX_UNTIL = 10_000     # pagination window cap: the page is collected
 
 class RequestError(ValueError):
     """Malformed search request; .message is safe to serialize back."""
+
+
+def _parse_slot(s, label: str) -> dict:
+    """Validate ONE protocol slot spec -> engine slot spec (shared by the
+    slots list and the concordance filter's pattern)."""
+    if not isinstance(s, dict):
+        raise RequestError(f"{label} must be an object")
+    kinds = [k for k in _SLOT_KEYS if k in s]
+    if len(kinds) != 1:
+        raise RequestError(
+            f"{label} needs exactly one of {sorted(_SLOT_KEYS)}")
+    kind = kinds[0]
+    extra = set(s) - {kind, "case"} - ({"dist"} if kind == "fuzzy" else set())
+    if extra:
+        raise RequestError(f"{label} has unknown fields: {sorted(extra)}")
+    if not isinstance(s[kind], str) or not s[kind]:
+        raise RequestError(f"{label}: {kind} must be a non-empty string")
+    out = {_SLOT_KEYS[kind]: s[kind]}
+    if kind == "regex":
+        # validate HERE so a bad pattern is a client-addressable
+        # request error, not an executor-side exception
+        from fastmorph_spark.search.regex import validate_regex
+
+        try:
+            validate_regex(s[kind].lower())
+        except ValueError as e:
+            raise RequestError(f"{label}: {e}") from None
+    if kind == "fuzzy":
+        d = s.get("dist", 1)
+        if not isinstance(d, int) or isinstance(d, bool) \
+                or not 1 <= d <= _MAX_FUZZY_DIST:
+            raise RequestError(
+                f"{label}: dist must be an integer in "
+                f"[1, {_MAX_FUZZY_DIST}]")
+        out["dist"] = d
+    if s.get("case"):
+        if kind != "word":
+            raise RequestError(
+                f"{label}: case flag applies to word slots only "
+                f"({kind} slots are case-folded by definition)")
+        out["case"] = True
+    return out
 
 
 def parse_request(req: dict) -> dict:
@@ -326,9 +378,50 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"bm25": q, "k": k, "lang": lang}
     unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang",
-                          "format", "facets", "sort"}
+                          "format", "facets", "sort", "filter", "freq", "k"}
     if unknown:
         raise RequestError(f"unknown request fields: {sorted(unknown)}")
+    freq = req.get("freq")
+    if freq is not None:
+        # frequency breakdown OF the concordance: the response is the
+        # breakdown table, not a page — page/assembly options conflict
+        if freq not in ("node", "lang", "source"):
+            raise RequestError("freq must be 'node', 'lang' or 'source'")
+        clash = [f for f in ("format", "sort", "facets", "width", "skip",
+                             "until") if f in req]
+        if clash:
+            raise RequestError(
+                f"freq cannot combine with {sorted(clash)} (the response "
+                f"is a breakdown table, not a concordance page)")
+    elif "k" in req:
+        raise RequestError("k applies to freq requests only")
+    freq_k = req.get("k", 50)
+    if not isinstance(freq_k, int) or isinstance(freq_k, bool) \
+            or not 1 <= freq_k <= _MAX_UNTIL:
+        raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+    filt = req.get("filter")
+    if filt is not None:
+        # the concordancer's positive/negative context filter
+        if not isinstance(filt, dict):
+            raise RequestError("filter must be an object")
+        fextra = set(filt) - {"slot", "window", "mode"}
+        if fextra:
+            raise RequestError(f"filter has unknown fields: {sorted(fextra)}")
+        if "slot" not in filt:
+            raise RequestError("filter needs a slot field")
+        fslot = _parse_slot(filt["slot"], "filter slot")
+        w = filt.get("window", [-5, 5])
+        ok = (isinstance(w, (list, tuple)) and len(w) == 2
+              and all(isinstance(x, int) and not isinstance(x, bool) for x in w))
+        if not ok or w[0] > w[1] or abs(w[0]) > 1000 or abs(w[1]) > 1000:
+            raise RequestError(
+                "filter window must be [lo, hi] token offsets with "
+                "lo <= hi and |offset| <= 1000")
+        fmode = filt.get("mode", "positive")
+        if fmode not in ("positive", "negative"):
+            raise RequestError("filter mode must be 'positive' or 'negative'")
+        filt = {"slot": fslot, "window": [int(w[0]), int(w[1])],
+                "mode": fmode}
     facets = req.get("facets", False)
     if not isinstance(facets, bool):
         raise RequestError("facets must be a boolean")
@@ -351,45 +444,7 @@ def parse_request(req: dict) -> dict:
         raise RequestError("slots must be a non-empty list")
     if len(raw_slots) > _MAX_SLOTS:
         raise RequestError(f"at most {_MAX_SLOTS} slots supported")
-    slots = []
-    for i, s in enumerate(raw_slots):
-        if not isinstance(s, dict):
-            raise RequestError(f"slot {i} must be an object")
-        kinds = [k for k in _SLOT_KEYS if k in s]
-        if len(kinds) != 1:
-            raise RequestError(
-                f"slot {i} needs exactly one of {sorted(_SLOT_KEYS)}")
-        kind = kinds[0]
-        extra = set(s) - {kind, "case"} - ({"dist"} if kind == "fuzzy" else set())
-        if extra:
-            raise RequestError(f"slot {i} has unknown fields: {sorted(extra)}")
-        if not isinstance(s[kind], str) or not s[kind]:
-            raise RequestError(f"slot {i}: {kind} must be a non-empty string")
-        out = {_SLOT_KEYS[kind]: s[kind]}
-        if kind == "regex":
-            # validate HERE so a bad pattern is a client-addressable
-            # request error, not an executor-side exception
-            from fastmorph_spark.search.regex import validate_regex
-
-            try:
-                validate_regex(s[kind].lower())
-            except ValueError as e:
-                raise RequestError(f"slot {i}: {e}") from None
-        if kind == "fuzzy":
-            d = s.get("dist", 1)
-            if not isinstance(d, int) or isinstance(d, bool) \
-                    or not 1 <= d <= _MAX_FUZZY_DIST:
-                raise RequestError(
-                    f"slot {i}: dist must be an integer in "
-                    f"[1, {_MAX_FUZZY_DIST}]")
-            out["dist"] = d
-        if s.get("case"):
-            if kind != "word":
-                raise RequestError(
-                    f"slot {i}: case flag applies to word slots only "
-                    f"({kind} slots are case-folded by definition)")
-            out["case"] = True
-        slots.append(out)
+    slots = [_parse_slot(s, f"slot {i}") for i, s in enumerate(raw_slots)]
     raw_dists = req.get("dists", [])
     if not isinstance(raw_dists, list) or len(raw_dists) != len(slots) - 1:
         raise RequestError(
@@ -422,7 +477,7 @@ def parse_request(req: dict) -> dict:
         raise RequestError("lang must be a non-empty string")
     return {"slots": slots, "dists": dists, "skip": skip, "until": until,
             "width": width, "lang": lang, "format": fmt, "facets": facets,
-            "sort": sort}
+            "sort": sort, "filter": filt, "freq": freq, "freq_k": freq_k}
 
 
 def _serialize(rows: list, skip: int, until: int,
@@ -528,6 +583,8 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "sketch_diff" in p:
                 return {"targets": p["sketch_diff"], "k": p["k"],
                         "results": []}
+            if p.get("freq"):
+                return {"freq": p["freq"], "k": p["freq_k"], "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
@@ -681,18 +738,16 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         # format/width) feeds kwic_sorted's TakeOrderedAndProject page;
         # ranks (skip, until] of the sorted order come back flat
         from fastmorph_spark.search.engine import kwic_sorted
-        from fastmorph_spark.search.packed import packed_request_matches
 
         try:
             if session is not None:
                 key = _continuation_key(p, index)
                 m = session.get(key)
                 if m is None:
-                    m = packed_request_matches(index, p["slots"], p["dists"])
+                    m = _match_set(index, p)
                     session[key] = m
             else:
-                m = packed_request_matches(index, p["slots"], p["dists"],
-                                           scope=scope)
+                m = _match_set(index, p, scope=scope)
             lines = kwic_sorted(documents, m, len(p["slots"]),
                                 width=p["width"], by=p["sort"],
                                 n=p["until"]).collect()
@@ -709,11 +764,13 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "right_ctx": r["right_ctx"]} for r in rows]}
     try:
         facet_src = None
-        if session is None and p.get("facets"):
-            # facet counts need the FULL match set, which the one-shot
-            # packed_search_request never exposes — route through the
-            # two-step (match set -> page) with an ephemeral session so
-            # the decode happens ONCE for page + facets, then unpersist.
+        if session is None and (p.get("facets") or p.get("filter")
+                                or p.get("freq")):
+            # facet counts, context filters and freq breakdowns need the
+            # FULL match set, which the one-shot packed_search_request
+            # never exposes — route through the two-step (match set ->
+            # page/breakdown) with an ephemeral session so the decode
+            # happens ONCE, then unpersist.
             session = {}
             _ephemeral = True
         else:
@@ -722,17 +779,22 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             # pagination continuation (SURVEY §3.1 entry point 3
             # [PK-med]: the reference serves skip/until windows from
             # cached scan state): the persisted match set is keyed by the
-            # request SHAPE (slots/dists/lang — not skip/until/width), so
-            # page N+1 re-pages it instead of re-decoding the index.
-            # Pins are SESSION-owned: free them with close_session.
+            # request SHAPE (slots/dists/lang/filter — not
+            # skip/until/width), so page N+1 re-pages it instead of
+            # re-decoding the index. Pins are SESSION-owned: free them
+            # with close_session.
             from fastmorph_spark.search import engine as _engine
-            from fastmorph_spark.search.packed import packed_request_matches
 
             key = _continuation_key(p, index)
             m = session.get(key)
             if m is None:
-                m = packed_request_matches(index, p["slots"], p["dists"])
+                m = _match_set(index, p)
                 session[key] = m
+            if p.get("freq"):
+                resp = _freq_response(documents, m, p)
+                if _ephemeral:
+                    close_session(session)
+                return resp
             rows = _engine.request_page(
                 documents, m, len(p["slots"]),
                 skip=p["skip"], until=p["until"], width=p["width"],
@@ -767,18 +829,61 @@ def handle_request(documents: DataFrame, index, req: dict | str,
     return resp
 
 
+def _match_set(index, p: dict, scope=None):
+    """The request's PINNED match set — filtered through the context
+    filter when the request carries one (packed_filter_context: the node
+    slots and the filter pattern share ONE pruned decode)."""
+    from fastmorph_spark.search.packed import packed_request_matches
+
+    f = p.get("filter")
+    if not f:
+        return packed_request_matches(index, p["slots"], p["dists"],
+                                      scope=scope)
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search.confilter import packed_filter_context
+
+    return pin(
+        packed_filter_context(index, p["slots"], p["dists"], f["slot"],
+                              (f["window"][0], f["window"][1]), f["mode"],
+                              scope=scope),
+        scope,
+    )
+
+
+def _freq_response(documents, matches, p: dict) -> dict:
+    """Frequency-breakdown response over a (possibly filtered) match set:
+    node forms or a document-attribute distribution."""
+    from fastmorph_spark.search import confilter
+
+    if p["freq"] == "node":
+        rows = confilter.conc_freq_node(
+            matches, documents, match_len=len(p["slots"]), k=p["freq_k"]
+        ).collect()
+        return {"freq": "node", "k": p["freq_k"],
+                "results": [{"keyword": r["keyword"], "n_occ": int(r["n_occ"]),
+                             "n_docs": int(r["n_docs"])} for r in rows]}
+    rows = confilter.conc_freq_attr(matches, documents, p["freq"]) \
+        .limit(p["freq_k"]).collect()
+    return {"freq": p["freq"], "k": p["freq_k"],
+            "results": [{"value": r[p["freq"]], "n_occ": int(r["n_occ"]),
+                         "n_docs": int(r["n_docs"])} for r in rows]}
+
+
 def _continuation_key(p: dict, index) -> tuple:
     """Request-shape key for the continuation cache. Includes the Index
     object's identity so a session dict reused across different indexes
     (caller misuse, but cheap to defend) can never serve index A's
     matches for index B. A serving loop holds its Index (or per-lang
     dict) for the whole burst, so the id is stable exactly as long as
-    the session is valid."""
+    the session is valid. The context filter is part of the shape: a
+    filtered match set must never answer the unfiltered request (or a
+    differently-filtered one)."""
     import json as _json
 
     return (id(index),
             _json.dumps({"slots": p["slots"], "dists": p["dists"],
-                         "lang": p["lang"]}, sort_keys=True))
+                         "lang": p["lang"], "filter": p.get("filter")},
+                        sort_keys=True))
 
 
 def close_session(session: dict) -> None:
