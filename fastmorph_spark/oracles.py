@@ -585,3 +585,54 @@ SELECT d.{attr} AS {attr}, sum(base.n_matches)::BIGINT AS n_occ,
 FROM base JOIN documents d USING (doc_id)
 GROUP BY d.{attr} ORDER BY n_occ DESC, {attr} ASC
 """
+
+
+def conc_collocations_sql(slots: list[dict], dists: list[tuple[int, int]],
+                          match_len: int = 1, window: int = 3,
+                          min_count: int = 2, k: int = 20,
+                          lang: str | None = None) -> str:
+    """Mirror of collocation.conc_collocations over slot_search_sql's
+    result: PMI-ranked collocates of the concordance, node mass = total
+    match occurrences, node-span positions excluded from neighbors,
+    pinned pmi = ln((cooc * total) / (node_occ * cf_n))."""
+    base = slot_search_sql(slots, dists, lang=lang)
+    sl = int(match_len) - 1
+    where = f" WHERE lang = '{lang}'" if lang else ""
+    tok = TOK.format(col="text")
+    return f"""
+WITH base AS (SELECT * FROM ({base}) _b),
+docs AS (SELECT doc_id, text FROM documents{where}),
+tokarr AS (SELECT doc_id, {tok} AS toks FROM docs),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+nocc AS (SELECT sum(n_matches)::DOUBLE AS node_occ FROM base),
+st AS (SELECT doc_id,
+              list_transform(string_split(match_starts, ','), x -> x::INT) AS starts
+       FROM base),
+pairs AS (
+  SELECT p.term,
+         sum(len(list_filter(starts, s ->
+             p.pos >= s - {int(window)} AND p.pos <= s + {sl + int(window)}
+             AND NOT (p.pos >= s AND p.pos <= s + {sl}))))::BIGINT AS cooc
+  FROM pos p JOIN st ON p.doc_id = st.doc_id
+  GROUP BY p.term
+),
+scored AS (
+  SELECT p.term, p.cooc, cf.cf,
+         ln((p.cooc::DOUBLE * tot.total) / (nocc.node_occ * cf.cf::DOUBLE)) AS pmi
+  FROM pairs p
+  JOIN cf USING (term)
+  CROSS JOIN tot
+  CROSS JOIN nocc
+  WHERE p.cooc >= {int(min_count)} AND p.cooc > 0
+)
+SELECT row_number() OVER (ORDER BY pmi DESC, term ASC) AS rank,
+       term, cooc, cf, round(pmi, {SCORE_DECIMALS}) AS pmi
+FROM scored
+ORDER BY pmi DESC, term ASC
+LIMIT {int(k)}
+"""

@@ -508,6 +508,39 @@ def q_conc_filter_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "positive")
 
 
+# a contiguous 2-slot node ("fast h*" as a phrase) so the concordance
+# collocation runs on a genuinely multi-word node (span exclusion matters)
+CONCCOLL_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
+CONCCOLL_DISTS = [(1, 1)]
+CONCCOLL_LEN = 2
+CONCCOLL_WINDOW, CONCCOLL_MIN, CONCCOLL_K = 3, 2, 20
+
+
+def q_conc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocates of a CONCORDANCE (multi-slot node), not a single
+    term — the portal's collocation tab over the current result set."""
+    from fastmorph_spark.registry import _index_tables
+    from fastmorph_spark.search.collocation import conc_collocations
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, CONCCOLL_SLOTS, CONCCOLL_DISTS)
+    return conc_collocations(m, postings, dictionary, CONCCOLL_LEN,
+                             CONCCOLL_WINDOW, CONCCOLL_MIN, CONCCOLL_K)
+
+
+def q_conc_collocations_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conc_collocations off the packed index: one envelope-bounded
+    decode serves the node match set AND the neighbor side. Shares the
+    corpus-path oracle."""
+    from fastmorph_spark.registry import _packed_index
+    from fastmorph_spark.search.collocation import conc_collocations_packed
+
+    return conc_collocations_packed(_packed_index(spark, sf_dir),
+                                    CONCCOLL_SLOTS, CONCCOLL_DISTS,
+                                    CONCCOLL_LEN, CONCCOLL_WINDOW,
+                                    CONCCOLL_MIN, CONCCOLL_K)
+
+
 def q_conc_freq_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency breakdown of a wildcard concordance by NODE FORM: which
     h-words matched, with occurrence + document counts — the portal's
@@ -537,6 +570,8 @@ QUERIES = {
     "conc_filter_positive": q_conc_filter_positive,
     "conc_filter_negative": q_conc_filter_negative,
     "conc_filter_packed": q_conc_filter_packed,
+    "conc_collocations": q_conc_collocations,
+    "conc_collocations_packed": q_conc_collocations_packed,
     "conc_freq_node": q_conc_freq_node,
     "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
@@ -589,12 +624,17 @@ def oracle_sqls() -> dict[str, str]:
     dists = [(1, 1)] * (len(terms) - 1)
     _conf_pos = oracles.filter_context_sql(
         CONF_SLOTS, CONF_DISTS, CONF_FILTER, CONF_WINDOW, "positive")
+    _conccoll = oracles.conc_collocations_sql(
+        CONCCOLL_SLOTS, CONCCOLL_DISTS, CONCCOLL_LEN, CONCCOLL_WINDOW,
+        CONCCOLL_MIN, CONCCOLL_K)
     return {
         "conc_filter_positive": _conf_pos,
         "conc_filter_negative": oracles.filter_context_sql(
             CONF_SLOTS, CONF_DISTS, CONF_FILTER, CONF_WINDOW, "negative"),
         # packed twin must be result-identical to the corpus path
         "conc_filter_packed": _conf_pos,
+        "conc_collocations": _conccoll,
+        "conc_collocations_packed": _conccoll,
         "conc_freq_node": oracles.conc_freq_node_sql(
             FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
         "conc_freq_lang": oracles.conc_freq_attr_sql(

@@ -84,21 +84,29 @@ def _pair_counts(postings_rows: DataFrame, target: str, window: int,
 
 def _score(cooc: DataFrame, dictionary: DataFrame, target: str,
            min_count: int, k: int) -> DataFrame:
-    """PMI scoring tail shared by the corpus and packed paths. `cooc`
+    """PMI scoring tail shared by the corpus and packed paths: the
+    target's mass is its corpus frequency."""
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    return _score_with_mass(cooc, dictionary, tcf, min_count, k)
+
+
+def _score_with_mass(cooc: DataFrame, dictionary: DataFrame,
+                     mass: DataFrame, min_count: int, k: int) -> DataFrame:
+    """PMI scoring tail over an explicit 1-row node-mass frame `_tcf`
+    (a term's cf, or a concordance's total match occurrences). `cooc`
     is small (distinct neighbor terms); the dictionary join keys on it,
     the two stats frames are 1-row broadcasts."""
     tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
-    tcf = dictionary.filter(F.col("term") == target) \
-        .select(F.col("cf").cast("double").alias("_tcf"))
     scored = (
         cooc.filter(F.col("cooc") >= min_count)
         .join(dictionary.select("term", "cf"), "term")
         .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(tcf))
+        .crossJoin(F.broadcast(mass))
         .withColumn(
             "pmi",
             # one pinned parenthesization, mirrored in the oracle SQL:
-            # ln((cooc * total) / (cf_target * cf_n)) — all float64
+            # ln((cooc * total) / (mass * cf_n)) — all float64
             F.log((F.col("cooc").cast("double") * F.col("_total"))
                   / (F.col("_tcf") * F.col("cf").cast("double"))),
         )
@@ -442,3 +450,115 @@ def collocations_measures(postings: DataFrame, dictionary: DataFrame,
         F.round("logdice", SCORE_DECIMALS).alias("logdice"),
         F.round("tscore", SCORE_DECIMALS).alias("tscore"),
     )
+
+
+def _conc_pair_counts(matches: DataFrame, postings_rows: DataFrame,
+                      match_len: int, window: int,
+                      broadcast_matches: bool = True) -> DataFrame:
+    """(term, cooc) pair counts around a CONCORDANCE's node spans: one
+    pair per (match start p, occurrence q of a term) in the same doc with
+    q within `window` tokens of the node span [p, p+match_len-1] and q
+    OUTSIDE the span. Same join shape as _pair_counts — the match set
+    replaces the target's postings rows."""
+    st = matches.select(
+        "doc_id", F.split("match_starts", ",").cast("array<int>").alias("_starts")
+    )
+    if broadcast_matches:
+        st = F.broadcast(st)
+    sl = int(match_len) - 1  # span end offset from the start
+    pairs_expr = F.expr(
+        "aggregate(positions, 0L, (acc, q) -> acc + CAST(size(filter("
+        "_starts, p -> q >= p - {w} AND q <= p + {sl} + {w} "
+        "AND NOT (q >= p AND q <= p + {sl}))) AS BIGINT))"
+        .format(w=int(window), sl=sl)
+    )
+    return (
+        postings_rows.join(st, "doc_id")
+        .select("term", pairs_expr.alias("_pairs"))
+        .groupBy("term")
+        .agg(F.sum("_pairs").alias("cooc"))
+        .filter(F.col("cooc") > 0)
+    )
+
+
+def conc_collocations(matches: DataFrame, postings: DataFrame,
+                      dictionary: DataFrame, match_len: int = 1,
+                      window: int = 3, min_count: int = 2, k: int = 20,
+                      broadcast_matches: bool = True) -> DataFrame:
+    """PMI-ranked collocates of a CONCORDANCE — the portal's collocation
+    analysis over an arbitrary slot-pattern result set, not just a single
+    target term [PK-high: the Sketch-Engine/CQPweb "collocation" tab runs
+    on the current concordance]. ``matches`` is slot_search output; the
+    node span at each start p is [p, p+match_len-1] (pass the phrase
+    length for contiguous patterns, 1 to anchor on the match start for
+    ranged patterns — offsets are then start-relative, documented).
+
+    Pinned semantics mirror `collocations` with the node MASS = total
+    match occurrences replacing the target's cf:
+    ``pmi = ln((cooc * total_tokens) / (n_node_occ * cf_n))``; node-span
+    POSITIONS are excluded from neighbors (a term occurring both inside
+    and outside the span still collocates through its outside
+    occurrences). Same (pmi DESC, term ASC) order, min_count gate,
+    SCORE_DECIMALS rounding.
+
+    Scale shape: the match set is ~|matched docs| rows and broadcasts by
+    default (pass broadcast_matches=False for a stopword-sized node);
+    pair counting is one doc_id join + a HOF aggregate (JVM codegen) +
+    one term groupBy — identical to the single-term profile."""
+    mass = matches.agg(
+        F.sum("n_matches").cast("double").alias("_tcf"))
+    cooc = _conc_pair_counts(matches, postings.select("term", "doc_id", "positions"),
+                             match_len, window, broadcast_matches)
+    return _score_with_mass(cooc, dictionary, mass, min_count, k)
+
+
+def conc_collocations_packed(index, slots: list[dict],
+                             dists: list[tuple[int, int]],
+                             match_len: int = 1, window: int = 3,
+                             min_count: int = 2, k: int = 20,
+                             scope=None) -> DataFrame:
+    """`conc_collocations` off the PACKED index with ONE decode serving
+    both the node match set and the neighbor side.
+
+    Block selection is metadata-only, reusing the slot engine's doc-range
+    machinery: every matched doc must contain a candidate term from EVERY
+    slot, so a shard survives only if all slot groups reach it and their
+    [max lo, min hi] envelope is non-empty (packed._envelope_keep) — the
+    neighbor decode is bounded by the same envelopes that bound the node
+    scan. Wide expansions (predicate-direct regime) and case-sensitive
+    slots fall back to a full decode: the neighbor side needs every term
+    anyway, so there is no cheaper correct bound there."""
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search import engine
+    from fastmorph_spark.search.packed import (
+        MAX_SLOT_EXPANSION,
+        _apply_keep,
+        _decode_blocks,
+        _envelope_keep,
+        _expand_slot_term_groups,
+        _live,
+    )
+
+    spark = index.postings.sparkSession
+    groups = _expand_slot_term_groups(index, slots, MAX_SLOT_EXPANSION)
+    if groups is not None and not any(s.get("case") for s in slots):
+        pairs = sorted({(t, gi) for gi, g in enumerate(groups) for t in g})
+        if not pairs:  # no slot candidate exists in the dictionary
+            cooc = spark.createDataFrame([], "term string, cooc long")
+            mass = spark.createDataFrame([(0.0,)], "_tcf double")
+            return _score_with_mass(cooc, index.dictionary, mass, min_count, k)
+        tg = spark.createDataFrame(pairs, "term string, grp int")
+        meta = (
+            index.postings.select("term", "doc_shard", "first_doc", "max_doc")
+            .join(F.broadcast(tg), "term")
+        )
+        per = meta.groupBy("doc_shard", "grp").agg(
+            F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+        )
+        blocks = _apply_keep(index.postings, _envelope_keep(per, len(groups)))
+    else:
+        blocks = index.postings
+    decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
+    m = engine.slot_search(decoded, index.dictionary, slots, dists)
+    return conc_collocations(m, decoded, index.dictionary, match_len,
+                             window, min_count, k)
