@@ -635,3 +635,128 @@ LEFT JOIN b_type USING (bucket)
 WINDOW w AS (ORDER BY grid.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY grid.bucket
 """
+
+
+def mwe_bigrams_sql(min_count: int = 5, k: int = 50) -> str:
+    """Mirror of search.collocation.mwe_bigrams: adjacent-bigram logDice
+    with the pinned ln/ln2 form and (logdice DESC, w1, w2) order."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tokarr AS (SELECT {tok} AS toks FROM documents),
+bi AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tokarr WHERE len(toks) >= 2
+),
+fxy AS (
+  SELECT w1, w2, count(*)::BIGINT AS f_xy FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {int(min_count)}
+),
+uni AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(toks) AS term FROM tokarr) GROUP BY term
+),
+scored AS (
+  SELECT f.w1, f.w2, f.f_xy, ux.cf AS f_x, uy.cf AS f_y,
+         14 + ln((2 * f.f_xy::DOUBLE) / (ux.cf::DOUBLE + uy.cf::DOUBLE))
+             / ln(2) AS logdice
+  FROM fxy f
+  JOIN uni ux ON f.w1 = ux.term
+  JOIN uni uy ON f.w2 = uy.term
+)
+SELECT row_number() OVER (ORDER BY logdice DESC, w1 ASC, w2 ASC) AS rank,
+       w1, w2, f_xy, f_x, f_y, round(logdice, {SCORE_DECIMALS}) AS logdice
+FROM scored
+ORDER BY logdice DESC, w1 ASC, w2 ASC
+LIMIT {int(k)}
+"""
+
+
+def colloc_by_offset_sql(target: str, window: int = 3, min_count: int = 2,
+                         k_per_offset: int = 5) -> str:
+    """Mirror of search.collocation.colloc_by_offset: signed-offset
+    pair counts (offset = p_neighbor - p_target), per-offset
+    (cooc DESC, term ASC) top-k."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tokarr AS (SELECT doc_id, {tok} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+),
+tp AS (SELECT doc_id, pos AS q FROM pos WHERE term = '{target}'),
+counts AS (
+  SELECT p.term, (p.pos - tp.q)::INT AS "offset", count(*)::BIGINT AS cooc
+  FROM pos p JOIN tp ON p.doc_id = tp.doc_id
+  WHERE p.term <> '{target}' AND abs(p.pos - tp.q) <= {int(window)}
+  GROUP BY p.term, (p.pos - tp.q)
+  HAVING count(*) >= {int(min_count)}
+),
+ranked AS (
+  SELECT "offset",
+         row_number() OVER (PARTITION BY "offset"
+                            ORDER BY cooc DESC, term ASC) AS rank,
+         term, cooc
+  FROM counts
+)
+SELECT "offset", rank, term, cooc FROM ranked
+WHERE rank <= {int(k_per_offset)}
+ORDER BY "offset" ASC, rank ASC
+"""
+
+
+def doc_keywords_sql(m: int = 3) -> str:
+    """Mirror of search.keyness.doc_keywords: per-doc top-m TF-IDF with
+    the pinned tf * ln((N + 1) / (df + 1)) score."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf::DOUBLE * ln((n.n + 1.0) / (dfreq.df::DOUBLE + 1.0)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank,
+         term, tf, df, tfidf
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, round(tfidf, {SCORE_DECIMALS}) AS tfidf
+FROM ranked
+WHERE rank <= {int(m)}
+ORDER BY doc_id ASC, rank ASC
+"""
+
+
+def term_position_dist_sql(terms: list[str], bins: int = 10) -> str:
+    """Mirror of search.keyness.term_position_dist: within-doc decile
+    histogram, decile = floor((pos * bins) / dl) in float64."""
+    tok = TOK.format(col="text")
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH tokarr AS (SELECT {tok} AS toks FROM documents),
+pos AS (
+  SELECT len(toks)::BIGINT AS dl, unnest(toks) AS term,
+         unnest(range(len(toks)))::BIGINT AS pos
+  FROM tokarr
+),
+counts AS (
+  SELECT term,
+         CAST(floor((pos::DOUBLE * {float(bins)}) / dl) AS INT) AS decile,
+         count(*)::BIGINT AS n_occ
+  FROM pos WHERE term IN ({inlist})
+  GROUP BY term, CAST(floor((pos::DOUBLE * {float(bins)}) / dl) AS INT)
+)
+SELECT term, decile, n_occ,
+       round(n_occ::DOUBLE / sum(n_occ) OVER (PARTITION BY term)::DOUBLE,
+             {SCORE_DECIMALS}) AS frac
+FROM counts
+ORDER BY term ASC, decile ASC
+"""

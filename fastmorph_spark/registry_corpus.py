@@ -564,6 +564,55 @@ def q_conc_freq_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confilter.conc_freq_attr(m, docs, CONF_ATTR)
 
 
+MWE_MIN, MWE_K = 5, 50
+OFFSET_WINDOW, OFFSET_MIN, OFFSET_K = 3, 2, 5
+KEYWORDS_M = 3
+POSDIST_BINS = 10
+
+
+def q_mwe_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide multiword-expression candidates: adjacent bigrams
+    ranked by logDice — terminology extraction without a target term."""
+    from fastmorph_spark.search.collocation import mwe_bigrams
+
+    return mwe_bigrams(read_documents(spark, sf_dir), MWE_MIN, MWE_K)
+
+
+def q_colloc_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional collocate profile: top collocates at each signed offset
+    -w..-1, +1..+w around the target — the concordancer's per-position
+    frequency columns."""
+    from fastmorph_spark.registry import COLLOC_TARGET, _index_tables
+    from fastmorph_spark.search.collocation import colloc_by_offset
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return colloc_by_offset(postings, dictionary, COLLOC_TARGET,
+                            OFFSET_WINDOW, OFFSET_MIN, OFFSET_K)
+
+
+def q_colloc_by_offset_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colloc_by_offset off the packed index (target-envelope block skip,
+    one decode for both pair sides). Shares the corpus-path oracle."""
+    from fastmorph_spark.registry import COLLOC_TARGET, _packed_index
+    from fastmorph_spark.search.collocation import colloc_by_offset_packed
+
+    return colloc_by_offset_packed(_packed_index(spark, sf_dir),
+                                   COLLOC_TARGET, OFFSET_WINDOW,
+                                   OFFSET_MIN, OFFSET_K)
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-m TF-IDF keywords (pinned smoothed idf)."""
+    return keyness.doc_keywords(read_documents(spark, sf_dir), KEYWORDS_M)
+
+
+def q_term_position_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc position-decile histogram for the profile terms — the
+    distribution-plot panel (complements between-doc dispersion)."""
+    return keyness.term_position_dist(read_documents(spark, sf_dir),
+                                      PROFILE_TERMS, POSDIST_BINS)
+
+
 QUERIES = {
     # wave-4 conc-filter/freq keys lead the extension so they land inside
     # the driver's 50-key window (new keys earn driver-green rows first)
@@ -572,6 +621,11 @@ QUERIES = {
     "conc_filter_packed": q_conc_filter_packed,
     "conc_collocations": q_conc_collocations,
     "conc_collocations_packed": q_conc_collocations_packed,
+    "mwe_bigrams": q_mwe_bigrams,
+    "colloc_by_offset": q_colloc_by_offset,
+    "colloc_by_offset_packed": q_colloc_by_offset_packed,
+    "doc_keywords": q_doc_keywords,
+    "term_position_dist": q_term_position_dist,
     "conc_freq_node": q_conc_freq_node,
     "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
@@ -627,6 +681,9 @@ def oracle_sqls() -> dict[str, str]:
     _conccoll = oracles.conc_collocations_sql(
         CONCCOLL_SLOTS, CONCCOLL_DISTS, CONCCOLL_LEN, CONCCOLL_WINDOW,
         CONCCOLL_MIN, CONCCOLL_K)
+    from fastmorph_spark.registry import COLLOC_TARGET as _ctgt
+    _offsets = oracles_corpus.colloc_by_offset_sql(
+        _ctgt, OFFSET_WINDOW, OFFSET_MIN, OFFSET_K)
     return {
         "conc_filter_positive": _conf_pos,
         "conc_filter_negative": oracles.filter_context_sql(
@@ -635,6 +692,13 @@ def oracle_sqls() -> dict[str, str]:
         "conc_filter_packed": _conf_pos,
         "conc_collocations": _conccoll,
         "conc_collocations_packed": _conccoll,
+        "mwe_bigrams": oracles_corpus.mwe_bigrams_sql(MWE_MIN, MWE_K),
+        "colloc_by_offset": _offsets,
+        # packed twin must be result-identical to the corpus path
+        "colloc_by_offset_packed": _offsets,
+        "doc_keywords": oracles_corpus.doc_keywords_sql(KEYWORDS_M),
+        "term_position_dist": oracles_corpus.term_position_dist_sql(
+            PROFILE_TERMS, POSDIST_BINS),
         "conc_freq_node": oracles.conc_freq_node_sql(
             FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
         "conc_freq_lang": oracles.conc_freq_attr_sql(

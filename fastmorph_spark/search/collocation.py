@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.tokenize import tokenize_expr
 
 OUT_SCHEMA = "rank long, term string, cooc long, cf long, pmi double"
 
@@ -562,3 +563,189 @@ def conc_collocations_packed(index, slots: list[dict],
     m = engine.slot_search(decoded, index.dictionary, slots, dists)
     return conc_collocations(m, decoded, index.dictionary, match_len,
                              window, min_count, k)
+
+
+# --- corpus-wide multiword-expression candidates -------------------------
+
+import math as _math
+
+_LN2 = _math.log(2.0)  # correctly-rounded double; == DuckDB ln(2)
+
+MWE_SCHEMA = ("rank long, w1 string, w2 string, f_xy long, f_x long, "
+              "f_y long, logdice double")
+
+
+def mwe_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50,
+                text_col: str = "text") -> DataFrame:
+    """Corpus-WIDE association ranking of adjacent bigrams — terminology
+    / multiword-expression extraction, the portal view that finds "word
+    sketch candidates" without a target term [LIT: Rychlý 2008, "A
+    lexicographer-friendly association score" — logDice is Sketch
+    Engine's default measure precisely because it is corpus-size
+    independent].
+
+    Pinned semantics (mirrored by oracles_corpus.mwe_bigrams_sql):
+
+    - a bigram is an ADJACENT ordered token pair (toks[i], toks[i+1])
+      under the standard tokenizer; f_xy = its corpus count;
+    - f_x / f_y = unigram corpus frequencies of the two sides;
+    - ``logdice = 14 + ln((2 * f_xy) / (f_x + f_y)) / ln(2)`` — written
+      as ln/ln2, not native log2 (the keyness.py cross-engine pin);
+    - candidates below ``min_count`` occurrences are dropped BEFORE the
+      cf joins; order (logdice DESC, w1 ASC, w2 ASC) over the UNROUNDED
+      score, output rounded to SCORE_DECIMALS.
+
+    Scale shape: the bigram stream is one Catalyst transform+explode
+    (token-stream-sized, same as any unigram agg) into ONE map-side-
+    partial groupBy(w1, w2) — the bigram-vocabulary shuffle a corpus-
+    wide pair count must pay. The min_count gate runs before the two
+    unigram-cf joins, so the join probe side is the (small) candidate
+    set, not the raw bigram stream; the unigram agg is a second
+    scan+groupBy, never a join against the corpus. TakeOrderedAndProject
+    caps the output at k."""
+    toks = docs.select(tokenize_expr(text_col).alias("toks"))
+    bi = toks.select(F.explode(F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(slice(toks, 1, size(toks) - 1), "
+        "(w, i) -> struct(w AS w1, toks[i + 1] AS w2)) "
+        "ELSE array() END")).alias("b")).select("b.w1", "b.w2")
+    fxy = (bi.groupBy("w1", "w2").agg(F.count("*").alias("f_xy"))
+             .filter(F.col("f_xy") >= min_count))
+    uni = (toks.select(F.explode("toks").alias("term"))
+               .groupBy("term").agg(F.count("*").alias("cf")))
+    scored = (
+        fxy
+        .join(uni.select(F.col("term").alias("w1"), F.col("cf").alias("f_x")),
+              "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cf").alias("f_y")),
+              "w2")
+        .withColumn(
+            "logdice",
+            # pinned: 14 + ln((2 * f_xy) / (f_x + f_y)) / ln(2)
+            F.lit(14.0)
+            + F.log((F.lit(2.0) * F.col("f_xy").cast("double"))
+                    / (F.col("f_x").cast("double")
+                       + F.col("f_y").cast("double"))) / F.lit(_LN2),
+        )
+    )
+    topk = scored.orderBy(F.desc("logdice"), F.asc("w1"), F.asc("w2")).limit(k)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("logdice"), F.asc("w1"), F.asc("w2")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "w1", "w2",
+        F.col("f_xy").cast("long").alias("f_xy"),
+        F.col("f_x").cast("long").alias("f_x"),
+        F.col("f_y").cast("long").alias("f_y"),
+        F.round("logdice", SCORE_DECIMALS).alias("logdice"),
+    )
+
+
+# --- positional collocate profile (per-offset breakdown) -----------------
+
+OFFSET_SCHEMA = "offset int, rank long, term string, cooc long"
+
+
+def _offset_counts(postings_rows: DataFrame, target: str, window: int,
+                   broadcast_target: bool = True) -> DataFrame:
+    """(term, offset, cooc) pair counts split by SIGNED offset
+    ``p_neighbor - p_target`` in [-window, window] \\ {0}. Same doc_id
+    join shape as _pair_counts; the offset breakdown comes from one
+    flatten(transform(...)) + explode over the pair offsets (pair-count-
+    sized, the honest cost of a per-offset view), then ONE groupBy."""
+    tgt = postings_rows.filter(F.col("term") == target) \
+        .select("doc_id", F.col("positions").alias("_tpos"))
+    if broadcast_target:
+        tgt = F.broadcast(tgt)
+    offsets_expr = F.expr(
+        "flatten(transform(positions, p -> "
+        "transform(filter(_tpos, q -> abs(p - q) <= {w}), q -> p - q)))"
+        .format(w=int(window))
+    )
+    return (
+        postings_rows.filter(F.col("term") != target)
+        .join(tgt, "doc_id")
+        .select("term", F.explode(offsets_expr).alias("offset"))
+        .groupBy("term", "offset")
+        .agg(F.count("*").alias("cooc"))
+    )
+
+
+def _offset_rank_tail(counts: DataFrame, min_count: int,
+                      k_per_offset: int) -> DataFrame:
+    """min_count gate + per-offset (cooc DESC, term ASC) top-k, shared
+    by the corpus and packed paths so both carry one pinning."""
+    counts = counts.filter(F.col("cooc") >= min_count)
+    w = Window.partitionBy("offset").orderBy(F.desc("cooc"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_offset)
+        .select(
+            F.col("offset").cast("int").alias("offset"),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("cooc").cast("long").alias("cooc"),
+        )
+        .orderBy(F.asc("offset"), F.asc("rank"))
+    )
+
+
+def colloc_by_offset(postings: DataFrame, dictionary: DataFrame,
+                     target: str, window: int = 3, min_count: int = 2,
+                     k_per_offset: int = 5,
+                     broadcast_target: bool | None = None) -> DataFrame:
+    """The classic positional collocation view: for each slot -window..-1,
+    +1..+window around the target, the top collocates AT THAT OFFSET — a
+    concordancer's per-position frequency columns, finer than the
+    left/right split of collocations_directional.
+
+    Pinned semantics (mirrored by oracles_corpus.colloc_by_offset_sql):
+    offset = p_neighbor - p_target (positive = after the target); pairs
+    counted exactly as collocations() but kept per offset; neighbors
+    below min_count AT AN OFFSET are dropped; within each offset rank by
+    (cooc DESC, term ASC), keep k_per_offset; rows ordered (offset ASC,
+    rank ASC). Raw counts, no association score — the per-offset PMI
+    would rank identically per offset (target mass and totals are
+    constant within an offset).
+
+    Scale shape: one broadcast-gated doc_id join (the collocations()
+    gate), one explode bounded by the PAIR count (not the token stream),
+    one groupBy(term, offset), and a row_number window whose partitions
+    are per-offset vocabularies — bounded, never a global sort."""
+    if broadcast_target is None:
+        df_row = dictionary.filter(F.col("term") == target) \
+            .select("df").limit(1).collect()
+        broadcast_target = bool(df_row) and \
+            df_row[0]["df"] <= BROADCAST_TARGET_MAX_DF
+    counts = _offset_counts(postings, target, window,
+                            broadcast_target=broadcast_target)
+    return _offset_rank_tail(counts, min_count, k_per_offset)
+
+
+def colloc_by_offset_packed(index, target: str, window: int = 3,
+                            min_count: int = 2, k_per_offset: int = 5,
+                            scope=None) -> DataFrame:
+    """colloc_by_offset off the PACKED index — identical block-skip
+    machinery to packed_collocations: the target's pruned block scan
+    yields per-shard doc-id envelopes, every block outside them is
+    skipped before any payload byte is read, and the surviving blocks
+    are decoded once for both sides of the pair join."""
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search.packed import (
+        _apply_keep,
+        _decode_blocks,
+        _live,
+        pruned_blocks,
+    )
+
+    spark = index.postings.sparkSession
+    tgt_blocks = pruned_blocks(index, [target])
+    if tgt_blocks is None:
+        return spark.createDataFrame([], OFFSET_SCHEMA)
+    keep = tgt_blocks.groupBy("doc_shard").agg(
+        F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+    )
+    blocks = _apply_keep(index.postings, keep)
+    decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
+    counts = _offset_counts(decoded, target, window)
+    return _offset_rank_tail(counts, min_count, k_per_offset)

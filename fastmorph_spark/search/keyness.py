@@ -331,3 +331,115 @@ def vocab_growth(docs: DataFrame, points: int = 10,
         )
         .orderBy("bucket")
     )
+
+
+DOC_KEYWORDS_SCHEMA = ("doc_id long, rank long, term string, tf long, "
+                       "df long, tfidf double")
+
+
+def doc_keywords(docs: DataFrame, m: int = 3,
+                 text_col: str = "text") -> DataFrame:
+    """Per-DOCUMENT keyword extraction: the top-m TF-IDF terms of every
+    doc — the "what is this text about" panel a corpus portal shows next
+    to a document view, and the per-doc topic signal an LLM-data
+    pipeline attaches as metadata.
+
+    Pinned semantics (mirrored by oracles_corpus.doc_keywords_sql):
+
+    - tf = term count within the doc, df = number of docs containing
+      the term, N = corpus doc count;
+    - ``tfidf = tf * ln((N + 1) / (df + 1))`` — add-one smoothed idf so
+      a corpus-universal term (df == N) scores near (not below) zero
+      and the ratio stays finite on any input;
+    - per doc rank over the UNROUNDED score, (tfidf DESC, term ASC)
+      tie-break; keep rank <= m; output rounded to SCORE_DECIMALS,
+      ordered (doc_id ASC, rank ASC).
+
+    Scale shape: ONE groupBy(doc_id, term) (map-side partial — the
+    dominant shuffle, token-stream keyed but doc-local so perfectly
+    balanced), a vocabulary-sized groupBy(term) REUSING the tf frame
+    (no second corpus scan), a 1-row broadcast for N, and a row_number
+    window whose partitions are per-doc vocabularies — bounded by the
+    longest doc, never a global sort."""
+    tok = docs.select("doc_id", F.explode(tokenize_expr(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            # pinned: tf * ln((N + 1) / (df + 1)) — all float64
+            F.col("tf").cast("double")
+            * F.log((F.col("_n") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", SCORE_DECIMALS).alias("tfidf"),
+        )
+        .orderBy(F.asc("doc_id"), F.asc("rank"))
+    )
+
+
+POSITION_DIST_SCHEMA = "term string, decile int, n_occ long, frac double"
+
+
+def term_position_dist(docs: DataFrame, terms: list[str], bins: int = 10,
+                       text_col: str = "text") -> DataFrame:
+    """WHERE inside documents a term occurs — the concordancer's
+    "distribution plot" (a strip per document position decile): terms
+    concentrated in openings (imports, headers, titles) versus endings
+    versus spread evenly. Complements dispersion (BETWEEN-doc evenness)
+    with the WITHIN-doc axis.
+
+    Pinned semantics (mirrored by oracles_corpus.term_position_dist_sql):
+    for each occurrence at 0-based token index pos in a doc of dl
+    tokens, ``decile = floor((pos * bins) / dl)`` computed in float64
+    (pos < dl, so decile is always in [0, bins-1]); n_occ = occurrences
+    of the term in that decile; ``frac = n_occ / total_occ(term)`` —
+    rounded to SCORE_DECIMALS; rows ordered (term ASC, decile ASC).
+    Deciles with zero occurrences are OMITTED (no densification).
+
+    Scale shape: one posexplode scan filtered to the target terms (the
+    filter prunes before the shuffle), ONE groupBy(term, decile), and a
+    per-term window over <= bins rows for the fraction."""
+    t = (
+        docs.select("doc_id", tokenize_expr(text_col).alias("toks"))
+        .select(
+            F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(list(terms)))
+    )
+    decile = F.floor(
+        (F.col("pos").cast("double") * F.lit(float(bins))) / F.col("dl")
+    ).cast("int")
+    counts = (
+        t.select("term", decile.alias("decile"))
+        .groupBy("term", "decile")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    tot = F.sum("n_occ").over(Window.partitionBy("term"))
+    return (
+        counts.withColumn(
+            "frac",
+            F.col("n_occ").cast("double") / tot.cast("double"))
+        .select(
+            "term",
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.round("frac", SCORE_DECIMALS).alias("frac"),
+        )
+        .orderBy(F.asc("term"), F.asc("decile"))
+    )

@@ -1,0 +1,249 @@
+"""Round-5 profile panels: corpus-wide MWE candidates (mwe_bigrams),
+the per-offset collocate breakdown (colloc_by_offset + packed twin),
+per-doc TF-IDF keywords (doc_keywords), and the within-doc position
+histogram (term_position_dist). Each gets a brute-force Python oracle on
+a hand corpus plus a DuckDB parity check on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fastmorph_spark import oracles_corpus
+from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.index import build_dictionary, build_postings
+from fastmorph_spark.search.collocation import (
+    colloc_by_offset,
+    colloc_by_offset_packed,
+    mwe_bigrams,
+)
+from fastmorph_spark.search.keyness import doc_keywords, term_position_dist
+from fastmorph_spark.sources import read_documents
+from fastmorph_spark.tokenize import tokenize_py
+from tests.conftest import SF0001, assert_frames_match, register_views
+
+HAND = [
+    (0, "fast hash join slow scan fast hash"),
+    (1, "slow fast hash merge merge merge"),
+    (2, "fast scan hash fast hash scan scan"),
+    (3, "merge sort merge sort merge"),
+]
+TEXTS = [t for _, t in HAND]
+
+
+@pytest.fixture(scope="module")
+def hand_tables(spark):
+    docs = spark.createDataFrame(HAND, "doc_id long, text string")
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings).persist()
+    yield docs, postings, dictionary
+    postings.unpersist()
+    dictionary.unpersist()
+
+
+# --- mwe_bigrams ----------------------------------------------------------
+
+def _python_mwe(texts, min_count=1, k=100):
+    fxy: dict[tuple, int] = {}
+    cf: dict[str, int] = {}
+    for text in texts:
+        toks = tokenize_py(text)
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            fxy[(a, b)] = fxy.get((a, b), 0) + 1
+    rows = []
+    for (a, b), n in fxy.items():
+        if n >= min_count:
+            ld = 14 + math.log((2 * float(n)) / (float(cf[a]) + cf[b])) / math.log(2)
+            rows.append((a, b, n, cf[a], cf[b], ld))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return [
+        (i + 1, a, b, n, fa, fb, round(ld, SCORE_DECIMALS))
+        for i, (a, b, n, fa, fb, ld) in enumerate(rows[:k])
+    ]
+
+
+def test_mwe_hand_corpus(spark, hand_tables):
+    docs, *_ = hand_tables
+    got = [tuple(r) for r in mwe_bigrams(docs, min_count=1, k=100).collect()]
+    assert got == _python_mwe(TEXTS)
+    # logDice favors exclusive pairs: "merge sort" (sides occur almost
+    # only together) must beat "hash join" (sides spread across docs)
+    pairs = [(w1, w2) for _, w1, w2, *_ in got]
+    assert pairs.index(("merge", "sort")) < pairs.index(("hash", "join"))
+
+
+def test_mwe_min_count_gate(spark, hand_tables):
+    docs, *_ = hand_tables
+    got = mwe_bigrams(docs, min_count=2, k=100).collect()
+    assert got and all(r["f_xy"] >= 2 for r in got)
+    want = {r[1:3] for r in _python_mwe(TEXTS, min_count=2)}
+    assert {(r["w1"], r["w2"]) for r in got} == want
+
+
+def test_mwe_single_token_docs_ok(spark):
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "a b a b")], "doc_id long, text string")
+    got = [tuple(r) for r in mwe_bigrams(docs, min_count=1, k=10).collect()]
+    assert got == _python_mwe(["solo", "", "a b a b"])
+
+
+# --- colloc_by_offset -----------------------------------------------------
+
+def _python_offsets(texts, target, window=2, min_count=1, k_per=100):
+    counts: dict[tuple, int] = {}
+    for text in texts:
+        toks = tokenize_py(text)
+        tpos = [i for i, t in enumerate(toks) if t == target]
+        for p, t in enumerate(toks):
+            if t == target:
+                continue
+            for q in tpos:
+                if abs(p - q) <= window:
+                    counts[(t, p - q)] = counts.get((t, p - q), 0) + 1
+    by_off: dict[int, list] = {}
+    for (t, o), c in counts.items():
+        if c >= min_count:
+            by_off.setdefault(o, []).append((t, c))
+    rows = []
+    for o in sorted(by_off):
+        ranked = sorted(by_off[o], key=lambda r: (-r[1], r[0]))[:k_per]
+        rows += [(o, i + 1, t, c) for i, (t, c) in enumerate(ranked)]
+    return rows
+
+
+def test_offsets_hand_corpus(spark, hand_tables):
+    _, postings, dictionary = hand_tables
+    got = [tuple(r) for r in colloc_by_offset(
+        postings, dictionary, "fast", 2, min_count=1, k_per_offset=100
+    ).collect()]
+    assert got == _python_offsets(TEXTS, "fast")
+    # signedness: "hash" directly follows "fast" repeatedly -> offset +1
+    assert any(o == 1 and t == "hash" for o, _, t, _ in got)
+
+
+def test_offsets_absent_target_empty(spark, hand_tables):
+    _, postings, dictionary = hand_tables
+    assert colloc_by_offset(postings, dictionary, "zzzznope").collect() == []
+
+
+def test_offsets_packed_equals_corpus(spark):
+    from fastmorph_spark.index.io import build_index_frames
+
+    docs = read_documents(spark, SF0001)
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    idx = build_index_frames(docs, doc_shard_size=100, block_size=16,
+                             pack_partitions=8)
+    corpus = colloc_by_offset(postings, dictionary, "fast", 3, 2, 5).collect()
+    packed = colloc_by_offset_packed(idx, "fast", 3, 2, 5).collect()
+    assert corpus == packed and corpus
+    assert colloc_by_offset_packed(idx, "zzzznope", 3, 2, 5).collect() == []
+    postings.unpersist()
+
+
+# --- doc_keywords ---------------------------------------------------------
+
+def _python_doc_keywords(texts, m=2):
+    n = float(len(texts))
+    tf = []
+    dfreq: dict[str, int] = {}
+    for text in texts:
+        counts: dict[str, int] = {}
+        for t in tokenize_py(text):
+            counts[t] = counts.get(t, 0) + 1
+        tf.append(counts)
+        for t in counts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    rows = []
+    for doc_id, counts in enumerate(tf):
+        scored = sorted(
+            ((t, c, dfreq[t], c * math.log((n + 1.0) / (dfreq[t] + 1.0)))
+             for t, c in counts.items()),
+            key=lambda r: (-r[3], r[0]))[:m]
+        rows += [
+            (doc_id, i + 1, t, c, d, round(s, SCORE_DECIMALS))
+            for i, (t, c, d, s) in enumerate(scored)
+        ]
+    return rows
+
+
+def test_keywords_hand_corpus(spark, hand_tables):
+    docs, *_ = hand_tables
+    got = [tuple(r) for r in doc_keywords(docs, m=2).collect()]
+    assert got == _python_doc_keywords(TEXTS, m=2)
+    # doc 3 is the merge-sort doc: its top keyword must be one of those
+    top3 = next(t for d, r, t, *_ in got if d == 3 and r == 1)
+    assert top3 in ("merge", "sort")
+
+
+def test_keywords_universal_term_scores_low(spark):
+    """A term present in EVERY doc gets idf ln((N+1)/(N+1)) == 0 exactly
+    — it can never outrank a term with df < N regardless of tf."""
+    docs = spark.createDataFrame(
+        [(0, "the the the rare"), (1, "the x"), (2, "the y")],
+        "doc_id long, text string")
+    got = doc_keywords(docs, m=1).collect()
+    assert all(r["term"] != "the" for r in got)
+
+
+# --- term_position_dist ---------------------------------------------------
+
+def _python_posdist(texts, terms, bins=10):
+    counts: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for text in texts:
+        toks = tokenize_py(text)
+        dl = len(toks)
+        for pos, t in enumerate(toks):
+            if t in terms:
+                d = int(math.floor((pos * float(bins)) / dl))
+                counts[(t, d)] = counts.get((t, d), 0) + 1
+                totals[t] = totals.get(t, 0) + 1
+    return [
+        (t, d, c, round(c / float(totals[t]), SCORE_DECIMALS))
+        for (t, d), c in sorted(counts.items())
+    ]
+
+
+def test_posdist_hand_corpus(spark, hand_tables):
+    docs, *_ = hand_tables
+    got = [tuple(r) for r in
+           term_position_dist(docs, ["fast", "merge"], 10).collect()]
+    assert got == _python_posdist(TEXTS, {"fast", "merge"})
+    # fracs sum to ~1 per term over the emitted (sparse) deciles
+    # (each frac is rounded to SCORE_DECIMALS=6, so the sum of <=10
+    # deciles can be off by up to 5e-6)
+    for term in ("fast", "merge"):
+        assert abs(sum(f for t, _, _, f in got if t == term) - 1.0) < 1e-5
+
+
+def test_posdist_decile_bounds(spark, hand_tables):
+    docs, *_ = hand_tables
+    got = term_position_dist(docs, ["fast", "merge", "sort"], 10).collect()
+    assert got and all(0 <= r["decile"] <= 9 for r in got)
+
+
+# --- DuckDB oracle parity on the fixture corpus ---------------------------
+
+def test_duckdb_parity(spark, duck):
+    register_views(duck, SF0001)
+    docs = read_documents(spark, SF0001)
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    assert_frames_match(
+        mwe_bigrams(docs, 5, 50),
+        duck.sql(oracles_corpus.mwe_bigrams_sql(5, 50)))
+    assert_frames_match(
+        colloc_by_offset(postings, dictionary, "fast", 3, 2, 5),
+        duck.sql(oracles_corpus.colloc_by_offset_sql("fast", 3, 2, 5)))
+    assert_frames_match(
+        doc_keywords(docs, 3),
+        duck.sql(oracles_corpus.doc_keywords_sql(3)))
+    assert_frames_match(
+        term_position_dist(docs, ["fast", "join", "the"], 10),
+        duck.sql(oracles_corpus.term_position_dist_sql(
+            ["fast", "join", "the"], 10)))
+    postings.unpersist()
