@@ -57,7 +57,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Ten further request forms share the boundary, all bounded by ``k`` /
+Twelve further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND), the collocation profile (``{"collocations": "term",
 "window": 3, "min_count": 2, "k": 20}``), frequency profiles
@@ -75,9 +75,14 @@ metadata alone), the distributional thesaurus (``{"thesaurus": "word",
 co-occurrence profiles), and the word-sketch diff (``{"sketch_diff":
 ["a", "b"], "window": 3, "min_count": 2, "k": 20}`` — shared
 collocates ranked by pmi_a − pmi_b, served off the packed index with
-one union-envelope-bounded decode), and the did-you-mean box
+one union-envelope-bounded decode), the did-you-mean box
 (``{"suggest": "fasst", "dist": 1, "k": 10}`` — dictionary terms near
-the probe, (dist ASC, df DESC), metadata only).
+the probe, (dist ASC, df DESC), metadata only), the positional
+collocate profile (``{"offsets": "term", "window": 3, "min_count": 2,
+"k": 5}`` — top collocates per signed offset, packed target-envelope
+block skip), and terminology extraction (``{"mwe": true, "min_count":
+5, "k": 50}`` — corpus-wide adjacent-bigram logDice, a document-corpus
+statistic like keyness).
 """
 
 from __future__ import annotations
@@ -147,14 +152,16 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Eleven request forms behind one boundary (module docstring): slots
+    Thirteen request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
-    keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest."""
+    keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
+    offsets, mwe."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
-                         "thesaurus", "sketch_diff", "suggest")
+                         "thesaurus", "sketch_diff", "suggest",
+                         "offsets", "mwe")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -294,6 +301,47 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"sketch_diff": [pair[0], pair[1]], "window": window,
                 "min_count": min_count, "k": k, "lang": lang}
+    if "offsets" in req:
+        # positional collocate profile: per-offset top collocates around
+        # the target (the concordancer's per-position frequency columns)
+        unknown = set(req) - {"offsets", "window", "min_count", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        target = req["offsets"]
+        if not isinstance(target, str) or not target.strip():
+            raise RequestError("offsets must be a non-empty target term")
+        window = req.get("window", 3)
+        if not isinstance(window, int) or isinstance(window, bool) \
+                or not 1 <= window <= 1000:
+            raise RequestError("window must be an integer in [1, 1000]")
+        min_count = req.get("min_count", 2)
+        if not isinstance(min_count, int) or isinstance(min_count, bool) \
+                or min_count < 1:
+            raise RequestError("min_count must be a positive integer")
+        k = req.get("k", 5)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1000:
+            raise RequestError("k must be an integer in [1, 1000] "
+                               "(collocates PER OFFSET)")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"offsets": target.strip(), "window": window,
+                "min_count": min_count, "k": k, "lang": lang}
+    if "mwe" in req:
+        # terminology-extraction tab: corpus-wide adjacent-bigram logDice
+        unknown = set(req) - {"mwe", "min_count", "k"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        if req["mwe"] is not True:
+            raise RequestError("mwe must be true")
+        min_count = req.get("min_count", 5)
+        if not isinstance(min_count, int) or isinstance(min_count, bool) \
+                or min_count < 1:
+            raise RequestError("min_count must be a positive integer")
+        k = req.get("k", 50)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        return {"mwe": True, "min_count": min_count, "k": k, "lang": None}
     if "keyness" in req:
         # corpus-comparison tab: G2 key terms of the `keyness` subcorpus
         unknown = set(req) - {"keyness", "min_count", "k"}
@@ -554,6 +602,19 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "g2": float(r["g2"]),
                              "log_ratio": float(r["log_ratio"])}
                             for r in rows]}
+    if "mwe" in p:
+        # terminology extraction: corpus-wide bigram logDice — like
+        # keyness, a DOCUMENT-corpus statistic independent of which
+        # index serves, answered before per-lang routing
+        from fastmorph_spark.search.collocation import mwe_bigrams
+
+        rows = mwe_bigrams(documents, p["min_count"], p["k"]).collect()
+        return {"min_count": p["min_count"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]), "w1": r["w1"],
+                             "w2": r["w2"], "f_xy": int(r["f_xy"]),
+                             "f_x": int(r["f_x"]), "f_y": int(r["f_y"]),
+                             "logdice": float(r["logdice"])}
+                            for r in rows]}
     if isinstance(index, dict):  # per-lang index map (subcorpus routing)
         if p["lang"] is None:
             return {"error": "this serving index requires a lang field"}
@@ -713,6 +774,21 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "pmi_a": float(r["pmi_a"]),
                              "pmi_b": float(r["pmi_b"]),
                              "diff": float(r["diff"])} for r in rows]}
+    if "offsets" in p:
+        # per-offset collocate columns off the packed index (the
+        # collocations form's block-skip machinery, per-offset output)
+        from fastmorph_spark.search.collocation import colloc_by_offset_packed
+
+        rows = colloc_by_offset_packed(index, p["offsets"],
+                                       window=p["window"],
+                                       min_count=p["min_count"],
+                                       k_per_offset=p["k"],
+                                       scope=scope).collect()
+        return {"target": p["offsets"], "window": p["window"],
+                "min_count": p["min_count"], "k": p["k"],
+                "results": [{"offset": int(r["offset"]),
+                             "rank": int(r["rank"]), "term": r["term"],
+                             "cooc": int(r["cooc"])} for r in rows]}
     if "collocations" in p:
         from fastmorph_spark.search.collocation import packed_collocations
 

@@ -580,3 +580,52 @@ def test_sorted_kwic_request(spark, serving):
                     "sort": "right"})  # snippets format
     assert "error" in handle_request(
         docs, idx, {**base, "sort": "right", "facets": True})
+
+
+def test_offsets_request_matches_corpus_path(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx,
+                          {"offsets": "fast", "window": 3,
+                           "min_count": 2, "k": 5})
+    assert "error" not in resp and resp["target"] == "fast"
+    assert resp["results"]
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+    from fastmorph_spark.search.collocation import colloc_by_offset
+
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    want = colloc_by_offset(postings, dictionary, "fast", 3, 2, 5).collect()
+    assert [(r["offset"], r["rank"], r["term"], r["cooc"]) for r in want] == \
+           [(r["offset"], r["rank"], r["term"], r["cooc"])
+            for r in resp["results"]]
+    # every emitted offset is within the window and never 0
+    assert all(1 <= abs(r["offset"]) <= 3 for r in resp["results"])
+    # validation
+    assert "error" in handle_request(docs, idx, {"offsets": ""})
+    assert "error" in handle_request(docs, idx,
+                                     {"offsets": "fast", "window": 0})
+    assert "error" in handle_request(docs, idx,
+                                     {"offsets": "fast", "k": 0})
+    assert "error" in handle_request(docs, idx,
+                                     {"offsets": "fast", "until": 5})
+    # absent target: well-formed empty response, not an error
+    r0 = handle_request(docs, idx, {"offsets": "zzzznope"})
+    assert "error" not in r0 and r0["results"] == []
+
+
+def test_mwe_request_matches_corpus_path(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"mwe": True, "min_count": 5, "k": 10})
+    assert "error" not in resp and resp["results"]
+    from fastmorph_spark.search.collocation import mwe_bigrams
+
+    want = mwe_bigrams(docs, 5, 10).collect()
+    assert [(r["rank"], r["w1"], r["w2"], r["logdice"]) for r in want] == \
+           [(r["rank"], r["w1"], r["w2"], r["logdice"])
+            for r in resp["results"]]
+    # validation
+    assert "error" in handle_request(docs, idx, {"mwe": 1})
+    assert "error" in handle_request(docs, idx, {"mwe": True, "lang": "en"})
+    assert "error" in handle_request(docs, idx, {"mwe": True, "k": 0})
+    assert "error" in handle_request(docs, idx,
+                                     {"mwe": True, "offsets": "fast"})
