@@ -760,3 +760,32 @@ SELECT term, decile, n_occ,
 FROM counts
 ORDER BY term ASC, decile ASC
 """
+
+
+def next_word_sql(target: str, min_count: int = 1, k: int = 20) -> str:
+    """Mirror of search.collocation.next_word: adjacent-bigram
+    continuations of the target, frac over ALL continuations."""
+    tok = TOK.format(col="text")
+    return f"""
+WITH tokarr AS (SELECT {tok} AS toks FROM documents),
+bi AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tokarr WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT w2, count(*)::BIGINT AS f_xy FROM bi
+  WHERE w1 = '{target}' GROUP BY w2
+),
+tot AS (SELECT sum(f_xy)::DOUBLE AS tot FROM counts),
+scored AS (
+  SELECT w2, f_xy, f_xy::DOUBLE / tot.tot AS frac
+  FROM counts CROSS JOIN tot
+  WHERE f_xy >= {int(min_count)}
+)
+SELECT row_number() OVER (ORDER BY f_xy DESC, w2 ASC) AS rank,
+       w2, f_xy, round(frac, {SCORE_DECIMALS}) AS frac
+FROM scored
+ORDER BY f_xy DESC, w2 ASC
+LIMIT {int(k)}
+"""

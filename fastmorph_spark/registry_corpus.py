@@ -601,6 +601,19 @@ def q_colloc_by_offset_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    OFFSET_MIN, OFFSET_K)
 
 
+NEXTWORD_MIN, NEXTWORD_K = 1, 20
+
+
+def q_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase completion: most frequent continuations of the target —
+    the query-autocomplete box."""
+    from fastmorph_spark.registry import COLLOC_TARGET
+    from fastmorph_spark.search.collocation import next_word
+
+    return next_word(read_documents(spark, sf_dir), COLLOC_TARGET,
+                     NEXTWORD_MIN, NEXTWORD_K)
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-m TF-IDF keywords (pinned smoothed idf)."""
     return keyness.doc_keywords(read_documents(spark, sf_dir), KEYWORDS_M)
@@ -626,6 +639,7 @@ QUERIES = {
     "colloc_by_offset_packed": q_colloc_by_offset_packed,
     "doc_keywords": q_doc_keywords,
     "term_position_dist": q_term_position_dist,
+    "next_word": q_next_word,
     "conc_freq_node": q_conc_freq_node,
     "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
@@ -699,6 +713,8 @@ def oracle_sqls() -> dict[str, str]:
         "doc_keywords": oracles_corpus.doc_keywords_sql(KEYWORDS_M),
         "term_position_dist": oracles_corpus.term_position_dist_sql(
             PROFILE_TERMS, POSDIST_BINS),
+        "next_word": oracles_corpus.next_word_sql(
+            _ctgt, NEXTWORD_MIN, NEXTWORD_K),
         "conc_freq_node": oracles.conc_freq_node_sql(
             FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
         "conc_freq_lang": oracles.conc_freq_attr_sql(

@@ -749,3 +749,49 @@ def colloc_by_offset_packed(index, target: str, window: int = 3,
     decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
     counts = _offset_counts(decoded, target, window)
     return _offset_rank_tail(counts, min_count, k_per_offset)
+
+
+NEXT_WORD_SCHEMA = "rank long, w2 string, f_xy long, frac double"
+
+
+def next_word(docs: DataFrame, target: str, min_count: int = 1,
+              k: int = 20, text_col: str = "text") -> DataFrame:
+    """Phrase completion: the most frequent words immediately FOLLOWING
+    the target — a portal's query-autocomplete / "continue the phrase"
+    box, and the unigram-context special case of an n-gram language
+    model's next-token table.
+
+    Pinned semantics (mirrored by oracles_corpus.next_word_sql): f_xy =
+    adjacent-bigram count (target, w2) under the standard tokenizer;
+    ``frac = f_xy / total_continuations`` over ALL continuations of the
+    target (not just the emitted top-k), both float64, rounded to
+    SCORE_DECIMALS; min_count gate; order (f_xy DESC, w2 ASC).
+
+    Scale shape: the bigram transform filters to the target INSIDE the
+    per-row expression (only the target's continuations are emitted, so
+    the explode is df(target)-bounded, not token-stream-bounded), then
+    ONE map-side-partial groupBy(w2) + a 1-row broadcast total."""
+    toks = docs.select(tokenize_expr(text_col).alias("toks"))
+    cont = toks.select(F.explode(F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "filter(transform(slice(toks, 1, size(toks) - 1), "
+        "(w, i) -> struct(w AS w1, toks[i + 1] AS w2)), "
+        "b -> b.w1 = '{t}') ELSE array() END"
+        .format(t=target.replace("'", "\\'")))).alias("b")
+    ).select("b.w2")
+    counts = cont.groupBy("w2").agg(F.count("*").alias("f_xy"))
+    tot = counts.agg(F.sum("f_xy").cast("double").alias("_tot"))
+    scored = (
+        counts.filter(F.col("f_xy") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("frac",
+                    F.col("f_xy").cast("double") / F.col("_tot"))
+    )
+    topk = scored.orderBy(F.desc("f_xy"), F.asc("w2")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("f_xy"), F.asc("w2")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "w2",
+        F.col("f_xy").cast("long").alias("f_xy"),
+        F.round("frac", SCORE_DECIMALS).alias("frac"),
+    )

@@ -247,3 +247,52 @@ def test_duckdb_parity(spark, duck):
         duck.sql(oracles_corpus.term_position_dist_sql(
             ["fast", "join", "the"], 10)))
     postings.unpersist()
+
+
+# --- next_word ------------------------------------------------------------
+
+def _python_next_word(texts, target, min_count=1, k=100):
+    counts: dict[str, int] = {}
+    for text in texts:
+        toks = tokenize_py(text)
+        for a, b in zip(toks, toks[1:]):
+            if a == target:
+                counts[b] = counts.get(b, 0) + 1
+    tot = float(sum(counts.values()))
+    rows = sorted(((b, c) for b, c in counts.items() if c >= min_count),
+                  key=lambda r: (-r[1], r[0]))[:k]
+    return [
+        (i + 1, b, c, round(c / tot, SCORE_DECIMALS))
+        for i, (b, c) in enumerate(rows)
+    ]
+
+
+def test_next_word_hand_corpus(spark, hand_tables):
+    from fastmorph_spark.search.collocation import next_word
+
+    docs, *_ = hand_tables
+    got = [tuple(r) for r in next_word(docs, "fast", 1, 100).collect()]
+    assert got == _python_next_word(TEXTS, "fast")
+    # "fast hash" occurs 4x across the docs: hash leads
+    assert got[0][1] == "hash" and got[0][2] == 4
+
+
+def test_next_word_absent_and_final_token(spark, hand_tables):
+    from fastmorph_spark.search.collocation import next_word
+
+    docs, *_ = hand_tables
+    assert next_word(docs, "zzzznope").collect() == []
+    # doc 3 ends in "merge": that occurrence has no continuation and
+    # must not contribute
+    got = {r["w2"]: r["f_xy"] for r in next_word(docs, "merge").collect()}
+    assert got == {b: c for _, b, c, _ in _python_next_word(TEXTS, "merge")}
+
+
+def test_next_word_duckdb_parity(spark, duck):
+    from fastmorph_spark.search.collocation import next_word
+
+    register_views(duck, SF0001)
+    docs = read_documents(spark, SF0001)
+    assert_frames_match(
+        next_word(docs, "fast", 1, 20),
+        duck.sql(oracles_corpus.next_word_sql("fast", 1, 20)))
