@@ -572,10 +572,14 @@ POSDIST_BINS = 10
 
 def q_mwe_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide multiword-expression candidates: adjacent bigrams
-    ranked by logDice — terminology extraction without a target term."""
+    ranked by logDice — terminology extraction without a target term.
+    Unigram frequencies come from the index dictionary (exact, identical
+    to a fresh count) so the statistic costs ONE corpus scan."""
+    from fastmorph_spark.registry import _index_tables
     from fastmorph_spark.search.collocation import mwe_bigrams
 
-    return mwe_bigrams(read_documents(spark, sf_dir), MWE_MIN, MWE_K)
+    docs, _, dictionary, *_ = _index_tables(spark, sf_dir)
+    return mwe_bigrams(docs, MWE_MIN, MWE_K, dictionary=dictionary)
 
 
 def q_colloc_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:

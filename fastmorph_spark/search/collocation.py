@@ -576,7 +576,8 @@ MWE_SCHEMA = ("rank long, w1 string, w2 string, f_xy long, f_x long, "
 
 
 def mwe_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                dictionary: DataFrame | None = None) -> DataFrame:
     """Corpus-WIDE association ranking of adjacent bigrams — terminology
     / multiword-expression extraction, the portal view that finds "word
     sketch candidates" without a target term [LIT: Rychlý 2008, "A
@@ -600,8 +601,12 @@ def mwe_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50,
     partial groupBy(w1, w2) — the bigram-vocabulary shuffle a corpus-
     wide pair count must pay. The min_count gate runs before the two
     unigram-cf joins, so the join probe side is the (small) candidate
-    set, not the raw bigram stream; the unigram agg is a second
-    scan+groupBy, never a join against the corpus. TakeOrderedAndProject
+    set, not the raw bigram stream. Pass ``dictionary`` (term, cf —
+    index.build_dictionary output, identical cf by construction) to
+    source the unigram frequencies from precomputed index METADATA:
+    without it the inline unigram agg appears under BOTH cf joins and
+    Catalyst plans the corpus scan twice (plan-audited) — with it the
+    whole statistic costs exactly one corpus scan. TakeOrderedAndProject
     caps the output at k."""
     toks = docs.select(tokenize_expr(text_col).alias("toks"))
     bi = toks.select(F.explode(F.expr(
@@ -611,8 +616,11 @@ def mwe_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50,
         "ELSE array() END")).alias("b")).select("b.w1", "b.w2")
     fxy = (bi.groupBy("w1", "w2").agg(F.count("*").alias("f_xy"))
              .filter(F.col("f_xy") >= min_count))
-    uni = (toks.select(F.explode("toks").alias("term"))
-               .groupBy("term").agg(F.count("*").alias("cf")))
+    if dictionary is not None:
+        uni = dictionary.select("term", F.col("cf").cast("long").alias("cf"))
+    else:
+        uni = (toks.select(F.explode("toks").alias("term"))
+                   .groupBy("term").agg(F.count("*").alias("cf")))
     scored = (
         fxy
         .join(uni.select(F.col("term").alias("w1"), F.col("cf").alias("f_x")),
@@ -780,7 +788,12 @@ def next_word(docs: DataFrame, target: str, min_count: int = 1,
         .format(t=target.replace("'", "\\'")))).alias("b")
     ).select("b.w2")
     counts = cont.groupBy("w2").agg(F.count("*").alias("f_xy"))
-    tot = counts.agg(F.sum("f_xy").cast("double").alias("_tot"))
+    # total from the continuation STREAM, not from `counts`: identical
+    # value (both count the same rows), but aggregating `counts` would
+    # recompute its subtree THROUGH THE SHUFFLE just to produce 1 number
+    # — this form's second pass is scan + map-side partial agg only
+    # (the keyness.py totals discipline)
+    tot = cont.agg(F.count("*").cast("double").alias("_tot"))
     scored = (
         counts.filter(F.col("f_xy") >= min_count)
         .crossJoin(F.broadcast(tot))

@@ -608,7 +608,12 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         # index serves, answered before per-lang routing
         from fastmorph_spark.search.collocation import mwe_bigrams
 
-        rows = mwe_bigrams(documents, p["min_count"], p["k"]).collect()
+        # single-index serving: its dictionary covers the whole corpus,
+        # so unigram cf comes from metadata (one corpus scan total);
+        # per-lang routing holds per-lang cf only -> inline unigram agg
+        d = index.dictionary if not isinstance(index, dict) else None
+        rows = mwe_bigrams(documents, p["min_count"], p["k"],
+                           dictionary=d).collect()
         return {"min_count": p["min_count"], "k": p["k"],
                 "results": [{"rank": int(r["rank"]), "w1": r["w1"],
                              "w2": r["w2"], "f_xy": int(r["f_xy"]),

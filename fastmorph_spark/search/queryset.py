@@ -136,6 +136,21 @@ def run_query(
         return packed_collocations(index, q, window=spec.get("window", 3),
                                    min_count=spec.get("min_count", 2),
                                    k=spec.get("k") or 20)
+    if mode == "offsets_packed":
+        # per-offset collocate columns off the packed index (the
+        # "offsets" serving form)
+        from fastmorph_spark.search.collocation import colloc_by_offset_packed
+
+        return colloc_by_offset_packed(index, q,
+                                       window=spec.get("window", 3),
+                                       min_count=spec.get("min_count", 2),
+                                       k_per_offset=spec.get("k") or 5)
+    if mode == "mwe":
+        # corpus-wide bigram logDice (the "mwe" serving form)
+        from fastmorph_spark.search.collocation import mwe_bigrams
+
+        return mwe_bigrams(documents, spec.get("min_count", 5),
+                           spec.get("k") or 50)
     if mode == "keyness":
         # subcorpus comparison (G2 + log-ratio) — the corpus-analytics
         # tab; one tokenize scan + one term-keyed groupBy
@@ -227,6 +242,12 @@ def run_query_oracle(spec: dict, oracle) -> list:
         return _oracle_collocations(oracle, q, spec.get("window", 3),
                                     spec.get("min_count", 2),
                                     spec.get("k") or 20)
+    if mode == "offsets_packed":
+        return _oracle_offsets(oracle, q, spec.get("window", 3),
+                               spec.get("min_count", 2), spec.get("k") or 5)
+    if mode == "mwe":
+        return _oracle_mwe(oracle, spec.get("min_count", 5),
+                           spec.get("k") or 50)
     if mode == "keyness":
         return _oracle_keyness(oracle, spec["focus"],
                                spec.get("min_count", 5), spec.get("k") or 50)
@@ -336,6 +357,57 @@ def _oracle_collocations(oracle, target: str, window: int, min_count: int,
     scored.sort(key=lambda r: (-r[3], r[0]))
     return [[i + 1, t, c, f, repr(round(pmi, 6))]
             for i, (t, c, f, pmi) in enumerate(scored[:k])]
+
+
+def _oracle_offsets(oracle, target: str, window: int, min_count: int,
+                    k_per_offset: int) -> list:
+    """Pure-Python twin of collocation.colloc_by_offset (signed offset
+    = p_neighbor - p_target, per-offset (cooc DESC, term ASC) top-k)."""
+    counts: dict[tuple, int] = {}
+    for d in oracle.doc_ids:
+        toks = oracle.tokens[d]
+        tpos = [i for i, t in enumerate(toks) if t == target]
+        if not tpos:
+            continue
+        for i, t in enumerate(toks):
+            if t == target:
+                continue
+            for p in tpos:
+                if abs(i - p) <= window:
+                    key = (t, i - p)
+                    counts[key] = counts.get(key, 0) + 1
+    by_off: dict[int, list] = {}
+    for (t, o), c in counts.items():
+        if c >= min_count:
+            by_off.setdefault(o, []).append((t, c))
+    rows = []
+    for o in sorted(by_off):
+        ranked = sorted(by_off[o], key=lambda r: (-r[1], r[0]))[:k_per_offset]
+        rows += [[o, i + 1, t, c] for i, (t, c) in enumerate(ranked)]
+    return rows
+
+
+def _oracle_mwe(oracle, min_count: int, k: int) -> list:
+    """Pure-Python twin of collocation.mwe_bigrams (adjacent-bigram
+    logDice, ln/ln2 pinning, repr(round(., 6)) float discipline)."""
+    import math as _math
+
+    fxy: dict[tuple, int] = {}
+    cf: dict[str, int] = {}
+    for d in oracle.doc_ids:
+        toks = oracle.tokens[d]
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            fxy[(a, b)] = fxy.get((a, b), 0) + 1
+    scored = [
+        (a, b, n, cf[a], cf[b],
+         14 + _math.log((2 * float(n)) / (float(cf[a]) + cf[b])) / _math.log(2))
+        for (a, b), n in fxy.items() if n >= min_count
+    ]
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return [[i + 1, a, b, n, fa, fb, repr(round(ld, 6))]
+            for i, (a, b, n, fa, fb, ld) in enumerate(scored[:k])]
 
 
 def _oracle_kwic_rows(oracle, slots, dists, skip, until, width):

@@ -90,6 +90,14 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
                [g[:4] for g in exp], spec["qid"]
         for r, g in zip(rows, exp):
             assert math.isclose(r["pmi"], float(g[4]), abs_tol=1e-6), spec["qid"]
+    elif spec["mode"] == "offsets_packed":
+        assert [[r["offset"], r["rank"], r["term"], r["cooc"]]
+                for r in rows] == exp, spec["qid"]
+    elif spec["mode"] == "mwe":
+        assert [[r["rank"], r["w1"], r["w2"], r["f_xy"], r["f_x"], r["f_y"]]
+                for r in rows] == [g[:6] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["logdice"], float(g[6]), abs_tol=1e-6), spec["qid"]
     elif spec["mode"] == "keyness":
         assert [[r["rank"], r["term"], r["f_focus"], r["f_ref"]] for r in rows] \
                == [g[:4] for g in exp], spec["qid"]
