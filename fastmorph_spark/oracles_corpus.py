@@ -789,3 +789,37 @@ FROM scored
 ORDER BY f_xy DESC, w2 ASC
 LIMIT {int(k)}
 """
+
+
+def dispersion_dp_sql(terms: list[str], parts: int = 8) -> str:
+    """Mirror of search.keyness.dispersion_dp: Gries' DP with the
+    absent-parts closed form dp = 0.5 * (1 + sum_present(|v-s| - s))."""
+    tok = TOK.format(col="text")
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH tokarr AS (SELECT doc_id % {int(parts)} AS part, {tok} AS toks
+                FROM documents),
+shares AS (
+  SELECT part, sum(len(toks))::DOUBLE
+           / (SELECT sum(len(toks))::DOUBLE FROM tokarr) AS s
+  FROM tokarr GROUP BY part
+),
+per_part AS (
+  SELECT term, part, count(*)::DOUBLE AS n
+  FROM (SELECT part, unnest(toks) AS term FROM tokarr)
+  WHERE term IN ({inlist})
+  GROUP BY term, part
+),
+scored AS (
+  SELECT p.term, p.n,
+         sum(p.n) OVER (PARTITION BY p.term) AS cf,
+         abs(p.n / sum(p.n) OVER (PARTITION BY p.term) - sh.s) - sh.s
+           AS term_contrib
+  FROM per_part p JOIN shares sh USING (part)
+)
+SELECT term, cf::BIGINT AS cf, count(*)::BIGINT AS range_parts,
+       round(0.5 * (1.0 + sum(term_contrib)), {SCORE_DECIMALS}) AS dp
+FROM scored
+GROUP BY term, cf
+ORDER BY term
+"""

@@ -78,6 +78,13 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                               PROFILE_TERMS, DISPERSION_PARTS)
 
 
+def q_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP over the same doc-id classes as dispersion — the
+    size-weighted modern standard, lower = more even."""
+    return keyness.dispersion_dp(read_documents(spark, sf_dir),
+                                 PROFILE_TERMS, DISPERSION_PARTS)
+
+
 def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-first edit-distance expansion (typo fixture corpus:
     'fasst'/'fst' planted 1-edit variants of 'fast')."""
@@ -644,6 +651,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "term_position_dist": q_term_position_dist,
     "next_word": q_next_word,
+    "dispersion_dp": q_dispersion_dp,
     "conc_freq_node": q_conc_freq_node,
     "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
@@ -719,6 +727,8 @@ def oracle_sqls() -> dict[str, str]:
             PROFILE_TERMS, POSDIST_BINS),
         "next_word": oracles_corpus.next_word_sql(
             _ctgt, NEXTWORD_MIN, NEXTWORD_K),
+        "dispersion_dp": oracles_corpus.dispersion_dp_sql(
+            PROFILE_TERMS, DISPERSION_PARTS),
         "conc_freq_node": oracles.conc_freq_node_sql(
             FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
         "conc_freq_lang": oracles.conc_freq_attr_sql(

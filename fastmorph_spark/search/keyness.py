@@ -443,3 +443,72 @@ def term_position_dist(docs: DataFrame, terms: list[str], bins: int = 10,
         )
         .orderBy(F.asc("term"), F.asc("decile"))
     )
+
+
+def dispersion_dp(docs: DataFrame, terms: list[str], parts: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """Gries' DP ("deviation of proportions") — the field's current
+    standard dispersion measure [LIT: Gries 2008, "Dispersions and
+    adjusted frequencies in corpora"], complementing Juilland's D
+    (dispersion): DP weights parts by their actual SIZE, so it stays
+    meaningful when parts are unequal.
+
+    Pinned semantics (mirrored by oracles_corpus.dispersion_dp_sql),
+    over the same doc-id classes as dispersion (part = doc_id % parts):
+
+        s_i = tokens in part i / total tokens    (the part's share)
+        v_i = term occurrences in part i / cf    (the term's share)
+        dp  = 0.5 * (1.0 + sum_present(abs(v_i - s_i) - s_i))
+
+    The closed form folds the absent parts in WITHOUT densification:
+    an absent part contributes |0 - s_i| = s_i, and sum_all(s_i) == 1,
+    so only parts where the term OCCURS enter the aggregation — the
+    same no-P×V-grid discipline as Juilland's D. dp in [0, 1), lower =
+    more evenly dispersed (note the inverted sense vs D). ``range_parts``
+    = parts containing the term. Output ordered by term.
+
+    Scale shape: one filtered tokenize scan + ONE groupBy(term, part)
+    for the term side; the part-share side is a second scan + a
+    parts-row groupBy broadcast onto it. No joins on corpus-sized
+    frames."""
+    assert parts >= 2, "DP needs at least 2 parts"
+    tok = docs.select(
+        (F.col("doc_id") % parts).alias("part"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    # part shares from the full token stream (map-side partial agg into
+    # a parts-row frame — broadcast onto the per-term side)
+    shares = (
+        tok.groupBy("part")
+        .agg(F.sum(F.size("toks")).cast("double").alias("_ptok"))
+    )
+    tot = shares.agg(F.sum("_ptok").alias("_tot"))
+    shares = shares.crossJoin(F.broadcast(tot)) \
+        .select("part", (F.col("_ptok") / F.col("_tot")).alias("s"))
+    per_part = (
+        docs.select(
+            (F.col("doc_id") % parts).alias("part"),
+            F.explode(tokenize_expr(text_col)).alias("term"),
+        )
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy("term", "part")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    cf = F.sum("n").over(Window.partitionBy("term"))
+    scored = (
+        per_part.withColumn("_cf", cf)
+        .join(F.broadcast(shares), "part")
+        .withColumn("_term_contrib",
+                    F.abs(F.col("n") / F.col("_cf") - F.col("s"))
+                    - F.col("s"))
+    )
+    dp = F.lit(0.5) * (F.lit(1.0) + F.sum("_term_contrib"))
+    return (
+        scored.groupBy("term")
+        .agg(
+            F.max("_cf").cast("long").alias("cf"),
+            F.count("*").cast("long").alias("range_parts"),
+            F.round(dp, SCORE_DECIMALS).alias("dp"),
+        )
+        .orderBy("term")
+    )

@@ -296,3 +296,64 @@ def test_next_word_duckdb_parity(spark, duck):
     assert_frames_match(
         next_word(docs, "fast", 1, 20),
         duck.sql(oracles_corpus.next_word_sql("fast", 1, 20)))
+
+
+# --- dispersion_dp ----------------------------------------------------------
+
+def _python_dp(texts, terms, parts=4):
+    part_tokens: dict[int, int] = {}
+    per: dict[tuple, int] = {}
+    for doc_id, text in enumerate(texts):
+        toks = tokenize_py(text)
+        p = doc_id % parts
+        part_tokens[p] = part_tokens.get(p, 0) + len(toks)
+        for t in toks:
+            if t in terms:
+                per[(t, p)] = per.get((t, p), 0) + 1
+    total = float(sum(part_tokens.values()))
+    rows = []
+    for term in sorted({t for t, _ in per}):
+        cf = float(sum(c for (t, p), c in per.items() if t == term))
+        rng = sum(1 for (t, p) in per if t == term)
+        contrib = sum(
+            abs(c / cf - part_tokens[p] / total) - part_tokens[p] / total
+            for (t, p), c in per.items() if t == term)
+        rows.append((term, int(cf), rng,
+                     round(0.5 * (1.0 + contrib), SCORE_DECIMALS)))
+    return rows
+
+
+def test_dp_hand_corpus(spark, hand_tables):
+    from fastmorph_spark.search.keyness import dispersion_dp
+
+    docs, *_ = hand_tables
+    got = [tuple(r) for r in
+           dispersion_dp(docs, ["fast", "merge", "sort"], parts=4).collect()]
+    assert got == _python_dp(TEXTS, {"fast", "merge", "sort"}, parts=4)
+    by_term = {t: dp for t, _, _, dp in got}
+    # "fast" occurs in parts 0,1,2 (docs 0-2); "sort" only in part 3 —
+    # the concentrated term must have strictly higher DP (more bursty)
+    assert by_term["sort"] > by_term["fast"]
+    # range sanity
+    rng = {t: r for t, _, r, _ in got}
+    assert rng["sort"] == 1 and rng["fast"] == 3
+
+
+def test_dp_uniform_is_low(spark):
+    """A term spread exactly with part sizes has DP == 0."""
+    from fastmorph_spark.search.keyness import dispersion_dp
+
+    docs = spark.createDataFrame(
+        [(i, "x filler") for i in range(8)], "doc_id long, text string")
+    got = dispersion_dp(docs, ["x"], parts=4).collect()
+    assert len(got) == 1 and got[0]["dp"] == 0.0
+
+
+def test_dp_duckdb_parity(spark, duck):
+    from fastmorph_spark.search.keyness import dispersion_dp
+
+    register_views(duck, SF0001)
+    docs = read_documents(spark, SF0001)
+    assert_frames_match(
+        dispersion_dp(docs, ["fast", "join", "the"], 8),
+        duck.sql(oracles_corpus.dispersion_dp_sql(["fast", "join", "the"], 8)))
