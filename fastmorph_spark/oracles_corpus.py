@@ -823,3 +823,66 @@ FROM scored
 GROUP BY term, cf
 ORDER BY term
 """
+
+
+def kwic_gdex_sql(slots: list, dists: list, match_len: int,
+                  width: int = 5, n: int = 100,
+                  target_len: int = 20) -> str:
+    """Mirror of engine.kwic_gdex: GDEX-style best-example ranking —
+    score = ln(1.0 + min_cf) - abs(dl - target) / target over the kwic
+    line set, min_cf = rarest context-token corpus frequency (0 for an
+    empty context)."""
+    from fastmorph_spark.oracles import TOK, slot_search_sql
+
+    inner = slot_search_sql(slots, dists).strip()
+    tok = TOK.format(col="text")
+    t = float(target_len)
+    return f"""
+WITH m AS ({inner}),
+occ AS (
+  SELECT doc_id, unnest(string_split(match_starts, ','))::INT AS pos FROM m
+),
+tk AS (SELECT doc_id, {tok} AS toks FROM documents),
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(toks) AS term FROM tk) GROUP BY term
+),
+lines AS (
+  SELECT occ.doc_id, occ.pos::BIGINT AS pos, len(toks)::BIGINT AS dl,
+         list_concat(
+           toks[greatest(occ.pos + 1 - {int(width)}, 1):occ.pos],
+           toks[occ.pos + 1 + {int(match_len)}:
+                least(occ.pos + {int(match_len)} + {int(width)}, len(toks))]
+         ) AS ctx,
+         coalesce(array_to_string(
+           toks[greatest(occ.pos + 1 - {int(width)}, 1):occ.pos], ' '), '')
+           AS left_ctx,
+         array_to_string(
+           toks[occ.pos + 1:occ.pos + {int(match_len)}], ' ') AS keyword,
+         coalesce(array_to_string(
+           toks[occ.pos + 1 + {int(match_len)}:
+                least(occ.pos + {int(match_len)} + {int(width)}, len(toks))],
+           ' '), '') AS right_ctx
+  FROM occ JOIN tk ON occ.doc_id = tk.doc_id
+),
+mins AS (
+  SELECT doc_id, pos, min(cf.cf)::BIGINT AS min_cf
+  FROM (SELECT doc_id, pos, unnest(ctx) AS term FROM lines) c
+  JOIN cf USING (term)
+  GROUP BY doc_id, pos
+),
+scored AS (
+  SELECT l.doc_id, l.pos, coalesce(m2.min_cf, 0)::BIGINT AS min_cf, l.dl,
+         ln(1.0 + coalesce(m2.min_cf, 0)::DOUBLE)
+           - abs(l.dl::DOUBLE - {t}) / {t} AS score,
+         l.left_ctx, l.keyword, l.right_ctx
+  FROM lines l LEFT JOIN mins m2 ON l.doc_id = m2.doc_id AND l.pos = m2.pos
+)
+SELECT row_number() OVER (
+         ORDER BY score DESC, doc_id ASC, pos ASC) AS rank,
+       doc_id, pos, min_cf, dl, round(score, {SCORE_DECIMALS}) AS score,
+       left_ctx, keyword, right_ctx
+FROM scored
+ORDER BY score DESC, doc_id ASC, pos ASC
+LIMIT {int(n)}
+"""

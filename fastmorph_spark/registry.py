@@ -1298,10 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 123 keys, the cap casualties are the r04-driver-green
-    tail PLUS the last 23 corpus-extension keys (mwe_bigrams,
+    suite. With 124 keys, the cap casualties are the r04-driver-green
+    tail PLUS the last 24 corpus-extension keys (mwe_bigrams,
     colloc_by_offset, colloc_by_offset_packed, doc_keywords,
-    term_position_dist, next_word, dispersion_dp, collocations_directional, stem_paradigm,
+    term_position_dist, next_word, dispersion_dp, kwic_gdex,
+    collocations_directional, stem_paradigm,
     kwic_sample, thesaurus, sketch_diff, kwic_sorted, lexdiv, cql_search,
     cql_within_sentence, corpus_summary, collocations_measures,
     regex_terms, slot_regex_search, slot_regex_packed, freq_spectrum,

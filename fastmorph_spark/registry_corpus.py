@@ -78,6 +78,22 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                               PROFILE_TERMS, DISPERSION_PARTS)
 
 
+GDEX_SLOTS = [{"term": "fast"}, {"pattern": "h*"}]
+GDEX_DISTS = [(1, 1)]
+GDEX_LEN, GDEX_WIDTH, GDEX_N = 2, 5, 50
+
+
+def q_kwic_gdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDEX-style best-example concordance: lines ranked by the pinned
+    commonness + length heuristic instead of corpus order."""
+    from fastmorph_spark.registry import _index_tables
+
+    docs, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    m = engine.slot_search(postings, dictionary, GDEX_SLOTS, GDEX_DISTS)
+    return engine.kwic_gdex(docs, dictionary, m, GDEX_LEN, GDEX_WIDTH,
+                            GDEX_N)
+
+
 def q_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gries' DP over the same doc-id classes as dispersion — the
     size-weighted modern standard, lower = more even."""
@@ -652,6 +668,7 @@ QUERIES = {
     "term_position_dist": q_term_position_dist,
     "next_word": q_next_word,
     "dispersion_dp": q_dispersion_dp,
+    "kwic_gdex": q_kwic_gdex,
     "conc_freq_node": q_conc_freq_node,
     "conc_freq_lang": q_conc_freq_lang,
     "keyness": q_keyness,
@@ -729,6 +746,8 @@ def oracle_sqls() -> dict[str, str]:
             _ctgt, NEXTWORD_MIN, NEXTWORD_K),
         "dispersion_dp": oracles_corpus.dispersion_dp_sql(
             PROFILE_TERMS, DISPERSION_PARTS),
+        "kwic_gdex": oracles_corpus.kwic_gdex_sql(
+            GDEX_SLOTS, GDEX_DISTS, GDEX_LEN, GDEX_WIDTH, GDEX_N),
         "conc_freq_node": oracles.conc_freq_node_sql(
             FREQNODE_SLOTS, [], match_len=1, k=FREQNODE_K),
         "conc_freq_lang": oracles.conc_freq_attr_sql(

@@ -735,3 +735,108 @@ def kwic_sorted(
         rank.cast("long").alias("rank"),
         id_col, "pos", "left_ctx", "keyword", "right_ctx",
     )
+
+
+GDEX_TARGET_LEN = 20  # preferred document token length for an example
+
+
+def kwic_gdex(
+    documents: DataFrame,
+    dictionary: DataFrame,
+    matches: DataFrame,
+    match_len: int,
+    width: int = 5,
+    n: int = 100,
+    target_len: int = GDEX_TARGET_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-example concordance sort — GDEX-style "good dictionary
+    example" ranking [LIT: Kilgarriff et al. 2008, "GDEX: Automatically
+    finding good dictionary examples in a corpus"]: surface the lines a
+    lexicographer would pick first, instead of corpus order.
+
+    Pinned heuristic (mirrored by oracles_corpus.kwic_gdex_sql), the two
+    GDEX core signals that are deterministic on any corpus:
+
+    - COMMON context reads easier: ``min_cf`` = the corpus frequency of
+      the RAREST context token of the line (the kwic window minus the
+      node span); a single obscure word disqualifies an example, which
+      is why GDEX uses the minimum, not the mean. Empty context (the
+      document IS the node) pins min_cf = 0.
+    - MODERATE length reads easier: documents near ``target_len`` tokens
+      are preferred.
+
+        score = ln(1.0 + min_cf) - abs(dl - target_len) / target_len
+
+    Rank over the UNROUNDED score, (score DESC, doc_id ASC, pos ASC)
+    tie-break; output score rounded to SCORE_DECIMALS. Output:
+    (rank, doc_id, pos, min_cf, dl, score, left_ctx, keyword,
+    right_ctx).
+
+    Scale shape: the kwic line set (one explode + one documents join,
+    exactly engine.kwic) plus one line-bounded context explode
+    (<= 2*width tokens per line) joined against the vocabulary-sized
+    dictionary for cf, then TakeOrderedAndProject caps at n. No window
+    over an unbounded partition; the rank window runs on <= n rows."""
+    from fastmorph_spark.constants import SCORE_DECIMALS
+
+    occ = matches.select(
+        id_col,
+        F.explode(F.split("match_starts", ",").cast("array<int>")).alias("pos"),
+    )
+    toks = documents.select(F.col(id_col), tokenize_expr(text_col).alias("_toks"))
+    j = occ.join(toks, id_col)
+    start_el = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    left_len = F.col("pos") + 1 - start_el
+    right_len = F.greatest(
+        F.least(F.lit(width), F.size("_toks") - (F.col("pos") + match_len)),
+        F.lit(0),
+    )
+    lines = j.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.size("_toks").cast("long").alias("dl"),
+        F.concat(
+            F.slice("_toks", start_el, left_len),
+            F.slice("_toks", F.col("pos") + 1 + match_len, right_len),
+        ).alias("_ctx"),
+        F.array_join(F.slice("_toks", start_el, left_len), " ").alias("left_ctx"),
+        F.array_join(
+            F.slice("_toks", F.col("pos") + 1, F.lit(match_len)), " "
+        ).alias("keyword"),
+        F.array_join(
+            F.slice("_toks", F.col("pos") + 1 + match_len, right_len), " "
+        ).alias("right_ctx"),
+    )
+    ctx = lines.select(id_col, "pos", F.explode("_ctx").alias("term"))
+    # inner join loses nothing: every context token is in the dictionary
+    # by construction (same tokenizer); empty-context lines re-enter
+    # through the left join below with min_cf pinned to 0
+    mins = (
+        ctx.join(dictionary.select("term", "cf"), "term")
+        .groupBy(id_col, "pos")
+        .agg(F.min("cf").cast("long").alias("min_cf"))
+    )
+    scored = (
+        lines.join(mins, [id_col, "pos"], "left")
+        .withColumn("min_cf", F.coalesce(F.col("min_cf"), F.lit(0)))
+        .withColumn(
+            "score",
+            # pinned: ln(1.0 + min_cf) - abs(dl - target) / target
+            F.log(F.lit(1.0) + F.col("min_cf").cast("double"))
+            - F.abs(F.col("dl").cast("double") - F.lit(float(target_len)))
+            / F.lit(float(target_len)),
+        )
+    )
+    topn = scored.orderBy(
+        F.desc("score"), F.asc(id_col), F.asc("pos")).limit(n)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc(id_col), F.asc("pos")))
+    return topn.select(
+        rank.cast("long").alias("rank"),
+        id_col, "pos",
+        "min_cf", "dl",
+        F.round("score", SCORE_DECIMALS).alias("score"),
+        "left_ctx", "keyword", "right_ctx",
+    )

@@ -357,3 +357,80 @@ def test_dp_duckdb_parity(spark, duck):
     assert_frames_match(
         dispersion_dp(docs, ["fast", "join", "the"], 8),
         duck.sql(oracles_corpus.dispersion_dp_sql(["fast", "join", "the"], 8)))
+
+
+# --- kwic_gdex --------------------------------------------------------------
+
+def _python_gdex(texts, node, match_len=2, width=2, n=100, target=20):
+    cf: dict[str, int] = {}
+    all_toks = [tokenize_py(t) for t in texts]
+    for toks in all_toks:
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+    rows = []
+    for doc_id, toks in enumerate(all_toks):
+        dl = len(toks)
+        for p in range(dl - match_len + 1):
+            if tuple(toks[p:p + match_len]) != tuple(node):
+                continue
+            lo = max(0, p - width)
+            ctx = toks[lo:p] + toks[p + match_len:p + match_len + width]
+            min_cf = min((cf[t] for t in ctx), default=0)
+            score = math.log(1.0 + min_cf) - abs(dl - float(target)) / target
+            rows.append((doc_id, p, min_cf, dl, score,
+                         " ".join(toks[lo:p]),
+                         " ".join(toks[p:p + match_len]),
+                         " ".join(toks[p + match_len:p + match_len + width])))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    return [
+        (i + 1, d, p, mc, dl, round(s, SCORE_DECIMALS), l, k, r)
+        for i, (d, p, mc, dl, s, l, k, r) in enumerate(rows[:n])
+    ]
+
+
+def test_gdex_hand_corpus(spark, hand_tables):
+    docs, postings, dictionary = hand_tables
+    from fastmorph_spark.search import engine
+
+    m = engine.slot_search(postings, dictionary,
+                           [{"term": "fast"}, {"term": "hash"}], [(1, 1)])
+    got = [tuple(r) for r in engine.kwic_gdex(
+        docs, dictionary, m, 2, width=2, n=100, target_len=20).collect()]
+    assert got == _python_gdex(TEXTS, ("fast", "hash"))
+    assert got  # non-vacuous
+
+
+def test_gdex_empty_context_pinned_zero(spark):
+    """A document that IS the node has no context: min_cf pins to 0 and
+    the line still ranks (it does not vanish in the cf join)."""
+    from fastmorph_spark.index import build_dictionary, build_postings
+    from fastmorph_spark.search import engine
+
+    docs = spark.createDataFrame(
+        [(0, "fast hash"), (1, "a fast hash b")], "doc_id long, text string")
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    m = engine.slot_search(postings, dictionary,
+                           [{"term": "fast"}, {"term": "hash"}], [(1, 1)])
+    got = [tuple(r) for r in engine.kwic_gdex(
+        docs, dictionary, m, 2, width=2, n=10, target_len=20).collect()]
+    assert got == _python_gdex(["fast hash", "a fast hash b"],
+                               ("fast", "hash"))
+    by_doc = {r[1]: r for r in got}
+    assert by_doc[0][3 - 1] == 0  # min_cf column (idx 2) is 0 for doc 0
+    assert len(got) == 2
+
+
+def test_gdex_duckdb_parity(spark, duck):
+    from fastmorph_spark.search import engine
+
+    register_views(duck, SF0001)
+    docs = read_documents(spark, SF0001)
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    slots = [{"term": "fast"}, {"pattern": "h*"}]
+    m = engine.slot_search(postings, dictionary, slots, [(1, 1)])
+    assert_frames_match(
+        engine.kwic_gdex(docs, dictionary, m, 2, 5, 50),
+        duck.sql(oracles_corpus.kwic_gdex_sql(slots, [(1, 1)], 2, 5, 50)))
+    postings.unpersist()
