@@ -32,7 +32,9 @@ Request shape (all engine capabilities reachable):
                                          #   columns instead of snippets
       "sort": "right",                   # kwic only: right-/left-sorted
                                          #   concordance page (flat lines,
-                                         #   ranks of the SORTED order)
+                                         #   ranks of the SORTED order);
+                                         #   "gdex" ranks by best-example
+                                         #   score (adds score/min_cf)
       "facets": true,                    # optional: response gains
                                          #   per-lang/source match counts
       "filter": {                        # optional CONTEXT FILTER on the
@@ -479,8 +481,9 @@ def parse_request(req: dict) -> dict:
     sort = req.get("sort")
     if sort is not None:
         # the concordancer's sort buttons: only meaningful on kwic lines
-        if sort not in ("right", "left"):
-            raise RequestError("sort must be 'right' or 'left'")
+        # ("gdex" = best-example ranking instead of collation order)
+        if sort not in ("right", "left", "gdex"):
+            raise RequestError("sort must be 'right', 'left' or 'gdex'")
         if fmt != "kwic":
             raise RequestError("sort requires format='kwic'")
         if facets:
@@ -829,20 +832,32 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                     session[key] = m
             else:
                 m = _match_set(index, p, scope=scope)
-            lines = kwic_sorted(documents, m, len(p["slots"]),
-                                width=p["width"], by=p["sort"],
-                                n=p["until"]).collect()
+            if p["sort"] == "gdex":
+                from fastmorph_spark.search.engine import kwic_gdex
+
+                lines = kwic_gdex(documents, index.dictionary, m,
+                                  len(p["slots"]), width=p["width"],
+                                  n=p["until"]).collect()
+            else:
+                lines = kwic_sorted(documents, m, len(p["slots"]),
+                                    width=p["width"], by=p["sort"],
+                                    n=p["until"]).collect()
         except ValueError as e:
             return {"error": str(e)}
         rows = [r for r in lines if r["rank"] > p["skip"]]
-        return {"sort": p["sort"], "skip": p["skip"], "until": p["until"],
-                "n_lines": len(rows),
-                "results": [{"rank": int(r["rank"]),
-                             "doc_id": int(r["doc_id"]),
-                             "pos": int(r["pos"]),
-                             "left_ctx": r["left_ctx"],
-                             "keyword": r["keyword"],
-                             "right_ctx": r["right_ctx"]} for r in rows]}
+        out = {"sort": p["sort"], "skip": p["skip"], "until": p["until"],
+               "n_lines": len(rows),
+               "results": [{"rank": int(r["rank"]),
+                            "doc_id": int(r["doc_id"]),
+                            "pos": int(r["pos"]),
+                            "left_ctx": r["left_ctx"],
+                            "keyword": r["keyword"],
+                            "right_ctx": r["right_ctx"]} for r in rows]}
+        if p["sort"] == "gdex":
+            for o, r in zip(out["results"], rows):
+                o["score"] = float(r["score"])
+                o["min_cf"] = int(r["min_cf"])
+        return out
     try:
         facet_src = None
         if session is None and (p.get("facets") or p.get("filter")

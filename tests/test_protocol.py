@@ -629,3 +629,33 @@ def test_mwe_request_matches_corpus_path(spark, serving):
     assert "error" in handle_request(docs, idx, {"mwe": True, "k": 0})
     assert "error" in handle_request(docs, idx,
                                      {"mwe": True, "offsets": "fast"})
+
+
+def test_gdex_sorted_kwic_request(spark, serving):
+    docs, idx = serving
+    base = {"slots": [{"word": "fast"}, {"pattern": "h*"}],
+            "dists": [[1, 1]], "format": "kwic", "skip": 0, "until": 10}
+    resp = handle_request(docs, idx, {**base, "sort": "gdex"})
+    assert "error" not in resp and resp["results"]
+    from fastmorph_spark.search.engine import kwic_gdex, slot_search
+    from fastmorph_spark.index.build import build_dictionary, build_postings
+
+    postings = build_postings(docs)
+    dictionary = build_dictionary(postings)
+    m = slot_search(postings, dictionary,
+                    [{"term": "fast"}, {"pattern": "h*"}], [(1, 1)])
+    want = kwic_gdex(docs, dictionary, m, 2, width=5, n=10).collect()
+    assert [(r["rank"], r["doc_id"], r["pos"], r["keyword"])
+            for r in want] == \
+           [(r["rank"], r["doc_id"], r["pos"], r["keyword"])
+            for r in resp["results"]]
+    # gdex page carries the example-quality evidence columns
+    assert all("score" in r and "min_cf" in r for r in resp["results"])
+    # descending score order
+    scores = [r["score"] for r in resp["results"]]
+    assert scores == sorted(scores, reverse=True)
+    # validation still rejects a bad sort and non-kwic format
+    assert "error" in handle_request(docs, idx, {**base, "sort": "best"})
+    assert "error" in handle_request(
+        docs, idx, {"slots": base["slots"], "dists": base["dists"],
+                    "sort": "gdex"})
