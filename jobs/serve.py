@@ -31,6 +31,25 @@ no per-request JVM start, no index re-read, codegen/Arrow workers stay
 hot, and pagination continuations re-page one persisted match set.
 EOF ends the loop; --report then writes {n, wall_s, rps, p50_ms, p95_ms}
 (BENCH/serve_loop.json is produced this way under a 100-request burst).
+
+SOCKET MODE (round 5 — the reference's LITERAL transport [PK-high]:
+fastmorph answers JSON requests over a UNIX domain socket):
+
+  ... jobs/serve.py --index /tmp/idx --docs docs:... --socket /tmp/fm.sock
+
+--socket binds an AF_UNIX stream socket and serves NDJSON per
+connection: any number of clients connect in turn, each pipelines
+request lines and reads one flushed response line per request, exactly
+the --loop contract with a real socket in front. Connections are
+accepted SEQUENTIALLY — one SparkSession's driver queue is the real
+concurrency bound, so a thread-per-connection layer would only reorder
+waiting, not add capacity (the reference threads per client because
+each thread scans its own in-RAM arrays [PK-med]; here the executors
+under the one session are that parallelism). A client dropping mid-
+conversation is survived (next accept proceeds); the transport-level
+control line {"shutdown": true} is answered {"ok": true} and stops the
+daemon cleanly — it never reaches the protocol layer, which owns only
+query forms. --report works as in --loop.
 """
 
 from __future__ import annotations
@@ -43,6 +62,21 @@ import sys
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _write_report(path: str, n: int, wall: float, lat_ms: list[float]) -> None:
+    """{n, wall_s, rps, p50_ms, p95_ms, mean_ms} — one artifact shape for
+    both daemon transports (BENCH/serve_loop.json is one of these)."""
+    srt = sorted(lat_ms)
+
+    def q(p: float) -> float:
+        return round(srt[min(len(srt) - 1, int(p * len(srt)))], 2) if srt else 0.0
+
+    with open(path, "w") as f:
+        json.dump({"n": n, "wall_s": round(wall, 3),
+                   "rps": round(n / wall, 2) if wall > 0 else 0.0,
+                   "p50_ms": q(0.50), "p95_ms": q(0.95),
+                   "mean_ms": round(sum(lat_ms) / n, 2) if n else 0.0}, f)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", help="at-rest index path (read_index)")
@@ -53,8 +87,12 @@ def main() -> None:
     ap.add_argument("--loop", action="store_true",
                     help="daemon mode: serve stdin -> stdout on one warm "
                          "SparkSession until EOF (implies --session-cache)")
-    ap.add_argument("--report", help="--loop only: write latency stats "
-                                     "JSON here at EOF")
+    ap.add_argument("--socket",
+                    help="daemon mode: serve NDJSON over an AF_UNIX stream "
+                         "socket at this path until a {\"shutdown\": true} "
+                         "control line (implies --session-cache)")
+    ap.add_argument("--report", help="--loop/--socket only: write latency "
+                                     "stats JSON here at exit")
     ap.add_argument("--session-cache", action="store_true",
                     help="share one persisted match set across slot "
                          "requests that differ only in pagination "
@@ -62,11 +100,13 @@ def main() -> None:
     args = ap.parse_args()
     if bool(args.index) == bool(args.lang_indexes):
         ap.error("exactly one of --index / --lang-indexes")
-    if args.loop:
+    if args.loop and args.socket:
+        ap.error("--loop and --socket are alternative daemon transports")
+    if args.loop or args.socket:
         if args.requests or args.out:
-            ap.error("--loop serves stdin/stdout; drop --requests/--out")
+            ap.error("daemon modes serve their transport; drop --requests/--out")
     elif not (args.requests and args.out):
-        ap.error("batch mode needs --requests and --out (or use --loop)")
+        ap.error("batch mode needs --requests and --out (or use --loop/--socket)")
 
     from pyspark.sql import SparkSession
 
@@ -97,7 +137,8 @@ def main() -> None:
     # pagination continuation (protocol session): slot requests differing
     # only in skip/until/width re-page one persisted match set instead of
     # re-decoding the index — the reference's entry point 3 shape
-    session: dict | None = {} if (args.session_cache or args.loop) else None
+    session: dict | None = \
+        {} if (args.session_cache or args.loop or args.socket) else None
     n = 0
     try:
         if args.loop:
@@ -121,17 +162,67 @@ def main() -> None:
                 n += 1
             wall = time.perf_counter() - t_loop
             if args.report:
-                srt = sorted(lat_ms)
+                _write_report(args.report, n, wall, lat_ms)
+            print(json.dumps({"requests_answered": n}), file=sys.stderr)
+            return
+        if args.socket:
+            import socket
+            import time
 
-                def q(p: float) -> float:
-                    return round(srt[min(len(srt) - 1, int(p * len(srt)))], 2) if srt else 0.0
-
-                with open(args.report, "w") as f:
-                    json.dump({"n": n, "wall_s": round(wall, 3),
-                               "rps": round(n / wall, 2) if wall > 0 else 0.0,
-                               "p50_ms": q(0.50), "p95_ms": q(0.95),
-                               "mean_ms": round(sum(lat_ms) / n, 2) if n else 0.0},
-                              f)
+            if os.path.exists(args.socket):
+                os.unlink(args.socket)  # stale socket from a killed daemon
+            srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            srv.bind(args.socket)
+            srv.listen(8)
+            # readiness line AFTER bind: a launcher (or test) can block on
+            # it instead of polling for the socket file
+            print(json.dumps({"listening": args.socket}), file=sys.stderr)
+            sys.stderr.flush()
+            lat_ms = []
+            t_loop = time.perf_counter()
+            stop = False
+            try:
+                while not stop:
+                    conn, _ = srv.accept()
+                    try:
+                        with conn, conn.makefile("rwb") as f:
+                            for raw in f:
+                                line = raw.decode("utf-8", "replace").strip()
+                                if not line:
+                                    continue
+                                # transport-level control, never a protocol
+                                # form: answered here and stops the accept
+                                # loop (the substring guard keeps the happy
+                                # path at one JSON parse, in handle_request)
+                                if '"shutdown"' in line:
+                                    try:
+                                        ctl = json.loads(line)
+                                    except ValueError:
+                                        ctl = None
+                                    if isinstance(ctl, dict) and \
+                                            ctl.get("shutdown") is True:
+                                        f.write(b'{"ok": true}\n')
+                                        f.flush()
+                                        stop = True
+                                        break
+                                t0 = time.perf_counter()
+                                resp = to_json(handle_request(
+                                    documents, index, line, session=session))
+                                lat_ms.append((time.perf_counter() - t0) * 1000.0)
+                                f.write(resp.encode("utf-8") + b"\n")
+                                f.flush()
+                                n += 1
+                    except (ConnectionResetError, BrokenPipeError, OSError):
+                        # a client vanishing mid-conversation is its
+                        # problem, not the daemon's: keep accepting
+                        continue
+            finally:
+                srv.close()
+                if os.path.exists(args.socket):
+                    os.unlink(args.socket)
+            wall = time.perf_counter() - t_loop
+            if args.report:
+                _write_report(args.report, n, wall, lat_ms)
             print(json.dumps({"requests_answered": n}), file=sys.stderr)
             return
         with open(args.requests) as fin, open(args.out, "w") as fout:

@@ -174,3 +174,81 @@ def test_loop_daemon_serves_sequential_requests(spark, served, tmp_path):
     with open(report) as f:
         stats = json.load(f)
     assert stats["n"] == 4 and stats["p50_ms"] > 0 and stats["rps"] > 0
+
+
+def test_socket_daemon_serves_clients(spark, served, tmp_path):
+    """--socket (round 5): the reference's LITERAL transport [PK-high] —
+    an AF_UNIX stream socket answering NDJSON. Pins: two SEPARATE client
+    connections served by one warm daemon (second client sees the same
+    process: its slot answer equals the in-process oracle computed once),
+    pipelined requests within a connection, error lines for garbage, a
+    client disconnecting WITHOUT shutdown not killing the daemon, clean
+    {"shutdown": true} stop, a --report artifact, and the socket file
+    removed on exit."""
+    import socket
+    import time
+
+    idx_path, _, _ = served
+    sock_path = str(tmp_path / "fm.sock")
+    report = str(tmp_path / "sock_report.json")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "jobs", "serve.py"),
+         "--index", idx_path, "--docs", f"docs:{SF0001}",
+         "--socket", sock_path, "--report", report],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 300
+        while not os.path.exists(sock_path):
+            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            assert time.time() < deadline, "daemon never bound its socket"
+            time.sleep(0.2)
+
+        def client():
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.connect(sock_path)
+            return c, c.makefile("rwb")
+
+        def ask(f, req):
+            f.write(((req if isinstance(req, str) else json.dumps(req))
+                     + "\n").encode())
+            f.flush()
+            line = f.readline()
+            assert line, "daemon died before answering"
+            return json.loads(line)
+
+        # client 1: pipeline two forms + a garbage line, then just vanish
+        c1, f1 = client()
+        r1 = ask(f1, REQUESTS[0])
+        assert r1["total_docs"] > 0
+        r2 = ask(f1, {"bm25": "fast hash join", "k": 3})
+        assert [m["rank"] for m in r2["results"]] == [1, 2, 3]
+        r3 = ask(f1, "garbage")
+        assert "not valid JSON" in r3["error"]
+        # no shutdown: the daemon must survive this. Close the makefile
+        # too — the underlying fd stays open until BOTH drop it, and the
+        # daemon (correctly) waits for EOF, not for socket.close()
+        f1.close()
+        c1.close()
+
+        # client 2: a fresh connection hits the SAME warm process —
+        # continuation re-pages client 1's persisted match set
+        c2, f2 = client()
+        r4 = ask(f2, {"slots": [{"word": "fast"}, {"pattern": "h*"}],
+                      "dists": [[1, 4]], "skip": 5, "until": 10, "width": 2})
+        assert r4["total_matches"] == r1["total_matches"]
+        assert ask(f2, {"shutdown": True}) == {"ok": True}
+        f2.close()
+        c2.close()
+        proc.wait(timeout=120)
+        assert proc.returncode == 0, proc.stderr.read()[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert not os.path.exists(sock_path)
+    docs = read_documents(spark, SF0001)
+    idx = read_index(spark, idx_path)
+    assert r1 == handle_request(docs, idx, REQUESTS[0])
+    with open(report) as f:
+        stats = json.load(f)
+    assert stats["n"] == 4 and stats["p50_ms"] > 0 and stats["rps"] > 0
