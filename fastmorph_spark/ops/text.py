@@ -335,3 +335,41 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
         F.size(toks).cast("long").alias("n_tokens"),
         bpe_count_expr(text_col).alias("n_bpe"),
     )
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      group_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PER-GROUP subsampling — the training-mixture knob
+    next to sample_hash's flat rate: each ``group_col`` value gets its
+    own keep fraction (a data pipeline upsamples scarce languages and
+    downsamples crawl-heavy ones by exactly this shape). Groups absent
+    from ``fractions`` are dropped — an explicit mixture spec, not a
+    passthrough.
+
+    Same md5 discipline as sample_hash: keep a doc iff the first 8 hex
+    chars of md5(str(doc_id)), as an integer, fall below
+    fraction[group] * 2^32. Engine-agnostic, repartition-stable, and
+    NESTED across rates (a group's 10% sample is a superset of its 5%
+    one), so mixtures can be retuned without resampling churn. The
+    threshold comparison is on int64 — exact, no float boundary.
+
+    Returns (doc_id, group) kept rows sorted by doc_id. Scale shape:
+    one scan, zero shuffles before the output sort (which a writer
+    drops); the fractions map compiles to a CASE chain over
+    |fractions| literals — no join, no broadcast, no Python.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thresh = F.lit(None).cast("long")
+    for g in sorted(fractions):
+        thresh = F.when(F.col(group_col) == g,
+                        F.lit(int(fractions[g] * (1 << 32)))
+                        ).otherwise(thresh)
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(group_col).alias("group"))
+        .filter(bucket < thresh)
+        .orderBy("doc_id")
+    )

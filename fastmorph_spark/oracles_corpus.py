@@ -886,3 +886,48 @@ FROM scored
 ORDER BY score DESC, doc_id ASC, pos ASC
 LIMIT {int(n)}
 """
+
+
+def freq_by_attr_sql(attr: str = "word", k: int = 100,
+                     min_count: int = 1) -> str:
+    """Mirror of search.keyness.freq_by_attr: the frequency tab's
+    group-by-attribute list. The key expression reuses the SAME pinned
+    SQL fragments the slot oracles match on (stem.duckdb_stem,
+    tags.duckdb_tag), so a drift between matcher and frequency view is
+    impossible by construction."""
+    if attr == "word":
+        key = "term"
+    elif attr == "stem":
+        from fastmorph_spark.stem import duckdb_stem
+
+        key = duckdb_stem("term")
+    elif attr == "tag":
+        from fastmorph_spark.tags import duckdb_tag
+
+        key = duckdb_tag("term")
+    else:
+        raise ValueError(f"attr must be word|stem|tag, got {attr!r}")
+    tok = TOK.format(col="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+keyed AS (
+  SELECT doc_id, {key} AS key FROM tok
+),
+total AS (
+  SELECT count(*)::DOUBLE AS total FROM keyed
+),
+counts AS (
+  SELECT key, count(*)::BIGINT AS count,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM keyed GROUP BY key
+  HAVING count(*) >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY count DESC, key ASC) AS rank,
+       key, count, df,
+       round(count * 1000000.0 / total, {SCORE_DECIMALS}) AS ipm
+FROM counts CROSS JOIN total
+ORDER BY count DESC, key ASC
+LIMIT {k}
+"""

@@ -712,3 +712,21 @@ SELECT doc_id,
        sha256({scrub}) AS scrub_sha256
 FROM {src} AS documents ORDER BY doc_id
 """
+
+
+def stratified_sample_sql(fractions: dict[str, float],
+                          group_col: str = "lang") -> str:
+    """Mirror of ops.text.stratified_sample: per-group md5 keep
+    thresholds compiled to a CASE chain; groups absent from the map get
+    a NULL threshold and drop (NULL comparison is false in both
+    engines)."""
+    whens = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(fractions[g] * (1 << 32))}"
+        for g in sorted(fractions)
+    )
+    return f"""
+SELECT doc_id, {group_col} AS "group" FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      < (CASE {whens} ELSE NULL END)
+ORDER BY doc_id
+"""

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastmorph_spark import oracles_corpus
+from fastmorph_spark import oracles_corpus, oracles_ops
 from fastmorph_spark.index import build_dictionary, build_postings
 from fastmorph_spark.search import engine, facets, fuzzy, keyness, sentence
 from fastmorph_spark.sources import read_documents
@@ -653,6 +653,36 @@ def q_term_position_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       PROFILE_TERMS, POSDIST_BINS)
 
 
+STRATA = {"en": 0.5, "de": 0.25, "zh": 1.0}  # es/fr absent -> dropped
+FREQ_ATTR_K, FREQ_ATTR_MIN = 50, 2
+
+
+def q_freq_by_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency list grouped by LEMMA CLASS (rule stemmer) — the
+    portal frequency tab's group-by-lemma selector; the key expression
+    is the J4c matching rule, so matcher and frequency view agree by
+    construction."""
+    return keyness.freq_by_attr(read_documents(spark, sf_dir), "stem",
+                                FREQ_ATTR_K, FREQ_ATTR_MIN)
+
+
+def q_freq_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency list grouped by TOKEN CLASS (deterministic tagger) —
+    group-by-tag: 4 classes, so also a hot-key stress of the map-side
+    partial agg."""
+    return keyness.freq_by_attr(read_documents(spark, sf_dir), "tag",
+                                FREQ_ATTR_K, FREQ_ATTR_MIN)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language md5 mixture sampling (ops/text.stratified_sample):
+    en halved, de quartered, zh kept whole, es/fr dropped — the
+    training-mixture knob, deterministic and nested across rates."""
+    from fastmorph_spark.ops.text import stratified_sample
+
+    return stratified_sample(read_documents(spark, sf_dir), STRATA)
+
+
 QUERIES = {
     # wave-4 conc-filter/freq keys lead the extension so they land inside
     # the driver's 50-key window (new keys earn driver-green rows first)
@@ -677,6 +707,11 @@ QUERIES = {
     "fuzzy_terms": q_fuzzy_terms,
     "fuzzy_docs": q_fuzzy_docs,
     "fuzzy_batch": q_fuzzy_batch,
+    # --- round-5 final wave: tail keys (outside the 50-key driver
+    # window by design — attested by jobs/check_queries.py + pytest)
+    "freq_by_stem": q_freq_by_stem,
+    "freq_by_tag": q_freq_by_tag,
+    "stratified_sample": q_stratified_sample,
     "slot_fuzzy_search": q_slot_fuzzy_search,
     "slot_fuzzy_packed": q_slot_fuzzy_packed,
     "facet_counts": q_facet_counts,
@@ -763,6 +798,11 @@ def oracle_sqls() -> dict[str, str]:
             FUZZY_PROBE, FUZZY_DIST, text_expr=fuzzy.FUZZY_TEXT_SQL),
         "fuzzy_batch": oracles_corpus.fuzzy_batch_sql(
             FUZZY_BATCH_PROBES, FUZZY_DIST, text_expr=fuzzy.FUZZY_TEXT_SQL),
+        "freq_by_stem": oracles_corpus.freq_by_attr_sql(
+            "stem", FREQ_ATTR_K, FREQ_ATTR_MIN),
+        "freq_by_tag": oracles_corpus.freq_by_attr_sql(
+            "tag", FREQ_ATTR_K, FREQ_ATTR_MIN),
+        "stratified_sample": oracles_ops.stratified_sample_sql(STRATA),
         "slot_fuzzy_search": _fuzzy_slot_oracle,
         "slot_fuzzy_packed": _fuzzy_slot_oracle,
         "facet_counts": oracles_corpus.facet_counts_sql(FLAGSHIP_QUERY),

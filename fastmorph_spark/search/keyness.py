@@ -512,3 +512,66 @@ def dispersion_dp(docs: DataFrame, terms: list[str], parts: int = 8,
         )
         .orderBy("term")
     )
+
+
+def freq_by_attr(docs: DataFrame, attr: str = "word", k: int = 100,
+                 min_count: int = 1, text_col: str = "text") -> DataFrame:
+    """Frequency list grouped by token ATTRIBUTE — the portal frequency
+    tab's "group by wordform / lemma / tag" selector [PK-high: the
+    reference's frequency views group by word form, lemma, or morph tag
+    over its interned id arrays; here the attribute is computed by the
+    same pinned rule the slot engine matches on].
+
+    ``attr``: "word" (the token itself), "stem" (the rule-stemmer lemma
+    class, stem.stem_expr — the J4c matching rule), or "tag" (the
+    deterministic token class, tags.tag_expr — the J4e matching rule).
+
+    Returns (rank, key, count, df, ipm): count = total occurrences of
+    the class (a frequency list counts every occurrence), df = number of
+    docs containing >= 1 token of the class, ipm = count * 1e6 / total
+    corpus tokens rounded to SCORE_DECIMALS (the term_profile ipm pin —
+    total counted over ALL tokens BEFORE the min_count gate, so ipm is
+    comparable across attrs and gates). Deterministic total order:
+    (count DESC, key ASC), rank over the same.
+
+    Scale shape: one tokenize scan into groupBy(key) with map-side
+    partial agg — hot classes (a stopword tag at 100 TB) fold map-side,
+    never a hot join key; the 1-row total pays its own map-side-
+    collapsing scan and broadcasts (the keyness/term_profile totals
+    pattern — Catalyst shares no subplans, and caching a corpus-sized
+    token stream would cost more than re-scanning it);
+    orderBy+limit fuses to TakeOrderedAndProject; the rank window runs
+    over <= k rows. Plan-verified: HashAggregate partials + broadcast
+    total + TakeOrderedAndProject, zero Python.
+    """
+    if attr == "word":
+        key = F.col("term")
+    elif attr == "stem":
+        from fastmorph_spark.stem import stem_expr
+
+        key = stem_expr("term")
+    elif attr == "tag":
+        from fastmorph_spark.tags import tag_expr
+
+        key = tag_expr("term")
+    else:
+        raise ValueError(f"attr must be word|stem|tag, got {attr!r}")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_expr(text_col)).alias("term")
+    ).select("doc_id", key.alias("key"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    top = (
+        toks.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"),
+             F.countDistinct("doc_id").cast("long").alias("df"))
+        .filter(F.col("count") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .withColumn("ipm", F.round(F.col("count") * F.lit(1000000.0)
+                                   / F.col("_total"), SCORE_DECIMALS))
+        .orderBy(F.desc("count"), F.asc("key"))
+        .limit(k)
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("count"), F.asc("key")))
+    return top.withColumn("rank", rank.cast("long")).select(
+        "rank", "key", "count", "df", "ipm"
+    )

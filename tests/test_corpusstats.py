@@ -491,3 +491,92 @@ def test_vocab_growth_curve_shape(spark, docs):
     # growth is concave in expectation under Zipf: the first bucket must
     # contribute more NEW types than the last (non-vacuous on fixture)
     assert rows[0]["types"] > rows[-1]["types"] - rows[-2]["types"]
+
+
+# ------------------------------------------------- freq_by_attr (round 5)
+
+
+def test_freq_by_attr_matches_oracle(spark, docs, duck1):
+    for attr in ("word", "stem", "tag"):
+        got = keyness.freq_by_attr(docs, attr, k=50, min_count=2)
+        assert_frames_match(
+            got, duck1.sql(oracles_corpus.freq_by_attr_sql(attr, 50, 2)))
+
+
+def test_freq_by_attr_python_oracle(docs):
+    """Brute-force recompute of the stem-grouped list: counts, df, ipm,
+    and the (count DESC, key ASC) rank order."""
+    from collections import Counter, defaultdict
+
+    from fastmorph_spark.stem import stem_py
+
+    rows = docs.select("doc_id", "text").collect()
+    count, dfs, total = Counter(), defaultdict(set), 0
+    for r in rows:
+        for t in tokenize_py(r["text"]):
+            key = stem_py(t)
+            count[key] += 1
+            dfs[key].add(r["doc_id"])
+            total += 1
+    expect = sorted(((c, k) for k, c in count.items() if c >= 2),
+                    key=lambda x: (-x[0], x[1]))[:10]
+    got = keyness.freq_by_attr(docs, "stem", k=10, min_count=2).collect()
+    assert [(r["count"], r["key"]) for r in got] == expect
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r["df"] == len(dfs[r["key"]])
+        assert abs(r["ipm"] - r["count"] * 1e6 / total) < 1e-4
+
+
+def test_freq_by_attr_word_equals_identity_grouping(docs):
+    """attr='word' is plain token frequency; attr='tag' collapses to the
+    4 (or fewer) tag classes and their counts sum to the word total."""
+    words = keyness.freq_by_attr(docs, "word", k=10 ** 6, min_count=1)
+    tags = keyness.freq_by_attr(docs, "tag", k=10, min_count=1).collect()
+    total = words.groupBy().sum("count").collect()[0][0]
+    assert sum(r["count"] for r in tags) == total
+    from fastmorph_spark.tags import TAG_CLASSES
+
+    assert {r["key"] for r in tags} <= set(TAG_CLASSES)
+
+
+def test_freq_by_attr_rejects_unknown(docs):
+    with pytest.raises(ValueError):
+        keyness.freq_by_attr(docs, "lemma")
+
+
+# --------------------------------------------- stratified_sample (round 5)
+
+
+def test_stratified_sample_membership_and_nesting(spark, docs):
+    """Exact md5 membership per group, absent groups dropped, and the
+    nesting property: a group's 25% sample is a subset of its 50% one."""
+    import hashlib
+
+    from fastmorph_spark.ops.text import stratified_sample
+
+    def keep(doc_id, rate):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return b < int(rate * (1 << 32))
+
+    rows = docs.select("doc_id", "lang").collect()
+    frac = {"en": 0.5, "de": 0.25}
+    got = stratified_sample(docs, frac).collect()
+    expect = sorted((r["doc_id"], r["lang"]) for r in rows
+                    if r["lang"] in frac and keep(r["doc_id"], frac[r["lang"]]))
+    assert [(r["doc_id"], r["group"]) for r in got] == expect
+    assert all(r["group"] in frac for r in got)  # es/fr/zh dropped
+    halved = {r["doc_id"] for r in
+              stratified_sample(docs, {"de": 0.5}).collect()}
+    quartered = {r["doc_id"] for r in
+                 stratified_sample(docs, {"de": 0.25}).collect()}
+    assert quartered <= halved and len(quartered) < len(halved)
+
+
+def test_stratified_sample_repartition_stable(docs):
+    from fastmorph_spark.ops.text import stratified_sample
+
+    frac = {"en": 0.5, "zh": 1.0}
+    a = stratified_sample(docs, frac).collect()
+    b = stratified_sample(docs.repartition(13), frac).collect()
+    assert a == b
