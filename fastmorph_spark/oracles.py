@@ -636,3 +636,52 @@ FROM scored
 ORDER BY pmi DESC, term ASC
 LIMIT {int(k)}
 """
+
+
+def collocations_by_attr_sql(target: str, attr: str = "stem",
+                             window: int = 3, min_count: int = 2,
+                             k: int = 20) -> str:
+    """Mirror of search.collocation.collocations_by_attr: pair counts
+    regrouped to the attribute class (duckdb_stem/duckdb_tag — the same
+    fragments the slot oracles match on), class mass = Σ cf over the
+    class, node mass = the literal target term's cf, same pinned pmi
+    parenthesization."""
+    if attr == "stem":
+        from fastmorph_spark.stem import duckdb_stem as key_sql
+    elif attr == "tag":
+        from fastmorph_spark.tags import duckdb_tag as key_sql
+    else:
+        raise ValueError(f"attr must be stem|tag, got {attr!r}")
+    return f"""
+WITH {_positions_cte()},
+tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM pos GROUP BY term),
+cfk AS (SELECT {key_sql('term')} AS key, sum(cf)::BIGINT AS cf
+        FROM cf GROUP BY 1),
+tpos AS (SELECT doc_id, pos FROM pos WHERE term = '{target}'),
+pairs AS (
+  SELECT p.term, count(*)::BIGINT AS cooc
+  FROM pos p JOIN tpos t
+    ON p.doc_id = t.doc_id AND abs(p.pos - t.pos) <= {window}
+  WHERE p.term <> '{target}'
+  GROUP BY p.term
+),
+pairsk AS (
+  SELECT {key_sql('term')} AS key, sum(cooc)::BIGINT AS cooc
+  FROM pairs GROUP BY 1
+),
+scored AS (
+  SELECT p.key, p.cooc, cfk.cf,
+         ln((p.cooc::DOUBLE * tot.total) / (tcf.tcf * cfk.cf::DOUBLE)) AS pmi
+  FROM pairsk p
+  JOIN cfk USING (key)
+  CROSS JOIN tot
+  CROSS JOIN (SELECT cf::DOUBLE AS tcf FROM cf WHERE term = '{target}') tcf
+  WHERE p.cooc >= {min_count}
+)
+SELECT row_number() OVER (ORDER BY pmi DESC, key ASC) AS rank,
+       key, cooc, cf, round(pmi, {SCORE_DECIMALS}) AS pmi
+FROM scored
+ORDER BY pmi DESC, key ASC
+LIMIT {k}
+"""

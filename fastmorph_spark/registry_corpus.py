@@ -674,6 +674,25 @@ def q_freq_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 FREQ_ATTR_K, FREQ_ATTR_MIN)
 
 
+def q_collocations_by_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocates of COLLOC_TARGET grouped by LEMMA CLASS (word-sketch
+    convention): inflections pool under one stem row; class mass =
+    Σ cf over the class, node mass stays the target term's cf."""
+    from fastmorph_spark.registry import (
+        COLLOC_K,
+        COLLOC_MIN,
+        COLLOC_TARGET,
+        COLLOC_WINDOW,
+        _index_tables,
+    )
+    from fastmorph_spark.search.collocation import collocations_by_attr
+
+    _, postings, dictionary, *_ = _index_tables(spark, sf_dir)
+    return collocations_by_attr(postings, dictionary, COLLOC_TARGET,
+                                attr="stem", window=COLLOC_WINDOW,
+                                min_count=COLLOC_MIN, k=COLLOC_K)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language md5 mixture sampling (ops/text.stratified_sample):
     en halved, de quartered, zh kept whole, es/fr dropped — the
@@ -712,6 +731,7 @@ QUERIES = {
     "freq_by_stem": q_freq_by_stem,
     "freq_by_tag": q_freq_by_tag,
     "stratified_sample": q_stratified_sample,
+    "collocations_by_stem": q_collocations_by_stem,
     "slot_fuzzy_search": q_slot_fuzzy_search,
     "slot_fuzzy_packed": q_slot_fuzzy_packed,
     "facet_counts": q_facet_counts,
@@ -803,6 +823,9 @@ def oracle_sqls() -> dict[str, str]:
         "freq_by_tag": oracles_corpus.freq_by_attr_sql(
             "tag", FREQ_ATTR_K, FREQ_ATTR_MIN),
         "stratified_sample": oracles_ops.stratified_sample_sql(STRATA),
+        "collocations_by_stem": oracles.collocations_by_attr_sql(
+            _r.COLLOC_TARGET, "stem", _r.COLLOC_WINDOW, _r.COLLOC_MIN,
+            _r.COLLOC_K),
         "slot_fuzzy_search": _fuzzy_slot_oracle,
         "slot_fuzzy_packed": _fuzzy_slot_oracle,
         "facet_counts": oracles_corpus.facet_counts_sql(FLAGSHIP_QUERY),

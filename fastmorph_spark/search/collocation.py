@@ -808,3 +808,78 @@ def next_word(docs: DataFrame, target: str, min_count: int = 1,
         F.col("f_xy").cast("long").alias("f_xy"),
         F.round("frac", SCORE_DECIMALS).alias("frac"),
     )
+
+
+def collocations_by_attr(postings: DataFrame, dictionary: DataFrame,
+                         target: str, attr: str = "stem", window: int = 3,
+                         min_count: int = 2, k: int = 20,
+                         broadcast_target: bool | None = None) -> DataFrame:
+    """PMI collocation profile with neighbors GROUPED BY ATTRIBUTE —
+    the word-sketch convention of listing collocates by LEMMA rather
+    than surface form [LIT: Kilgarriff et al. 2004, the Sketch Engine
+    groups collocates under lemma heads; PK-med: the reference's
+    lemma-indexed corpus model makes its collocate lists lemma-keyed by
+    construction]. "joins"/"joined" co-occurrences pool under one "join"
+    row instead of splitting the statistic across inflections.
+
+    ``attr``: "stem" (rule-stemmer lemma class, the J4c matching rule)
+    or "tag" (token class, J4e). Pinned semantics on top of the module
+    pins: cooc(key) = Σ pair counts over neighbor TERMS in the class
+    (the target term itself still excluded — a DIFFERENT inflection of
+    the target's own lemma counts, deliberately: that self-collocation
+    is real signal the surface-form profile cannot see); cf(key) =
+    Σ dictionary cf over the class (its corpus mass); the node mass
+    stays the literal target TERM's cf (the query asked about that
+    form); pmi = ln((cooc * total) / (tcf * cf_key)) — same
+    parenthesization; (pmi DESC, key ASC) over the unrounded statistic.
+
+    Returns (rank, key, cooc, cf, pmi). Scale shape: _pair_counts'
+    df(target)-bounded join + its term groupBy, then one
+    vocabulary-bounded regroup to classes on each side — both inputs to
+    the scoring join are <= |vocab| rows, so the grouping adds no
+    corpus-sized work.
+    """
+    if attr == "stem":
+        from fastmorph_spark.stem import stem_expr as key_of
+    elif attr == "tag":
+        from fastmorph_spark.tags import tag_expr as key_of
+    else:
+        raise ValueError(f"attr must be stem|tag, got {attr!r}")
+    if broadcast_target is None:
+        drow = dictionary.filter(F.col("term") == target) \
+            .select("df").collect()
+        broadcast_target = bool(drow) and \
+            int(drow[0]["df"]) <= BROADCAST_TARGET_MAX_DF
+    cooc = _pair_counts(postings.select("term", "doc_id", "positions"),
+                        target, window, broadcast_target)
+    cooc_k = (
+        cooc.select(key_of("term").alias("key"), "cooc")
+        .groupBy("key").agg(F.sum("cooc").cast("long").alias("cooc"))
+    )
+    dict_k = (
+        dictionary.select(key_of("term").alias("key"), "cf")
+        .groupBy("key").agg(F.sum("cf").cast("long").alias("cf"))
+    )
+    tcf = dictionary.filter(F.col("term") == target) \
+        .select(F.col("cf").cast("double").alias("_tcf"))
+    tot = dictionary.agg(F.sum("cf").cast("double").alias("_total"))
+    scored = (
+        cooc_k.filter(F.col("cooc") >= min_count)
+        .join(dict_k, "key")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tcf))
+        .withColumn(
+            "pmi",
+            F.log((F.col("cooc").cast("double") * F.col("_total"))
+                  / (F.col("_tcf") * F.col("cf").cast("double"))),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("key")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("pmi"), F.asc("key")))
+    return topk.select(
+        rank.cast("long").alias("rank"),
+        "key",
+        F.col("cooc").cast("long").alias("cooc"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round("pmi", SCORE_DECIMALS).alias("pmi"),
+    )

@@ -219,3 +219,122 @@ def test_measures_plan_is_single_pair_join(spark, tables):
     assert plan.count("aggregate(") >= 1  # the HOF pair-count expr
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------- collocations_by_attr (round 5)
+
+
+def _python_collocations_by_stem(texts, target, window, min_count, k):
+    """Exhaustive reference for the lemma-grouped profile: pair counts
+    pooled by stem class, class mass = Σ cf over the class, node mass =
+    the target TERM's cf."""
+    from fastmorph_spark.stem import stem_py
+
+    cf: dict[str, int] = {}
+    cooc: dict[str, int] = {}
+    total = 0
+    for text in texts:
+        toks = tokenize_py(text)
+        total += len(toks)
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        tpos = [i for i, t in enumerate(toks) if t == target]
+        if not tpos:
+            continue
+        for i, t in enumerate(toks):
+            if t == target:
+                continue
+            n = sum(1 for p in tpos if abs(i - p) <= window)
+            if n:
+                key = stem_py(t)
+                cooc[key] = cooc.get(key, 0) + n
+    if target not in cf:
+        return []
+    cfk: dict[str, int] = {}
+    for t, c in cf.items():
+        key = stem_py(t)
+        cfk[key] = cfk.get(key, 0) + c
+    tcf = float(cf[target])
+    scored = [
+        (key, c, cfk[key],
+         math.log((c * float(total)) / (tcf * float(cfk[key]))))
+        for key, c in cooc.items() if c >= min_count
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [(i + 1, key, c, f, round(pmi, 6))
+            for i, (key, c, f, pmi) in enumerate(scored[:k])]
+
+
+@pytest.fixture(scope="module")
+def tables_inflected(spark):
+    """The paradigm-derived corpus (stem.paradigm_text_col plants
+    'joins'/'joined' next to 'join') — the fixture where lemma grouping
+    actually pools something."""
+    from fastmorph_spark.stem import paradigm_text_col
+
+    docs = read_documents(spark, SF0001).select(
+        "doc_id", paradigm_text_col().alias("text"))
+    postings = build_postings(docs).persist()
+    dictionary = build_dictionary(postings)
+    yield docs, postings, dictionary
+    postings.unpersist()
+
+
+def test_colloc_by_stem_vs_python_oracle(spark, tables_inflected):
+    from fastmorph_spark.search.collocation import collocations_by_attr
+
+    docs, postings, dictionary = tables_inflected
+    texts = [r["text"] for r in docs.select("text").orderBy("doc_id").collect()]
+    want = _python_collocations_by_stem(texts, TARGET, WINDOW, MIN_COUNT, K)
+    got = [
+        (int(r["rank"]), r["key"], int(r["cooc"]), int(r["cf"]), float(r["pmi"]))
+        for r in collocations_by_attr(postings, dictionary, TARGET,
+                                      attr="stem", window=WINDOW,
+                                      min_count=MIN_COUNT, k=K).collect()
+    ]
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert g[4] == pytest.approx(w[4], abs=1e-6)
+
+
+def test_colloc_by_stem_pools_inflections(spark, tables_inflected):
+    """The lemma profile must pool what the surface profile splits: the
+    'join' class's cooc equals the sum of the surface cooc of its
+    inflections, and its class mass exceeds any single form's cf."""
+    from fastmorph_spark.search.collocation import collocations_by_attr
+    from fastmorph_spark.stem import stem_py
+
+    _, postings, dictionary = tables_inflected
+    surface = {r["term"]: r for r in collocations(
+        postings, dictionary, TARGET, window=WINDOW, min_count=1,
+        k=10 ** 6).collect()}
+    grouped = {r["key"]: r for r in collocations_by_attr(
+        postings, dictionary, TARGET, attr="stem", window=WINDOW,
+        min_count=1, k=10 ** 6).collect()}
+    forms = [t for t in surface if stem_py(t) == "join"]
+    assert len(forms) >= 2, "paradigm fixture must plant inflections"
+    assert grouped["join"]["cooc"] == sum(surface[t]["cooc"] for t in forms)
+    assert grouped["join"]["cf"] >= max(surface[t]["cf"] for t in forms)
+
+
+def test_colloc_by_stem_duckdb_parity(spark, duck, tables_inflected):
+    from fastmorph_spark.search.collocation import collocations_by_attr
+    from fastmorph_spark.stem import PARADIGM_TEXT_SQL
+
+    _, postings, dictionary = tables_inflected
+    got = collocations_by_attr(postings, dictionary, TARGET, attr="stem",
+                               window=WINDOW, min_count=MIN_COUNT, k=K)
+    register_views(duck, SF0001)
+    sql = oracles.collocations_by_attr_sql(
+        TARGET, "stem", WINDOW, MIN_COUNT, K).replace(
+        "FROM documents", f"FROM (SELECT doc_id, {PARADIGM_TEXT_SQL} AS text"
+                          " FROM documents)")
+    assert_frames_match(got, duck.sql(sql))
+
+
+def test_colloc_by_attr_rejects_unknown(tables):
+    from fastmorph_spark.search.collocation import collocations_by_attr
+
+    _, postings, dictionary = tables
+    with pytest.raises(ValueError):
+        collocations_by_attr(postings, dictionary, TARGET, attr="lemma")
