@@ -839,12 +839,6 @@ def collocations_by_attr(postings: DataFrame, dictionary: DataFrame,
     the scoring join are <= |vocab| rows, so the grouping adds no
     corpus-sized work.
     """
-    if attr == "stem":
-        from fastmorph_spark.stem import stem_expr as key_of
-    elif attr == "tag":
-        from fastmorph_spark.tags import tag_expr as key_of
-    else:
-        raise ValueError(f"attr must be stem|tag, got {attr!r}")
     if broadcast_target is None:
         drow = dictionary.filter(F.col("term") == target) \
             .select("df").collect()
@@ -852,6 +846,27 @@ def collocations_by_attr(postings: DataFrame, dictionary: DataFrame,
             int(drow[0]["df"]) <= BROADCAST_TARGET_MAX_DF
     cooc = _pair_counts(postings.select("term", "doc_id", "positions"),
                         target, window, broadcast_target)
+    return _score_by_attr(cooc, dictionary, target, attr, min_count, k)
+
+
+def _attr_key(attr: str):
+    """The pinned class expression an attr names — the SAME rule the
+    slot matchers use (J4c/J4e)."""
+    if attr == "stem":
+        from fastmorph_spark.stem import stem_expr as key_of
+    elif attr == "tag":
+        from fastmorph_spark.tags import tag_expr as key_of
+    else:
+        raise ValueError(f"attr must be stem|tag, got {attr!r}")
+    return key_of
+
+
+def _score_by_attr(cooc: DataFrame, dictionary: DataFrame, target: str,
+                   attr: str, min_count: int, k: int) -> DataFrame:
+    """Class-grouped PMI tail shared by the corpus and packed by-attr
+    paths: regroup surface (term, cooc) and dictionary cf to classes
+    (both vocabulary-bounded), then the pinned scoring."""
+    key_of = _attr_key(attr)
     cooc_k = (
         cooc.select(key_of("term").alias("key"), "cooc")
         .groupBy("key").agg(F.sum("cooc").cast("long").alias("cooc"))
@@ -883,3 +898,36 @@ def collocations_by_attr(postings: DataFrame, dictionary: DataFrame,
         F.col("cf").cast("long").alias("cf"),
         F.round("pmi", SCORE_DECIMALS).alias("pmi"),
     )
+
+
+def packed_collocations_by_attr(index, target: str, attr: str = "stem",
+                                window: int = 3, min_count: int = 2,
+                                k: int = 20, scope=None) -> DataFrame:
+    """`collocations_by_attr` off the PACKED index: exactly
+    packed_collocations' metadata-only block selection and one-shot
+    decode (see its docstring), feeding the class-grouped scoring tail.
+    The attr regroup adds only vocabulary-bounded work on top of the
+    decode, so the block-skip evidence for A8 carries over unchanged."""
+    from fastmorph_spark.cache import pin
+    from fastmorph_spark.search.packed import (
+        _apply_keep,
+        _decode_blocks,
+        _live,
+        pruned_blocks,
+    )
+
+    _attr_key(attr)  # validate before any Spark work
+    spark = index.postings.sparkSession
+    tgt_blocks = pruned_blocks(index, [target])
+    if tgt_blocks is None:
+        cooc = spark.createDataFrame([], "term string, cooc long")
+        return _score_by_attr(cooc, index.dictionary, target, attr,
+                              min_count, k)
+    keep = tgt_blocks.groupBy("doc_shard").agg(
+        F.min("first_doc").alias("_lo"), F.max("max_doc").alias("_hi")
+    )
+    blocks = _apply_keep(index.postings, keep)
+    decoded = pin(_live(_decode_blocks(blocks, spark), index), scope)
+    cooc = _pair_counts(decoded, target, window)
+    return _score_by_attr(cooc, index.dictionary, target, attr,
+                          min_count, k)

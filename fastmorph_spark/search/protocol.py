@@ -62,7 +62,9 @@ materializes an unbounded result.
 Twelve further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND), the collocation profile (``{"collocations": "term",
-"window": 3, "min_count": 2, "k": 20}``), frequency profiles
+"window": 3, "min_count": 2, "k": 20}``; add ``"group_by": "stem"|
+"tag"`` for the lemma-/class-grouped profile — rows then carry ``key``
+instead of ``term``), frequency profiles
 (``{"top_terms": n, "pattern": "s*"?}`` — dictionary metadata only),
 the corpus-comparison keyness table (``{"keyness": "en", "min_count":
 5, "k": 50}`` — G² + log-ratio over documents), the morphological
@@ -391,7 +393,8 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"top_terms": n, "pattern": pattern, "lang": lang}
     if "collocations" in req:
-        unknown = set(req) - {"collocations", "window", "min_count", "k", "lang"}
+        unknown = set(req) - {"collocations", "window", "min_count", "k",
+                              "lang", "group_by"}
         if unknown:
             raise RequestError(f"unknown request fields: {sorted(unknown)}")
         target = req["collocations"]
@@ -411,8 +414,12 @@ def parse_request(req: dict) -> dict:
         lang = req.get("lang")
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
+        group_by = req.get("group_by")
+        if group_by is not None and group_by not in ("stem", "tag"):
+            raise RequestError('group_by must be "stem" or "tag"')
         return {"collocations": target.strip(), "window": window,
-                "min_count": min_count, "k": k, "lang": lang}
+                "min_count": min_count, "k": k, "lang": lang,
+                "group_by": group_by}
     if "bm25" in req:
         unknown = set(req) - {"bm25", "k", "lang"}
         if unknown:
@@ -630,9 +637,12 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "bm25" in p:
                 return {"query": p["bm25"], "k": p["k"], "results": []}
             if "collocations" in p:
-                return {"target": p["collocations"], "window": p["window"],
-                        "min_count": p["min_count"], "k": p["k"],
-                        "results": []}
+                out = {"target": p["collocations"], "window": p["window"],
+                       "min_count": p["min_count"], "k": p["k"],
+                       "results": []}
+                if p.get("group_by"):
+                    out["group_by"] = p["group_by"]
+                return out
             if "top_terms" in p:
                 return {"top_terms": p["top_terms"], "pattern": p["pattern"],
                         "results": []}
@@ -798,6 +808,23 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "rank": int(r["rank"]), "term": r["term"],
                              "cooc": int(r["cooc"])} for r in rows]}
     if "collocations" in p:
+        if p.get("group_by"):
+            # lemma-/tag-grouped profile: same block selection + decode,
+            # class-grouped scoring tail; rows keyed "key" not "term"
+            from fastmorph_spark.search.collocation import (
+                packed_collocations_by_attr,
+            )
+
+            rows = packed_collocations_by_attr(
+                index, p["collocations"], attr=p["group_by"],
+                window=p["window"], min_count=p["min_count"], k=p["k"],
+                scope=scope).collect()
+            return {"target": p["collocations"], "window": p["window"],
+                    "min_count": p["min_count"], "k": p["k"],
+                    "group_by": p["group_by"],
+                    "results": [{"rank": int(r["rank"]), "key": r["key"],
+                                 "cooc": int(r["cooc"]), "cf": int(r["cf"]),
+                                 "pmi": float(r["pmi"])} for r in rows]}
         from fastmorph_spark.search.collocation import packed_collocations
 
         rows = packed_collocations(index, p["collocations"],

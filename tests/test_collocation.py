@@ -338,3 +338,31 @@ def test_colloc_by_attr_rejects_unknown(tables):
     _, postings, dictionary = tables
     with pytest.raises(ValueError):
         collocations_by_attr(postings, dictionary, TARGET, attr="lemma")
+
+
+def test_colloc_by_attr_packed_equals_corpus(spark, tables):
+    """Packed twin parity on the RAW fixture corpus (same index the
+    surface packed test uses), both attrs, plus the absent-target empty
+    shape."""
+    from fastmorph_spark.search.collocation import (
+        collocations_by_attr,
+        packed_collocations_by_attr,
+    )
+
+    _, postings, dictionary = tables
+    idx = registry._packed_index(spark, SF0001)
+    for attr in ("stem", "tag"):
+        corpus = collocations_by_attr(postings, dictionary, TARGET,
+                                      attr=attr, window=WINDOW,
+                                      min_count=MIN_COUNT, k=K).collect()
+        packed = packed_collocations_by_attr(idx, TARGET, attr=attr,
+                                             window=WINDOW,
+                                             min_count=MIN_COUNT,
+                                             k=K).collect()
+        assert [tuple(r) for r in packed] == [tuple(r) for r in corpus]
+        assert corpus, "fixture must produce grouped collocates"
+    empty = packed_collocations_by_attr(idx, "zqxjkvw", attr="stem")
+    assert empty.count() == 0
+    assert empty.columns == ["rank", "key", "cooc", "cf", "pmi"]
+    with pytest.raises(ValueError):
+        packed_collocations_by_attr(idx, TARGET, attr="lemma")

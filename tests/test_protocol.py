@@ -659,3 +659,31 @@ def test_gdex_sorted_kwic_request(spark, serving):
     assert "error" in handle_request(
         docs, idx, {"slots": base["slots"], "dists": base["dists"],
                     "sort": "gdex"})
+
+
+def test_collocations_group_by_request(spark, serving):
+    """`{"collocations": t, "group_by": "stem"}` serves the lemma-
+    grouped profile: equality with packed_collocations_by_attr, the
+    group_by echoed, rows keyed "key", and validation for bad values."""
+    from fastmorph_spark.search.collocation import packed_collocations_by_attr
+
+    docs, idx = serving
+    req = {"collocations": "fast", "window": 3, "min_count": 2, "k": 10,
+           "group_by": "stem"}
+    resp = handle_request(docs, idx, req)
+    assert "error" not in resp and resp["group_by"] == "stem"
+    want = [(int(r["rank"]), r["key"], int(r["cooc"]), int(r["cf"]),
+             float(r["pmi"]))
+            for r in packed_collocations_by_attr(
+                idx, "fast", attr="stem", window=3, min_count=2,
+                k=10).collect()]
+    got = [(r["rank"], r["key"], r["cooc"], r["cf"], r["pmi"])
+           for r in resp["results"]]
+    assert got == want and got
+    json.loads(to_json(resp))
+    with pytest.raises(RequestError):
+        parse_request({"collocations": "x", "group_by": "lemma"})
+    # ungrouped requests are unchanged: rows keyed "term", no group_by
+    plain = handle_request(docs, idx, {"collocations": "fast", "k": 5})
+    assert "group_by" not in plain
+    assert plain["results"] and "term" in plain["results"][0]
