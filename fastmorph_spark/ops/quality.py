@@ -194,3 +194,71 @@ def pii_profile(df: DataFrame, text_col: str = "text",
         F.regexp_count(F.col(text_col), F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
         F.sha2(pii_scrub_expr(text_col), 256).alias("scrub_sha256"),
     )
+
+
+# ---- unigram-LM perplexity (the Gopher/CCNet-family LM filter) ----------
+
+
+def unigram_ppl(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc perplexity under a SELF-TRAINED corpus unigram LM — the
+    language-model quality filter of the CCNet/Gopher family [LIT:
+    Wenzek et al. 2020 (CCNet) score documents by LM perplexity; Rae et
+    al. 2021 use it alongside the repetition filters]. A real pipeline
+    often uses an external 5-gram LM; a unigram LM trained on the corpus
+    itself is the deterministic, dependency-free member of the family —
+    it still separates natural-frequency prose from token-salad and
+    boilerplate (whose words are corpus-atypical), and it is exactly
+    DuckDB-mirrorable.
+
+    Pinned semantics (mirrored textually by oracles_ops.unigram_ppl_sql):
+
+    - LM: add-one smoothing over the corpus vocabulary,
+      ``p(t) = (cf_t + 1) / (total + V)`` (smoothing pinned even though
+      every in-corpus token has cf >= 1, so the formula is total/V-
+      stable and reusable for scoring held-out text);
+    - per doc: ``avg_nll = (n * ln(total + V) - S) / n`` with
+      ``S = Σ c_t * ln(cf_t + 1)`` and ``ppl = exp(avg_nll)``, both
+      rounded to SCORE_DECIMALS;
+    - **summation order pinned** (the A5 bm25 discipline): S is a strict
+      LEFT FOLD over the doc's distinct terms in term-ASC order — Spark
+      folds a sort_array'd struct list, the oracle folds
+      list(... ORDER BY term) — so both engines add the same doubles in
+      the same order and agree bit-for-bit before rounding. A plain
+      SUM() would be order-nondeterministic in both engines.
+    - docs with zero tokens produce no row (no 0/0).
+
+    Scale shape: one tokenize scan -> groupBy(doc_id, term) partial agg
+    (doc_id in the key: no hot-key skew); cf derived from that frame by
+    ONE vocabulary groupBy (no second scan); the (total, V) row is a
+    broadcast; the per-doc fold runs over collect_list of the doc's
+    DISTINCT terms — bounded by doc length, the snippet-assembly class
+    of per-doc work, never corpus-wide.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokenize_expr(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    cf = tf.groupBy("term").agg(F.sum("c").cast("long").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("_total"),
+                 F.count(F.lit(1)).cast("double").alias("_v"))
+    per = (
+        tf.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_tokens"),
+             F.sort_array(F.collect_list(F.struct("term", "c", "cf")))
+             .alias("_terms"))
+        .crossJoin(F.broadcast(tot))
+    )
+    s = F.aggregate(
+        "_terms", F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * F.log(x["cf"] + 1),
+    )
+    nll = (F.col("n_tokens").cast("double")
+           * F.log(F.col("_total") + F.col("_v")) - s) \
+        / F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id", "n_tokens",
+        F.round(nll, SCORE_DECIMALS).alias("avg_nll"),
+        F.round(F.exp(nll), SCORE_DECIMALS).alias("ppl"),
+    ).orderBy("doc_id")

@@ -730,3 +730,33 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
       < (CASE {whens} ELSE NULL END)
 ORDER BY doc_id
 """
+
+
+def unigram_ppl_sql() -> str:
+    """Mirror of ops.quality.unigram_ppl. The inner fold list is built
+    with ORDER BY term and summed sequentially (list_sum folds left),
+    matching Spark's sort_array + aggregate left fold — same doubles,
+    same order, bit-equal before rounding."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term
+),
+cf AS (SELECT term, sum(c)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total, count(*)::DOUBLE AS v FROM cf),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         list_sum(list(c::DOUBLE * ln(cf + 1) ORDER BY term)) AS s
+  FROM tf JOIN cf USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round((n_tokens::DOUBLE * ln(total + v) - s) / n_tokens::DOUBLE,
+             {SCORE_DECIMALS}) AS avg_nll,
+       round(exp((n_tokens::DOUBLE * ln(total + v) - s)
+                 / n_tokens::DOUBLE), {SCORE_DECIMALS}) AS ppl
+FROM per CROSS JOIN tot
+ORDER BY doc_id
+"""

@@ -693,6 +693,15 @@ def q_collocations_by_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 min_count=COLLOC_MIN, k=COLLOC_K)
 
 
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the self-trained corpus unigram LM
+    (ops/quality.unigram_ppl) — the CCNet/Gopher-family LM quality
+    filter, summation order pinned term-ASC in both engines."""
+    from fastmorph_spark.ops.quality import unigram_ppl
+
+    return unigram_ppl(read_documents(spark, sf_dir))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language md5 mixture sampling (ops/text.stratified_sample):
     en halved, de quartered, zh kept whole, es/fr dropped — the
@@ -732,6 +741,7 @@ QUERIES = {
     "freq_by_tag": q_freq_by_tag,
     "stratified_sample": q_stratified_sample,
     "collocations_by_stem": q_collocations_by_stem,
+    "unigram_ppl": q_unigram_ppl,
     "slot_fuzzy_search": q_slot_fuzzy_search,
     "slot_fuzzy_packed": q_slot_fuzzy_packed,
     "facet_counts": q_facet_counts,
@@ -823,6 +833,7 @@ def oracle_sqls() -> dict[str, str]:
         "freq_by_tag": oracles_corpus.freq_by_attr_sql(
             "tag", FREQ_ATTR_K, FREQ_ATTR_MIN),
         "stratified_sample": oracles_ops.stratified_sample_sql(STRATA),
+        "unigram_ppl": oracles_ops.unigram_ppl_sql(),
         "collocations_by_stem": oracles.collocations_by_attr_sql(
             _r.COLLOC_TARGET, "stem", _r.COLLOC_WINDOW, _r.COLLOC_MIN,
             _r.COLLOC_K),

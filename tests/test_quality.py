@@ -128,5 +128,59 @@ def test_quality_keys_vs_oracle(spark, duck):
 
     register_views(duck, SF0001)
     q, o = queries(), oracle_sqls()
-    for key in ("repetition_lines", "repetition_ngrams", "pii_profile"):
+    for key in ("repetition_lines", "repetition_ngrams", "pii_profile",
+                "unigram_ppl"):
         assert_frames_match(q[key](spark, SF0001), duck.sql(o[key]))
+
+
+def test_unigram_ppl_python_oracle(spark):
+    """Exhaustive float64 recompute on a tiny constructed corpus, plus
+    the quality-signal property: the doc made of corpus-rare tokens
+    scores HIGHER perplexity than the doc of corpus-common tokens, and
+    an empty doc produces no row."""
+    import math
+
+    from fastmorph_spark.ops.quality import unigram_ppl
+    from fastmorph_spark.tokenize import tokenize_py
+
+    texts = ["the the the fast join", "the fast join scan",
+             "zq xv qj zq", "", "the the fast"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_ppl(df).collect()}
+    cf: dict[str, int] = {}
+    docs_toks = [tokenize_py(t) for t in texts]
+    for toks in docs_toks:
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+    total, v = float(sum(cf.values())), float(len(cf))
+    assert set(got) == {0, 1, 2, 4}  # doc 3 empty -> no row
+    for i, toks in enumerate(docs_toks):
+        if not toks:
+            continue
+        per: dict[str, int] = {}
+        for t in toks:
+            per[t] = per.get(t, 0) + 1
+        s = 0.0
+        for t in sorted(per):  # the pinned term-ASC left fold
+            s += float(per[t]) * math.log(cf[t] + 1)
+        n = float(len(toks))
+        nll = (n * math.log(total + v) - s) / n
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["avg_nll"] == pytest.approx(nll, abs=1e-6)
+        assert got[i]["ppl"] == pytest.approx(math.exp(nll), abs=1e-4)
+    # rare-token doc 2 is the most perplexing; common-token doc 0 least
+    assert got[2]["ppl"] == max(r["ppl"] for r in got.values())
+    assert got[0]["ppl"] < got[2]["ppl"]
+
+
+def test_unigram_ppl_repartition_deterministic(spark):
+    from tests.conftest import SF0001
+
+    from fastmorph_spark.ops.quality import unigram_ppl
+    from fastmorph_spark.sources import read_documents
+
+    docs = read_documents(spark, SF0001)
+    a = unigram_ppl(docs).collect()
+    b = unigram_ppl(docs.repartition(17)).collect()
+    assert a == b
