@@ -580,3 +580,27 @@ def test_stratified_sample_repartition_stable(docs):
     a = stratified_sample(docs, frac).collect()
     b = stratified_sample(docs.repartition(13), frac).collect()
     assert a == b
+
+
+def test_round5_final_plan_shapes(spark, docs):
+    """Plan pins for the final-wave ops (100x-scale shapes):
+    freq_by_attr fuses its top-k to TakeOrderedAndProject and keeps the
+    rank window AFTER the <= k limit; stratified_sample is a pure
+    scan+filter (no join, no window — the md5 CASE chain is a column
+    expression); unigram_ppl has no corpus-sized Window and broadcasts
+    its 1-row totals."""
+    from fastmorph_spark.ops.quality import unigram_ppl
+    from fastmorph_spark.ops.text import stratified_sample
+
+    fp = keyness.freq_by_attr(docs, "stem", 50, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in fp
+    assert "BroadcastNestedLoopJoin" in fp  # the 1-row total attach
+
+    sp = stratified_sample(docs, {"en": 0.5, "de": 0.25}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in sp and "Window" not in sp
+
+    up = unigram_ppl(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in up  # per-doc fold, never one reducer
+    assert "BroadcastNestedLoopJoin" in up  # (total, V) broadcast
