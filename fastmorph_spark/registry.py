@@ -1298,15 +1298,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 124 keys, ALL late-wave round-5 keys (conc_filter*,
+    suite. With 129 keys, ALL late-wave round-5 keys (conc_filter*,
     conc_collocations*, mwe_bigrams, colloc_by_offset[_packed],
     doc_keywords, term_position_dist, next_word, dispersion_dp,
     kwic_gdex, conc_freq_*) sit INSIDE the 50-key window at positions
     30-49 and earn driver-green rows this round; the cap casualties are
-    the r04-driver-green tail (keys 51+: slot_fuzzy_* .. ngram_freq, all
-    r04-green or earlier-r05-green and pytest-pinned), and
+    the r04-driver-green tail (keys 51+: the final-wave additions
+    freq_by_stem/freq_by_tag/stratified_sample/collocations_by_stem/
+    unigram_ppl, then slot_fuzzy_* .. ngram_freq — all r04-green,
+    earlier-r05-green, or final-wave keys individually verified), and
     jobs/check_queries.py re-verifies EVERY key locally before the
-    driver run (BENCH/check_all_r05_final.txt)."""
+    driver run (BENCH/check_all_r05_final.txt: 129/129 green)."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
