@@ -106,6 +106,50 @@ FROM topk t JOIN reg r USING (doc_id)
 """
 
 
+def more_like_this_sql(source_doc_id: int, m: int = 10, k: int = 10) -> str:
+    """Mirror of search.mlt.more_like_this (round_score=True): top-m
+    TF-IDF query terms of the source doc (doc_keywords' pinned
+    tf*ln((N+1)/(df+1)) form, (tfidf DESC, term ASC) cut), then the
+    canonical BM25 disjunction over the full corpus with the source doc
+    excluded."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH {_corpus_ctes()},
+src AS (SELECT term, tf FROM tf WHERE doc_id = {source_doc_id}),
+cand AS (SELECT tf.* FROM tf JOIN (SELECT term FROM src) st USING (term)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM cand GROUP BY term),
+qt AS (
+  SELECT s.term
+  FROM src s JOIN dft USING (term) CROSS JOIN gs
+  ORDER BY s.tf * ln((gs.n_docs + 1.0) / (dft.df + 1.0)) DESC, s.term ASC
+  LIMIT {m}
+),
+mm AS (
+  SELECT c.* FROM cand c JOIN qt USING (term)
+  WHERE c.doc_id <> {source_doc_id}
+),
+s AS (
+  SELECT mm.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (mm.tf * ({k1} + 1.0)
+              / (mm.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
+         )::DOUBLE AS score
+  FROM mm
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN gs
+  GROUP BY mm.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       round(score, {SCORE_DECIMALS}) AS score
+FROM s
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def doc_stats_sql(lang: str | None = None) -> str:
     return f"""
 WITH {_corpus_ctes(lang)}

@@ -171,6 +171,32 @@ def q_bm25_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
 
 
+# more-like-this parameters (shared with the mirrored oracle)
+MLT_SRC_DOC, MLT_M, MLT_K = 42, 8, 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval (Lucene MoreLikeThis surface): the
+    source doc's top-m TF-IDF terms as a BM25 disjunction over the
+    corpus, source excluded (search/mlt.py)."""
+    from fastmorph_spark.search.mlt import more_like_this
+
+    docs = read_documents(spark, sf_dir)
+    return more_like_this(docs, MLT_SRC_DOC, m=MLT_M, k=MLT_K) \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_more_like_this_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT off the at-rest packed index (one-row tokenize + dictionary
+    df + WAND top-(k+1) with source-doc exclusion) — rank-identical to
+    the corpus path, so it shares more_like_this's oracle."""
+    from fastmorph_spark.search.mlt import more_like_this_packed
+
+    docs = read_documents(spark, sf_dir)
+    return more_like_this_packed(_packed_index(spark, sf_dir), docs,
+                                 MLT_SRC_DOC, m=MLT_M, k=MLT_K)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_documents(spark, sf_dir)
     postings = build_postings(docs)
@@ -1402,6 +1428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_freq": q_ngram_freq,
+        # --- (e) new this session (post-final-verification wave):
+        # attested by jobs/check_queries.py + pytest until their first
+        # in-window driver round
+        "more_like_this": q_more_like_this,
+        "more_like_this_packed": q_more_like_this_packed,
     }
 
 
@@ -1468,6 +1499,9 @@ def oracle_sqls() -> dict[str, str]:
             match_len=len(tokenize_py(PHRASE_QUERY)), width=KWIC_WIDTH,
         ),
         "ngram_freq": oracles_ops.ngram_freq_sql(2, 100, 2),
+        "more_like_this": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
+        # packed twin must be result-identical to the corpus path
+        "more_like_this_packed": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
         "pipeline_drop_list": oracles_ops.pipeline_drop_list_sql(
             3, 16, 4, 0.5, DECONTAM_N, 0.2,
             bench_where=f"doc_id % {DECONTAM_MOD} = 0",

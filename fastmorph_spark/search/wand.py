@@ -210,8 +210,22 @@ def search_wand(
     from fastmorph_spark.tokenize import tokenize_py_uni
 
     tok_py = tokenize_py_uni if tokenizer == "uni" else tokenize_py
-    spark = index.postings.sparkSession
     qterms = sorted(set(tok_py(query_text)))
+    return search_wand_terms(index, qterms, k=k, round_score=round_score,
+                             prune=prune)
+
+
+def search_wand_terms(
+    index: Index,
+    qterms: list[str],
+    k: int = 10,
+    round_score: bool = False,
+    prune: bool = True,
+) -> DataFrame:
+    """search_wand for an already-tokenized (deduplicated, sorted) term
+    list — the entry the more-like-this packed twin uses, where the query
+    terms come from the source doc's TF-IDF profile, not from text."""
+    spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not qterms:
         return empty
