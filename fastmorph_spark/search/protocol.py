@@ -59,7 +59,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Twelve further request forms share the boundary, all bounded by ``k`` /
+Thirteen further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND), the collocation profile (``{"collocations": "term",
 "window": 3, "min_count": 2, "k": 20}``; add ``"group_by": "stem"|
@@ -84,9 +84,12 @@ one union-envelope-bounded decode), the did-you-mean box
 the probe, (dist ASC, df DESC), metadata only), the positional
 collocate profile (``{"offsets": "term", "window": 3, "min_count": 2,
 "k": 5}`` — top collocates per signed offset, packed target-envelope
-block skip), and terminology extraction (``{"mwe": true, "min_count":
+block skip), terminology extraction (``{"mwe": true, "min_count":
 5, "k": 50}`` — corpus-wide adjacent-bigram logDice, a document-corpus
-statistic like keyness).
+statistic like keyness), and similar-document retrieval
+(``{"more_like": doc_id, "m": 10, "k": 10}`` — the source doc's top-m
+TF-IDF terms as a BM25 disjunction off the packed index, source
+excluded; search/mlt.py).
 """
 
 from __future__ import annotations
@@ -156,16 +159,16 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Thirteen request forms behind one boundary (module docstring): slots
+    Fourteen request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
     keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
-    offsets, mwe."""
+    offsets, mwe, more_like."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
-                         "offsets", "mwe")
+                         "offsets", "mwe", "more_like")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -228,6 +231,27 @@ def parse_request(req: dict) -> dict:
         synth["slots"] = proto_slots
         synth["dists"] = [list(d) for d in c["dists"]]
         return parse_request(synth)
+    if "more_like" in req:
+        # similar-document retrieval: top-m TF-IDF terms of the source
+        # doc as a BM25 disjunction off the packed index (search/mlt.py)
+        unknown = set(req) - {"more_like", "m", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        doc = req["more_like"]
+        if not isinstance(doc, int) or isinstance(doc, bool) or doc < 0:
+            raise RequestError("more_like must be a non-negative doc_id")
+        m = req.get("m", 10)
+        if not isinstance(m, int) or isinstance(m, bool) \
+                or not 1 <= m <= _MAX_UNTIL:
+            raise RequestError(f"m must be an integer in [1, {_MAX_UNTIL}]")
+        k = req.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"more_like": doc, "m": m, "k": k, "lang": lang}
     if "suggest" in req:
         # did-you-mean box: dictionary terms near the (possibly
         # mistyped) probe — metadata only, no decode, no corpus scan
@@ -659,6 +683,9 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "suggest" in p:
                 return {"word": p["suggest"], "dist": p["dist"],
                         "k": p["k"], "results": []}
+            if "more_like" in p:
+                return {"doc_id": p["more_like"], "m": p["m"],
+                        "k": p["k"], "results": []}
             if "sketch_diff" in p:
                 return {"targets": p["sketch_diff"], "k": p["k"],
                         "results": []}
@@ -738,6 +765,19 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"rank": i + 1, "term": r["term"],
                              "df": int(r["df"]), "cf": int(r["cf"])}
                             for i, r in enumerate(rows)]}
+    if "more_like" in p:
+        # similar documents: one-row tokenize + dictionary df + WAND
+        # top-(k+1) with exact source-drop (search/mlt.py). A source
+        # doc absent from the (lang-routed) corpus answers an empty
+        # result set, not an error.
+        from fastmorph_spark.search.mlt import more_like_this_packed
+
+        rows = more_like_this_packed(index, documents, p["more_like"],
+                                     m=p["m"], k=p["k"]).collect()
+        return {"doc_id": p["more_like"], "m": p["m"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]),
+                             "doc_id": int(r["doc_id"]),
+                             "score": float(r["score"])} for r in rows]}
     if "suggest" in p:
         # did-you-mean: length-band + levenshtein over the ~|vocab|-row
         # dictionary, (dist ASC, df DESC) — the ranking a portal's

@@ -534,6 +534,30 @@ def test_suggest_request(spark, serving):
                                      {"suggest": "x", "thesaurus": "y"})
 
 
+def test_more_like_request(spark, serving):
+    """Similar-document retrieval form: equals the packed MLT operator
+    (which test_mlt pins to the corpus path + DuckDB oracle); an absent
+    source doc is an empty result, not an error; bad fields are
+    client-addressable errors."""
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"more_like": 42, "m": 8, "k": 5})
+    assert "error" not in resp and resp["doc_id"] == 42
+    assert resp["results"] and all(r["doc_id"] != 42 for r in resp["results"])
+    from fastmorph_spark.search.mlt import more_like_this_packed
+
+    want = more_like_this_packed(idx, docs, 42, m=8, k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in want] == \
+           [(r["rank"], r["doc_id"], r["score"]) for r in resp["results"]]
+    absent = handle_request(docs, idx, {"more_like": 10**9})
+    assert "error" not in absent and absent["results"] == []
+    assert "error" in handle_request(docs, idx, {"more_like": -1})
+    assert "error" in handle_request(docs, idx, {"more_like": True})
+    assert "error" in handle_request(docs, idx, {"more_like": 1, "m": 0})
+    assert "error" in handle_request(docs, idx, {"more_like": 1, "until": 5})
+    assert "error" in handle_request(docs, idx,
+                                     {"more_like": 1, "bm25": "x"})
+
+
 def test_sorted_kwic_request(spark, serving):
     """'sort' on a kwic request: ranks (skip, until] of the SORTED
     concordance, equal to engine.kwic_sorted over the same matches; sort
