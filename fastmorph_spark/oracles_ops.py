@@ -760,3 +760,85 @@ SELECT doc_id, n_tokens,
 FROM per CROSS JOIN tot
 ORDER BY doc_id
 """
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Shared CTE chain for the pinned k-means trace (ops/clustering.py):
+    md5-ordered init, per-iteration (round(dist) argmin -> rounded
+    per-component mean), empty clusters dropping out. Returns (ctes,
+    final_assignment_cte_name). DuckDB explodes vectors once (ev) and
+    computes distances by idx-join + sum — summation order differs from
+    Spark's index-ordered fold, which is exactly what rounding both
+    engines' dists/centroids to SCORE_DECIMALS absorbs."""
+    parts = [f"""
+emb AS (SELECT vec_id, embedding FROM embeddings),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         unnest(embedding)::DOUBLE AS val
+  FROM emb
+),
+init AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cluster
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+),
+c0 AS (
+  SELECT i.cluster, ev.idx, ev.val FROM init i JOIN ev USING (vec_id)
+)"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+d{t} AS (
+  SELECT ev.vec_id, c.cluster,
+         round(sum((ev.val - c.val) * (ev.val - c.val)), {R}) AS dist
+  FROM ev JOIN {prev} c USING (idx)
+  GROUP BY ev.vec_id, c.cluster
+),
+a{t} AS (
+  SELECT vec_id, cluster, dist FROM d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+c{t} AS (
+  SELECT a.cluster, ev.idx, round(avg(ev.val), {R}) AS val
+  FROM a{t} a JOIN ev USING (vec_id)
+  GROUP BY a.cluster, ev.idx
+)""")
+        prev = f"c{t}"
+    # final assignment against the LAST rounded centroids
+    parts.append(f"""
+dfin AS (
+  SELECT ev.vec_id, c.cluster,
+         round(sum((ev.val - c.val) * (ev.val - c.val)), {R}) AS dist
+  FROM ev JOIN {prev} c USING (idx)
+  GROUP BY ev.vec_id, c.cluster
+),
+afin AS (
+  SELECT vec_id, cluster, dist FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)""")
+    return ",".join(parts), "afin"
+
+
+def kmeans_assign_sql(k: int = 4, iters: int = 2) -> str:
+    """Mirror of ops.clustering.kmeans_assign."""
+    ctes, fin = _kmeans_ctes(k, iters)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cluster::BIGINT AS cluster, dist FROM {fin}
+"""
+
+
+def cluster_sample_sql(k: int = 4, iters: int = 2, per_cluster: int = 25) -> str:
+    """Mirror of ops.clustering.cluster_sample — the single-phase rank
+    (the Spark side's salted two-phase cut is result-identical)."""
+    ctes, fin = _kmeans_ctes(k, iters)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cluster::BIGINT AS cluster FROM {fin}
+QUALIFY row_number() OVER (
+  PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+) <= {per_cluster}
+"""

@@ -1020,6 +1020,32 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(read_documents(spark, sf_dir), n=5, keep=4)
 
 
+# pinned k-means parameters (shared with the mirrored oracle)
+KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE = 4, 2, 25
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means assignments over the embedding column —
+    the oracle verifies the FULL pinned Lloyd trace (md5 init, rounded
+    argmin, rounded centroid means), not just 'some clustering'."""
+    from fastmorph_spark.ops.clustering import kmeans_assign
+    from fastmorph_spark.sources import read_table
+
+    return kmeans_assign(read_table(spark, sf_dir, "embeddings"),
+                         k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced deterministic subsample (md5 rank within each
+    learned cluster) — the diversity-rebalance curation step."""
+    from fastmorph_spark.ops.clustering import cluster_sample
+    from fastmorph_spark.sources import read_table
+
+    return cluster_sample(read_table(spark, sf_dir, "embeddings"),
+                          k=KMEANS_K, iters=KMEANS_ITERS,
+                          per_cluster=KMEANS_SAMPLE)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.ops.similarity import cosine_topk
     from fastmorph_spark.sources import read_table
@@ -1433,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window driver round
         "more_like_this": q_more_like_this,
         "more_like_this_packed": q_more_like_this_packed,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_sample": q_cluster_sample,
     }
 
 
@@ -1502,6 +1530,9 @@ def oracle_sqls() -> dict[str, str]:
         "more_like_this": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
         # packed twin must be result-identical to the corpus path
         "more_like_this_packed": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
+        "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
+        "cluster_sample": oracles_ops.cluster_sample_sql(
+            KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),
         "pipeline_drop_list": oracles_ops.pipeline_drop_list_sql(
             3, 16, 4, 0.5, DECONTAM_N, 0.2,
             bench_where=f"doc_id % {DECONTAM_MOD} = 0",
