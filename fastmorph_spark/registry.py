@@ -1360,7 +1360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unigram_ppl, then slot_fuzzy_* .. ngram_freq — all r04-green,
     earlier-r05-green, or final-wave keys individually verified), and
     jobs/check_queries.py re-verifies EVERY key locally before the
-    driver run (BENCH/check_all_r05_final.txt: 129/129 green)."""
+    driver run (BENCH/check_all_r05_final.txt: 133/133 green — the
+    closing wave adds more_like_this[_packed], kmeans_clusters,
+    cluster_sample at the tail, section (e))."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,

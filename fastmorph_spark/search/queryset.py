@@ -151,6 +151,13 @@ def run_query(
 
         return mwe_bigrams(documents, spec.get("min_count", 5),
                            spec.get("k") or 50)
+    if mode == "mlt_packed":
+        # similar-document retrieval off the packed index (the
+        # "more_like" serving form; search/mlt.py)
+        from fastmorph_spark.search.mlt import more_like_this_packed
+
+        return more_like_this_packed(index, documents, spec["doc_id"],
+                                     m=spec.get("m", 10), k=k)
     if mode == "keyness":
         # subcorpus comparison (G2 + log-ratio) — the corpus-analytics
         # tab; one tokenize scan + one term-keyed groupBy
@@ -248,6 +255,8 @@ def run_query_oracle(spec: dict, oracle) -> list:
     if mode == "mwe":
         return _oracle_mwe(oracle, spec.get("min_count", 5),
                            spec.get("k") or 50)
+    if mode == "mlt_packed":
+        return _oracle_mlt(oracle, spec["doc_id"], spec.get("m", 10), k)
     if mode == "keyness":
         return _oracle_keyness(oracle, spec["focus"],
                                spec.get("min_count", 5), spec.get("k") or 50)
@@ -385,6 +394,31 @@ def _oracle_offsets(oracle, target: str, window: int, min_count: int,
         ranked = sorted(by_off[o], key=lambda r: (-r[1], r[0]))[:k_per_offset]
         rows += [[o, i + 1, t, c] for i, (t, c) in enumerate(ranked)]
     return rows
+
+
+def _oracle_mlt(oracle, doc_id: int, m: int, k: int) -> list:
+    """Pure-Python twin of search.mlt.more_like_this_packed: the source
+    doc's top-m TF-IDF terms (doc_keywords' pinned tf*ln((N+1)/(df+1))
+    form, (tfidf DESC, term ASC) cut) scored by OracleIndex.topk at
+    k+1, source dropped. Scores serialized as repr(round(., 6)) — the
+    golden-file float discipline, matching the engine's rounded output."""
+    import math as _math
+    from collections import Counter as _Counter
+
+    text = oracle._docs_src.get(doc_id)
+    if text is None:
+        return []
+    tfc = _Counter(tokenize_py(text))
+    n = len(oracle._docs_src)
+    ranked = sorted(
+        ((tfv * _math.log((n + 1.0) / (len(oracle.postings.get(t, {})) + 1.0)), t)
+         for t, tfv in tfc.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    qterms = sorted(t for _s, t in ranked[:m])
+    got = [(d, s) for d, s in oracle.topk(" ".join(qterms), k + 1)
+           if d != doc_id][:k]
+    return [[i + 1, d, repr(round(s, 6))] for i, (d, s) in enumerate(got)]
 
 
 def _oracle_mwe(oracle, min_count: int, k: int) -> list:

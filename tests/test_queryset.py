@@ -104,6 +104,11 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
         for r, g in zip(rows, exp):
             assert math.isclose(r["g2"], float(g[4]), abs_tol=1e-6), spec["qid"]
             assert math.isclose(r["log_ratio"], float(g[5]), abs_tol=1e-6), spec["qid"]
+    elif spec["mode"] == "mlt_packed":
+        assert [[r["rank"], r["doc_id"]] for r in rows] == \
+               [g[:2] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["score"], float(g[2]), abs_tol=1e-6), spec["qid"]
     elif spec["mode"] == "within_sentence_indexed":
         assert [[r["doc_id"], r["sent_id"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "facets":
