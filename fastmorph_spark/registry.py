@@ -1350,19 +1350,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 129 keys, ALL late-wave round-5 keys (conc_filter*,
+    suite. With 133 keys, window positions 30-33 carry the closing
+    wave's most novel correctness claims (section (b4):
+    more_like_this[_packed], kmeans_clusters, cluster_sample) and
+    positions 34-49 the late-wave round-5 panel keys (conc_filter*,
     conc_collocations*, mwe_bigrams, colloc_by_offset[_packed],
-    doc_keywords, term_position_dist, next_word, dispersion_dp,
-    kwic_gdex, conc_freq_*) sit INSIDE the 50-key window at positions
-    30-49 and earn driver-green rows this round; the cap casualties are
-    the r04-driver-green tail (keys 51+: the final-wave additions
-    freq_by_stem/freq_by_tag/stratified_sample/collocations_by_stem/
-    unigram_ppl, then slot_fuzzy_* .. ngram_freq — all r04-green,
-    earlier-r05-green, or final-wave keys individually verified), and
-    jobs/check_queries.py re-verifies EVERY key locally before the
-    driver run (BENCH/check_all_r05_final.txt: 133/133 green — the
-    closing wave adds more_like_this[_packed], kmeans_clusters,
-    cluster_sample at the tail, section (e))."""
+    doc_keywords, next_word, kwic_gdex, conc_freq_*); the cap
+    casualties are the remaining corpus-ext tail (term_profile,
+    dispersion, fuzzy_*, ... — displaced by (b4)) plus the
+    r04-driver-green tail (freq_by_stem/freq_by_tag/stratified_sample/
+    collocations_by_stem/unigram_ppl, then slot_fuzzy_* .. ngram_freq).
+    Every casualty is oracle-verified this round anyway:
+    jobs/check_queries.py re-runs EVERY key locally before the driver
+    run (BENCH/check_all_r05_final.txt: 133/133 green)."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
@@ -1397,6 +1397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_lines": q_repetition_lines,
         "repetition_ngrams": q_repetition_ngrams,
         "pii_profile": q_pii_profile,
+        # --- (b4) closing wave: similar-doc retrieval (corpus + WAND
+        # twins sharing one oracle) and the pinned-trace k-means pair —
+        # the round's most novel correctness claims, so they take
+        # in-window driver slots; the 4 displaced late-wave panel keys
+        # join the attested tail (check_all 133/133 + pytest)
+        "more_like_this": q_more_like_this,
+        "more_like_this_packed": q_more_like_this_packed,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_sample": q_cluster_sample,
         # --- (b2) new this round, wave 2: corpus analytics (keyness /
         # ipm / dispersion), fuzzy matching, facets, sentence scope,
         # concordance sampling (fastmorph_spark/registry_corpus.py)
@@ -1456,13 +1465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_freq": q_ngram_freq,
-        # --- (e) new this session (post-final-verification wave):
-        # attested by jobs/check_queries.py + pytest until their first
-        # in-window driver round
-        "more_like_this": q_more_like_this,
-        "more_like_this_packed": q_more_like_this_packed,
-        "kmeans_clusters": q_kmeans_clusters,
-        "cluster_sample": q_cluster_sample,
     }
 
 
