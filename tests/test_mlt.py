@@ -85,6 +85,27 @@ def test_packed_twin_identical(spark, fixture_docs):
     assert [tuple(r) for r in packed] == [tuple(r) for r in corpus]
 
 
+def test_packed_respects_tombstones(spark, fixture_docs):
+    """A tombstoned doc vanishes from the similar-docs list (pre-purge
+    Lucene delete semantics): remaining results keep their relative
+    order and ranks stay dense."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    idx = build_index_frames(fixture_docs, doc_shard_size=100, block_size=16)
+    base = more_like_this_packed(idx, fixture_docs, SRC, m=M, k=K).collect()
+    victim = base[0]["doc_id"]
+    tomb = fixture_docs.select("doc_id").filter(F.col("doc_id") == victim)
+    got = more_like_this_packed(dataclasses.replace(idx, tombstones=tomb),
+                                fixture_docs, SRC, m=M, k=K).collect()
+    assert all(r["doc_id"] != victim for r in got)
+    survivors = [r["doc_id"] for r in base if r["doc_id"] != victim]
+    # the first k-1 survivors must reappear in order with dense ranks
+    assert [r["doc_id"] for r in got][:len(survivors)] == survivors
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
 def test_source_doc_excluded(spark, fixture_docs):
     rows = more_like_this(fixture_docs, SRC, m=M, k=K).collect()
     assert rows, "fixture source doc must have neighbours"
