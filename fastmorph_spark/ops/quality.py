@@ -262,3 +262,57 @@ def unigram_ppl(df: DataFrame, text_col: str = "text",
         F.round(nll, SCORE_DECIMALS).alias("avg_nll"),
         F.round(F.exp(nll), SCORE_DECIMALS).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ---- C4-style line cleaning --------------------------------------------
+
+# pinned C4 line-keep rule [LIT: Raffel et al. 2020 (C4), §2.2]: a line
+# survives iff it ends in terminal punctuation, has >= C4_MIN_WORDS
+# whitespace-words, and carries none of the boilerplate markers. The
+# policy-term list is the pinned subset of C4's (javascript notice,
+# lorem ipsum filler, code brace); thresholds/terms are constants shared
+# with oracles_ops.c4_clean_sql.
+C4_MIN_WORDS = 5
+C4_TERMINAL_RE = '[.!?"]$'
+C4_BAD_SUBSTRINGS = ("javascript", "lorem ipsum", "{")
+
+
+def _c4_keep(line):
+    """Boolean column: does this line survive the pinned C4 rule?"""
+    t = F.trim(line)
+    words = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    keep = t.rlike(C4_TERMINAL_RE) & (words >= C4_MIN_WORDS)
+    for bad in C4_BAD_SUBSTRINGS:
+        keep = keep & ~F.contains(F.lower(t), F.lit(bad))
+    return keep
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4-style line cleaning evidence + cleaned text identity:
+
+    ``(doc_id, n_lines, n_kept, kept_frac, clean_sha256)`` where
+    clean_sha256 is the sha256 of the surviving lines rejoined with
+    newlines (the P3 content-identity discipline — the oracle verifies
+    the CLEANED BYTES, not just counts). Docs whose every line is
+    dropped keep their row with n_kept = 0 and the empty-string sha.
+
+    Scale shape: a pure row-local column expression — split + filter +
+    concat + sha over the line ARRAY via higher-order functions, no
+    explode, no shuffle, no Python. At 100 TB this is a narrow map
+    fused into the scan."""
+    lines = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                     lambda l: F.length(l) > 0)
+    kept = F.filter(lines, _c4_keep)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(
+            F.when(F.size(lines) > 0,
+                   F.size(kept).cast("double") / F.size(lines).cast("double"))
+            .otherwise(F.lit(0.0)),
+            SCORE_DECIMALS,
+        ).alias("kept_frac"),
+        F.sha2(F.concat_ws("\n", kept), 256).alias("clean_sha256"),
+    )

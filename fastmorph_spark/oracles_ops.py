@@ -842,3 +842,38 @@ QUALIFY row_number() OVER (
   PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
 ) <= {per_cluster}
 """
+
+
+def c4_clean_sql(src: str = "documents") -> str:
+    """Mirror of ops.quality.c4_clean: non-empty newline lines; the
+    pinned C4 keep rule (terminal punctuation, >= 5 whitespace-words,
+    no javascript/lorem-ipsum/brace marker); evidence counts + sha256
+    of the kept lines rejoined with newlines — the oracle verifies the
+    CLEANED BYTES. ``src`` lets the registry substitute the
+    deterministically line-structured derived corpus (raw fixture text
+    has no newlines)."""
+    keep = (
+        "regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(string_split(trim(l), ' '), x -> x <> '')) >= 5 "
+        "AND NOT contains(lower(trim(l)), 'javascript') "
+        "AND NOT contains(lower(trim(l)), 'lorem ipsum') "
+        "AND NOT contains(lower(trim(l)), '{')"
+    )
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ln
+  FROM {src} AS documents
+),
+k AS (
+  SELECT doc_id, ln, list_filter(ln, l -> {keep}) AS kept FROM lines
+)
+SELECT doc_id,
+       len(ln)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       round(CASE WHEN len(ln) > 0
+                  THEN len(kept)::DOUBLE / len(ln) ELSE 0.0 END, {R})
+         AS kept_frac,
+       sha256(coalesce(array_to_string(kept, chr(10)), '')) AS clean_sha256
+FROM k ORDER BY doc_id
+"""

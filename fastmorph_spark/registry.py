@@ -807,6 +807,68 @@ def _line_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.concat_ws("\n", aug).alias("text"))
 
 
+# C4 cleaning augmentation: base lines are the 6-token windows with a
+# terminal '.' on alternating (doc_id + i) parity — so roughly half the
+# base lines pass the punctuation rule — plus three planted boilerplate
+# lines with known drop reasons (word count / policy term / brace).
+# Identical text bytes in both engines.
+C4_AUG_SRC = (
+    "(SELECT doc_id, array_to_string("
+    "ln"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ['terse line.'] ELSE []::VARCHAR[] END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN "
+    "['this javascript widget loads quickly today.'] ELSE []::VARCHAR[] END)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN "
+    "['return value maps { key } now.'] ELSE []::VARCHAR[] END),"
+    " chr(10)) AS text FROM ("
+    f"SELECT doc_id, list_transform(range(CAST(ceil(len(t)/{LINE_AUG_W}.0) AS INT)), "
+    f"i -> array_to_string(t[i*{LINE_AUG_W}+1:i*{LINE_AUG_W}+{LINE_AUG_W}], ' ')"
+    " || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END) AS ln "
+    f"FROM (SELECT doc_id, {oracles.TOK.format(col='text')} AS t "
+    "FROM main.documents) WHERE len(t) >= 1))"
+)
+
+
+def _c4_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastmorph_spark.tokenize import tokenize_expr
+
+    w = LINE_AUG_W
+    t = tokenize_expr("text")
+    d = read_documents(spark, sf_dir).select("doc_id", t.alias("_t")) \
+        .filter(F.size("_t") >= 1)
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_t") / F.lit(float(w))).cast("int") - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(F.col("_t"), i * w + 1, w)),
+            F.when((F.col("doc_id") + i) % 2 == 0, F.lit("."))
+            .otherwise(F.lit(""))))
+    empty = F.expr("array()").cast("array<string>")
+    aug = F.concat(
+        F.col("_ln"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.array(F.lit("terse line."))).otherwise(empty),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.lit("this javascript widget loads quickly today.")))
+        .otherwise(empty),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.array(F.lit("return value maps { key } now.")))
+        .otherwise(empty),
+    )
+    return d.select("doc_id", lines.alias("_ln")) \
+        .select("doc_id", F.concat_ws("\n", aug).alias("text"))
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over the line-augmented corpus —
+    non-vacuous by construction (alternating terminal punctuation +
+    planted short/policy-term/brace lines); the oracle hash-verifies
+    the cleaned BYTES via sha256, not just the counts."""
+    from fastmorph_spark.ops.quality import c4_clean
+
+    return c4_clean(_c4_aug_docs(spark, sf_dir))
+
+
 def q_repetition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicate-line fractions over the line-augmented
     corpus — non-vacuous by construction (every 3rd/7th doc carries
@@ -1465,6 +1527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_freq": q_ngram_freq,
+        # closing-wave addition after the window froze: attested by
+        # jobs/check_queries.py + pytest (tail casualty by design)
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -1534,6 +1599,7 @@ def oracle_sqls() -> dict[str, str]:
         "more_like_this": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
         # packed twin must be result-identical to the corpus path
         "more_like_this_packed": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
+        "c4_clean": oracles_ops.c4_clean_sql(src=C4_AUG_SRC),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

@@ -129,8 +129,64 @@ def test_quality_keys_vs_oracle(spark, duck):
     register_views(duck, SF0001)
     q, o = queries(), oracle_sqls()
     for key in ("repetition_lines", "repetition_ngrams", "pii_profile",
-                "unigram_ppl"):
+                "unigram_ppl", "c4_clean"):
         assert_frames_match(q[key](spark, SF0001), duck.sql(o[key]))
+
+
+# ---- c4_clean ------------------------------------------------------------
+
+
+def test_c4_keep_rule_cases(spark):
+    """Each pinned drop reason in isolation, plus a line passing all."""
+    import hashlib
+
+    from fastmorph_spark.ops.quality import c4_clean
+
+    good = "this sentence has five good words."
+    rows = [
+        (0, good),                                      # kept
+        (1, "this sentence has five good words"),       # no terminal punct
+        (2, "too short line."),                         # < 5 words
+        (3, "please enable javascript to view content."),  # policy term
+        (4, "Lorem Ipsum dolor sit amet filler text."),  # policy term (ci)
+        (5, "return value maps { key } from here."),     # brace
+        (6, "  " + good + "  "),                         # trim then keep
+        (7, good + "\n" + "nope"),                       # one of two kept
+        (8, ""),                                         # zero lines
+    ]
+    got = {r["doc_id"]: r.asDict()
+           for r in c4_clean(_docs(spark, rows)).collect()}
+    assert [got[i]["n_kept"] for i in range(9)] == [1, 0, 0, 0, 0, 0, 1, 1, 0]
+    assert got[7]["n_lines"] == 2 and got[7]["kept_frac"] == 0.5
+    # cleaned BYTES: doc 0's sha is sha256 of the kept line itself
+    assert got[0]["clean_sha256"] == hashlib.sha256(good.encode()).hexdigest()
+    # trim affects the RULE, not the bytes: doc 6 keeps its padded line
+    assert got[6]["clean_sha256"] == \
+        hashlib.sha256(("  " + good + "  ").encode()).hexdigest()
+    # zero lines and zero kept both produce the empty sha
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    assert got[8]["n_lines"] == 0 and got[8]["clean_sha256"] == empty_sha
+    assert got[1]["clean_sha256"] == empty_sha
+
+
+def test_c4_planted_lines_always_dropped(spark):
+    """The registry's augmented corpus plants three drop-reason lines;
+    every planted line must be dropped, so for an all-kept-base doc
+    kept == base parity count."""
+    from fastmorph_spark.registry import _c4_aug_docs
+    from fastmorph_spark.ops.quality import c4_clean
+    from tests.conftest import SF0001
+
+    aug = _c4_aug_docs(spark, SF0001)
+    got = {r["doc_id"]: r for r in c4_clean(aug).collect()}
+    # doc 60 hits all three plant conditions (60 % 4 == 60 % 5 == 60 % 6 == 0)
+    base = aug.filter("doc_id = 60").collect()[0]["text"].split("\n")
+    assert got[60]["n_lines"] == len(base)
+    planted = {"terse line.",
+               "this javascript widget loads quickly today.",
+               "return value maps { key } now."}
+    keepable = [l for l in base if l not in planted]
+    assert got[60]["n_kept"] <= len(keepable)
 
 
 def test_unigram_ppl_python_oracle(spark):
