@@ -287,6 +287,21 @@ def _c4_keep(line):
     return keep
 
 
+def c4_kept_lines(text_col: str = "text"):
+    """Array column of the lines surviving the pinned C4 rule."""
+    lines = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                     lambda l: F.length(l) > 0)
+    return F.filter(lines, _c4_keep)
+
+
+def c4_clean_text(text_col: str = "text"):
+    """The CLEANED text column (kept lines rejoined with newlines) — the
+    form jobs/write_shards.py applies in-line so shard text and budget
+    counts both see the post-cleaning bytes. Empty string when every
+    line drops."""
+    return F.concat_ws("\n", c4_kept_lines(text_col))
+
+
 def c4_clean(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """C4-style line cleaning evidence + cleaned text identity:
@@ -303,7 +318,7 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     fused into the scan."""
     lines = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
                      lambda l: F.length(l) > 0)
-    kept = F.filter(lines, _c4_keep)
+    kept = c4_kept_lines(text_col)
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(lines).cast("long").alias("n_lines"),

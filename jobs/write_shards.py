@@ -10,7 +10,12 @@ partitioned dataset:
 
   spark-submit --py-files dist/fts.zip jobs/write_shards.py \
       --docs docs:/root/testdata/sf0.01 --out /tmp/shards \
-      --budget 2000 [--bpe] [--drop /tmp/drop_list] [--format jsonl]
+      --budget 2000 [--bpe] [--drop /tmp/drop_list] [--c4-clean] \
+      [--format jsonl]
+
+``--c4-clean`` additionally applies the pinned C4 line-keep rule
+(ops/quality.c4_clean_text — a row-local HOF rewrite, no extra pass
+shape) before budgeting, dropping docs whose every line fails.
 
 Output layout: one directory per shard (`shard_id=N/`, Spark value
 partitioning), rows sorted by doc_id within each shard's files — a
@@ -45,6 +50,11 @@ def main() -> None:
     ap.add_argument("--drop", help="parquet path of a (doc_id, ...) drop "
                                    "list to anti-join (e.g. "
                                    "pipeline_drop_list output)")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="apply the pinned C4 line-keep rule "
+                         "(ops/quality.c4_clean_text) to every doc before "
+                         "budgeting/packing; docs whose every line drops "
+                         "are removed (counted in n_dropped)")
     ap.add_argument("--format", choices=("parquet", "jsonl"),
                     default="parquet")
     args = ap.parse_args()
@@ -58,10 +68,17 @@ def main() -> None:
     spark = SparkSession.builder.appName("fastmorph-write-shards").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if args.docs.startswith("docs:"):
-        docs = read_documents(spark, args.docs.split(":", 1)[1])
+        docs = read_documents(spark, args.docs.split(":", 1)[1]) \
+            .select("doc_id", "text")
     else:
-        docs = read_corpus(spark, args.docs)
-    docs = docs.select("doc_id", "text")
+        # contract corpus shape (repo,path,commit,lang,content):
+        # deterministic dense doc_ids exactly as jobs/build_index.py
+        # assigns them, so a drop list built against the indexed corpus
+        # addresses the same ids here
+        from fastmorph_spark.sources import with_doc_ids
+
+        docs = with_doc_ids(read_corpus(spark, args.docs)) \
+            .select("doc_id", F.col("content").alias("text"))
     n_total = docs.count()
     n_dropped = 0
     if args.drop:
@@ -69,6 +86,16 @@ def main() -> None:
         # broadcast anti-join: a drop list is decisions, not a corpus
         docs = docs.join(F.broadcast(drop), "doc_id", "left_anti")
         n_dropped = n_total - docs.count()
+
+    if args.c4_clean:
+        # row-local rewrite BEFORE counting/packing: shard text and the
+        # token budget both see the post-cleaning bytes
+        from fastmorph_spark.ops.quality import c4_clean_text
+
+        before = n_total - n_dropped
+        docs = docs.withColumn("text", c4_clean_text("text")) \
+            .filter(F.length("text") > 0)
+        n_dropped += before - docs.count()
 
     counts = bpe_count_expr("text") if args.bpe else None
     shards = pack_shards(docs, args.budget, counts=counts)
