@@ -931,3 +931,82 @@ FROM counts CROSS JOIN total
 ORDER BY count DESC, key ASC
 LIMIT {k}
 """
+
+
+def expanded_bm25_sql(query_text: str, n_expand: int = 3, window: int = 3,
+                      min_shared: int = 2, k: int = 10) -> str:
+    """Mirror of search.expand.expanded_bm25: per query term the
+    thesaurus top-n neighbor terms (thesaurus_sql's pinned profile /
+    Dice / (sim DESC, term ASC) cut), UNION-deduplicated with the
+    original terms, then oracles.bm25_topk_sql's exact scoring body.
+    tf/dl/gs are rebuilt from the SAME pos CTE (identical tokens), dl as
+    the token-array length (0 for empty docs — the A3 pin)."""
+    from fastmorph_spark.constants import BM25_B, BM25_K1
+    from fastmorph_spark.oracles import _positions_cte
+
+    k1, b = BM25_K1, BM25_B
+    terms = sorted(set(tokenize_py(query_text)))
+    values = ", ".join("('" + t + "')" for t in terms)
+    per_term, selects = [], [f"SELECT term FROM (VALUES {values}) vq(term)"]
+    for i, t in enumerate(terms):
+        per_term.append(f"""
+tgt{i} AS (SELECT b, n FROM prof WHERE a = '{t}'),
+tm{i} AS (SELECT mass::DOUBLE AS tmass FROM mass WHERE a = '{t}'),
+sh{i} AS (
+  SELECT p.a, sum(least(p.n, t.n))::BIGINT AS shared
+  FROM prof p JOIN tgt{i} t USING (b)
+  WHERE p.a <> '{t}'
+  GROUP BY p.a
+  HAVING sum(least(p.n, t.n)) >= {min_shared}
+),
+exp{i} AS (
+  SELECT s.a AS term
+  FROM sh{i} s JOIN mass m ON s.a = m.a CROSS JOIN tm{i}
+  ORDER BY (2.0 * s.shared) / (tm{i}.tmass + m.mass::DOUBLE) DESC, s.a ASC
+  LIMIT {n_expand}
+)""")
+        selects.append(f"SELECT term FROM exp{i}")
+    q_union = " UNION ".join(selects)
+    return f"""
+WITH {_positions_cte().strip()},
+op AS (
+  SELECT p.term AS a, q.term AS b, count(*)::BIGINT AS n
+  FROM pos p JOIN pos q
+    ON p.doc_id = q.doc_id
+   AND q.pos - p.pos >= 1 AND q.pos - p.pos <= {window}
+  WHERE p.term <> q.term
+  GROUP BY p.term, q.term
+),
+prof AS (
+  SELECT a, b, sum(n)::BIGINT AS n FROM (
+    SELECT a, b, n FROM op UNION ALL SELECT b AS a, a AS b, n FROM op
+  ) GROUP BY a, b
+),
+mass AS (SELECT a, sum(n)::BIGINT AS mass FROM prof GROUP BY a),
+{",".join(per_term)},
+q AS ({q_union}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM pos GROUP BY doc_id, term),
+dl AS (SELECT doc_id, coalesce(len(toks), 0)::BIGINT AS dl FROM tokarr),
+gs AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+m AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
+         )::DOUBLE AS score
+  FROM m
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN gs
+  GROUP BY m.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       round(score, {SCORE_DECIMALS}) AS score
+FROM s
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

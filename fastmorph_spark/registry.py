@@ -11,7 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fastmorph_spark import oracles, oracles_ops
+from fastmorph_spark import oracles, oracles_corpus, oracles_ops
 from fastmorph_spark import registry_corpus as _corpus_ext
 from fastmorph_spark.constants import SCORE_DECIMALS
 from fastmorph_spark.index import (
@@ -173,6 +173,22 @@ def q_bm25_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # more-like-this parameters (shared with the mirrored oracle)
 MLT_SRC_DOC, MLT_M, MLT_K = 42, 8, 10
+
+# synonym query expansion parameters (shared with the mirrored oracle)
+EXPAND_QUERY, EXPAND_N, EXPAND_WINDOW, EXPAND_MIN_SHARED = "fast join", 3, 3, 2
+
+
+def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym query expansion (search/expand.py): each query term pulls
+    its top-n thesaurus neighbors, the flagship BM25 scores the union —
+    the oracle derives the SAME expansion set inside SQL, so the
+    composition is verified end to end."""
+    from fastmorph_spark.search.expand import expanded_bm25
+
+    docs = read_documents(spark, sf_dir)
+    return expanded_bm25(docs, EXPAND_QUERY, n_expand=EXPAND_N,
+                         window=EXPAND_WINDOW, min_shared=EXPAND_MIN_SHARED,
+                         k=10).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1527,9 +1543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_freq": q_ngram_freq,
-        # closing-wave addition after the window froze: attested by
-        # jobs/check_queries.py + pytest (tail casualty by design)
+        # closing-wave additions after the window froze: attested by
+        # jobs/check_queries.py + pytest (tail casualties by design)
         "c4_clean": q_c4_clean,
+        "bm25_expanded": q_bm25_expanded,
     }
 
 
@@ -1600,6 +1617,8 @@ def oracle_sqls() -> dict[str, str]:
         # packed twin must be result-identical to the corpus path
         "more_like_this_packed": oracles.more_like_this_sql(MLT_SRC_DOC, MLT_M, MLT_K),
         "c4_clean": oracles_ops.c4_clean_sql(src=C4_AUG_SRC),
+        "bm25_expanded": oracles_corpus.expanded_bm25_sql(
+            EXPAND_QUERY, EXPAND_N, EXPAND_WINDOW, EXPAND_MIN_SHARED, 10),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

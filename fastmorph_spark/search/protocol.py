@@ -61,7 +61,9 @@ materializes an unbounded result.
 
 Thirteen further request forms share the boundary, all bounded by ``k`` /
 ``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
-Block-Max WAND), the collocation profile (``{"collocations": "term",
+Block-Max WAND; add ``"expand": n`` for synonym query expansion — each
+query term pulls its top-n thesaurus neighbors first, search/expand.py),
+the collocation profile (``{"collocations": "term",
 "window": 3, "min_count": 2, "k": 20}``; add ``"group_by": "stem"|
 "tag"`` for the lemma-/class-grouped profile — rows then carry ``key``
 instead of ``term``), frequency profiles
@@ -104,6 +106,7 @@ _MAX_FUZZY_DIST = 2     # fuzzy slot edit-distance bound (expansion stays
                         # dictionary-bounded, but d>2 matches ~everything)
 _MAX_SLOTS = 8          # fastmorph patterns are "up to ~5 slots" [PK]
 _MAX_UNTIL = 10_000     # pagination window cap: the page is collected
+_MAX_EXPAND = 10        # synonym-expansion neighbors per query term
 
 
 class RequestError(ValueError):
@@ -445,7 +448,7 @@ def parse_request(req: dict) -> dict:
                 "min_count": min_count, "k": k, "lang": lang,
                 "group_by": group_by}
     if "bm25" in req:
-        unknown = set(req) - {"bm25", "k", "lang"}
+        unknown = set(req) - {"bm25", "k", "lang", "expand"}
         if unknown:
             raise RequestError(f"unknown request fields: {sorted(unknown)}")
         q = req["bm25"]
@@ -454,10 +457,18 @@ def parse_request(req: dict) -> dict:
         k = req.get("k", 10)
         if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= _MAX_UNTIL:
             raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        # synonym expansion: each query term pulls its top-`expand`
+        # thesaurus neighbors before scoring (search/expand.py pinning;
+        # window/min_shared fixed at the expansion defaults 3/2)
+        expand = req.get("expand", 0)
+        if not isinstance(expand, int) or isinstance(expand, bool) \
+                or not 0 <= expand <= _MAX_EXPAND:
+            raise RequestError(
+                f"expand must be an integer in [0, {_MAX_EXPAND}]")
         lang = req.get("lang")
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
-        return {"bm25": q, "k": k, "lang": lang}
+        return {"bm25": q, "k": k, "lang": lang, "expand": expand}
     unknown = set(req) - {"slots", "dists", "skip", "until", "width", "lang",
                           "format", "facets", "sort", "filter", "freq", "k"}
     if unknown:
@@ -659,7 +670,11 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             return {"error": "this serving index requires a lang field"}
         if p["lang"] not in index:
             if "bm25" in p:
-                return {"query": p["bm25"], "k": p["k"], "results": []}
+                out = {"query": p["bm25"], "k": p["k"], "results": []}
+                if p.get("expand"):
+                    out["expand"] = p["expand"]
+                    out["expanded_terms"] = []
+                return out
             if "collocations" in p:
                 out = {"target": p["collocations"], "window": p["window"],
                        "min_count": p["min_count"], "k": p["k"],
@@ -877,8 +892,37 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "cooc": int(r["cooc"]), "cf": int(r["cf"]),
                              "pmi": float(r["pmi"])} for r in rows]}
     if "bm25" in p:
-        from fastmorph_spark.search.wand import search_wand
+        from fastmorph_spark.search.wand import search_wand, search_wand_terms
 
+        if p.get("expand"):
+            # synonym expansion: corpus-side thesaurus neighbors (the
+            # profiles persist per serving session under the SAME key
+            # the thesaurus form uses — one pair-count pass serves
+            # both), then the WAND kernel scores the expanded set
+            from fastmorph_spark.search.expand import expand_terms
+            from fastmorph_spark.search.thesaurus import cooc_profiles
+
+            own = None
+            if session is not None:
+                pkey = ("thesaurus_profiles", p["lang"], 3)
+                profiles = session.get(pkey)
+                if profiles is None:
+                    profiles = cooc_profiles(documents, 3).persist()
+                    session[pkey] = profiles
+            else:
+                # session-less call: own the profile pin for exactly
+                # this request (expand_terms consumes it eagerly)
+                own = profiles = cooc_profiles(documents, 3).persist()
+            terms = expand_terms(documents, p["bm25"], n_expand=p["expand"],
+                                 window=3, min_shared=2, profiles=profiles)
+            if own is not None:
+                own.unpersist()
+            rows = search_wand_terms(index, terms, k=p["k"]).collect()
+            return {"query": p["bm25"], "k": p["k"], "expand": p["expand"],
+                    "expanded_terms": terms,
+                    "results": [{"rank": int(r["rank"]),
+                                 "doc_id": int(r["doc_id"]),
+                                 "score": float(r["score"])} for r in rows]}
         rows = search_wand(index, p["bm25"], k=p["k"]).collect()
         return {"query": p["bm25"], "k": p["k"],
                 "results": [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),

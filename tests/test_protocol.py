@@ -534,6 +534,34 @@ def test_suggest_request(spark, serving):
                                      {"suggest": "x", "thesaurus": "y"})
 
 
+def test_bm25_expand_request(spark, serving):
+    """'expand' on a bm25 request: expanded_terms equals
+    search/expand.expand_terms, results equal the WAND kernel over that
+    set, expand=0 path untouched, bad values rejected."""
+    docs, idx = serving
+    from fastmorph_spark.search.expand import expand_terms
+    from fastmorph_spark.search.wand import search_wand_terms
+
+    resp = handle_request(docs, idx, {"bm25": "fast join", "expand": 3,
+                                      "k": 5})
+    assert "error" not in resp
+    want_terms = expand_terms(docs, "fast join", n_expand=3, window=3,
+                              min_shared=2)
+    assert resp["expanded_terms"] == want_terms
+    assert len(want_terms) > 2, "fixture corpus must actually expand"
+    want = search_wand_terms(idx, want_terms, k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in want] == \
+           [(r["rank"], r["doc_id"], r["score"]) for r in resp["results"]]
+    plain = handle_request(docs, idx, {"bm25": "fast join", "k": 5})
+    assert "expanded_terms" not in plain and plain["results"]
+    assert "error" in handle_request(docs, idx,
+                                     {"bm25": "x", "expand": -1})
+    assert "error" in handle_request(docs, idx,
+                                     {"bm25": "x", "expand": True})
+    assert "error" in handle_request(docs, idx,
+                                     {"bm25": "x", "expand": 99})
+
+
 def test_more_like_request(spark, serving):
     """Similar-document retrieval form: equals the packed MLT operator
     (which test_mlt pins to the corpus path + DuckDB oracle); an absent
