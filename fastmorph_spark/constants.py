@@ -53,6 +53,29 @@ TOKEN_PATTERN_UNI_PY = r"\w+"                 # Python re (Unicode default)
 TOKEN_PATTERN_UNI_JAVA = r"[\p{L}\p{N}_]+"    # Java regex / regexp_count
 TOKEN_SPLIT_PATTERN_UNI = r"[^\p{L}\p{N}_]+"  # Java split / RE2 split
 
+# Code-identifier subtoken twin (round 5 closing wave): the zoekt /
+# Sourcegraph-style splitter for SOURCE-CODE corpora (the contract input
+# class, BASELINE.json input_hint) — `parseJSONResponse` indexes as
+# [parse, json, response], `XMLHttpRequest` as [xml, http, request],
+# `snake_case_util` as [snake, case, util], so a query for `parse` finds
+# every identifier embedding it. Two boundary-insertion passes (applied in
+# THIS order, pinned — they commute on every tested input but order is part
+# of the contract), then lower + split:
+#   pass A: between a lower/digit and an upper        ([a-z0-9])([A-Z])
+#   pass B: between an acronym and a capitalized word ([A-Z])([A-Z][a-z])
+#   then:   lower(), tokens = runs of [a-z0-9] (underscore is a SEPARATOR
+#           here, unlike the canonical ASCII contract — subtokens of
+#           snake_case identifiers must be individually searchable)
+# All three engines do left-to-right non-overlapping global replace with
+# identical capture semantics on these ASCII-class patterns (Python re.sub
+# / pandas str.replace, Spark/Java regexp_replace '$1 $2', DuckDB/RE2
+# regexp_replace '\1 \2' with 'g') — identity pinned by
+# tests/test_code_tokenizer.py. ASCII contract as TOKEN_PATTERN_CS.
+CODE_BOUNDARY_A = r"([a-z0-9])([A-Z])"
+CODE_BOUNDARY_B = r"([A-Z])([A-Z][a-z])"
+TOKEN_PATTERN_CODE = r"[a-z0-9]+"
+TOKEN_SPLIT_PATTERN_CODE = r"[^a-z0-9]+"
+
 # BM25 constants (Robertson/Sparck-Jones; the "+1" idf variant used by
 # Lucene so idf is always positive).
 #   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))

@@ -20,7 +20,18 @@ def build_docs(corpus: DataFrame, id_col: str = "doc_id", tokenizer: str = "asci
 
     cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
     text_col = "content" if "content" in corpus.columns else "text"
-    count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else r"[a-z0-9_]+"
+    if tokenizer == "code":
+        # subtoken count: boundary passes first (they only INSERT
+        # separators, so regexp_count over the transformed text == the
+        # code tokenization length)
+        from fastmorph_spark.constants import TOKEN_PATTERN_CODE
+        from fastmorph_spark.tokenize import code_boundaries_expr
+
+        counted = F.lower(code_boundaries_expr(F.col(text_col)))
+        count_pattern = TOKEN_PATTERN_CODE
+    else:
+        counted = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else r"[a-z0-9_]+"
     return corpus.select(
         F.col(id_col),
         *cols,
@@ -29,7 +40,7 @@ def build_docs(corpus: DataFrame, id_col: str = "doc_id", tokenizer: str = "asci
         # materializing the token array (split() allocates ~len(doc)
         # UTF8Strings per row and turns the job GC-bound — measured flat
         # 15s at ANY core count on 100k docs vs <2s with regexp_count)
-        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(count_pattern))
+        F.regexp_count(counted, F.lit(count_pattern))
         .cast("long").alias("doc_len"),
     )
 
@@ -76,12 +87,18 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
     import pandas as pd
 
     from fastmorph_spark.constants import (
+        CODE_BOUNDARY_A,
+        CODE_BOUNDARY_B,
         TOKEN_PATTERN,
+        TOKEN_PATTERN_CODE,
         TOKEN_PATTERN_CS,
         TOKEN_PATTERN_UNI_PY,
     )
 
-    if tokenizer == "uni":
+    if tokenizer == "code":
+        assert fold_case, "the code tokenizer has no case-preserving twin"
+        pattern = TOKEN_PATTERN_CODE
+    elif tokenizer == "uni":
         assert fold_case, "the uni tokenizer has no case-preserving twin"
         pattern = TOKEN_PATTERN_UNI_PY
     else:
@@ -93,6 +110,11 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
             if not len(pdf):
                 continue
             texts = pdf[text_col].fillna("")
+            if tokenizer == "code":
+                # boundary-insertion passes (vectorized) precede the fold —
+                # same rule as tokenize_udf_code
+                texts = texts.str.replace(CODE_BOUNDARY_A, r"\1 \2", regex=True) \
+                             .str.replace(CODE_BOUNDARY_B, r"\1 \2", regex=True)
             if fold_case:
                 texts = texts.str.lower()
             toks = texts.str.findall(rx)

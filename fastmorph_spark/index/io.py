@@ -104,6 +104,12 @@ def build_index_frames(
             "reasoning needs fold-invariant token boundaries, which "
             "length-changing Unicode case mappings break (constants)"
         )
+    if tokenizer == "code" and case_sensitive:
+        raise NotImplementedError(
+            "no case-sensitive twin for the code tokenizer: the boundary-"
+            "insertion passes are case-DRIVEN, so a case-preserving "
+            "tokenization cannot share the folded twin's position space"
+        )
     docs = build_docs(documents, id_col=id_col, tokenizer=tokenizer)
     # slim pre-encoded variant: dictionary/doc_lens need only (term, tf,
     # doc_id), and the pack shuffle carries bytes instead of int arrays

@@ -729,3 +729,49 @@ FROM scored
 ORDER BY pmi DESC, key ASC
 LIMIT {k}
 """
+
+
+def grep_lines_sql(term: str, text_expr: str = "text") -> str:
+    """Mirror of search.grep.grep_lines: 1-based line numbers via the
+    parallel-unnest zip (lines ∥ range) — DuckDB's posexplode analog —
+    token-boundary match via the canonical TOK fragment per line."""
+    folded = tokenize_py(term)
+    assert len(folded) == 1, f"grep term must fold to one token: {folded!r}"
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split({text_expr}, chr(10)) AS lines FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+)
+SELECT doc_id, line_no, line
+FROM l
+WHERE list_contains({TOK.format(col='line')}, '{folded[0]}')
+ORDER BY doc_id, line_no
+"""
+
+
+def code_defs_sql(def_pattern: str, text_expr: str = "text") -> str:
+    """Mirror of search.grep.code_defs (same pinned DEF_PATTERN verbatim;
+    regexp_matches gate == Spark's kind != '' filter because group 1 of
+    any match is one of the non-empty keyword alternatives)."""
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split({text_expr}, chr(10)) AS lines FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+)
+SELECT doc_id, line_no,
+       regexp_extract(line, '{def_pattern}', 1) AS kind,
+       regexp_extract(line, '{def_pattern}', 2) AS symbol
+FROM l
+WHERE regexp_matches(line, '{def_pattern}')
+ORDER BY doc_id, line_no
+"""

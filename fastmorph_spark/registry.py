@@ -22,11 +22,14 @@ from fastmorph_spark.index import (
     global_stats,
 )
 from fastmorph_spark.search import engine
+from fastmorph_spark.search.grep import DEF_PATTERN as _GREP_DEF_PATTERN
 from fastmorph_spark.search.bm25 import bm25_topk_expression
 from fastmorph_spark.sources import read_documents
 from fastmorph_spark.tokenize import (
+    DUCKDB_TOKENIZE_CODE,
     DUCKDB_TOKENIZE_UNI,
     tokenize_py,
+    tokenize_py_code,
     tokenize_py_uni,
 )
 
@@ -125,6 +128,71 @@ def _uni_text_col() -> F.Column:
 
 def _uni_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir).select("doc_id", _uni_text_col().alias("text"))
+
+
+# --- code-search fixture (round 5 closing wave): the CONTRACT corpus is
+# source code (BASELINE.json input_hint), so the subtoken tokenizer, grep
+# line reporting, and definition extraction are exercised over a
+# deterministic synthetic code-shaped text column — the uni-fixture
+# convention with a def/return/class/comment template. Newlines exercise
+# grep_lines/code_defs line numbering; camelCase/acronym/snake_case/ALL_CAP
+# identifiers exercise every boundary rule of the code tokenizer.
+CODE_VOCAB = (
+    "parseJSONResponse", "JSONParser", "HTTPServerConfig", "XMLHttpRequest",
+    "snake_case_util", "getUserID", "MAX_BUFFER_SIZE", "toStringHelper",
+    "initDBConnection", "camelCaseVar2", "fetchURLData", "writeLogEntry",
+    "BM25Scorer", "tokenStreamMerge", "mergeSortedRuns", "varbyteEncodeV2",
+)
+_CODE_PREFIX = "def "
+_CODE_SEPS = (
+    "(x, y):\n    return ",
+    "(",
+    ", MAX_RETRIES)\nclass ",
+    ":\n    ",
+    " = ",
+    "\n# see ",
+    " and ",
+)
+# subtokens: 'parse' hits parseJSONResponse only; 'json' also JSONParser;
+# 'buffer' MAX_BUFFER_SIZE — overlapping dfs make the ranking non-trivial
+CODE_QUERY = "parse JSON buffer"
+GREP_TERM = "parseJSONResponse"     # ascii-folds to ONE token (grep contract)
+_CODE_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in CODE_VOCAB) + "]"
+
+
+def _code_sql_lit(s: str) -> str:
+    """SQL literal with newlines spliced as chr(10) (DuckDB strings are
+    escape-free, Spark lit() is not — the bytes must match exactly)."""
+    return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+
+CODE_TEXT_SQL = " || ".join(
+    [_code_sql_lit(_CODE_PREFIX)]
+    + [
+        part
+        for i in range(8)
+        for part in (
+            [f"{_CODE_VOCAB_SQL}[(doc_id*{i + 3} + {i * i}) % 16 + 1]"]
+            + ([_code_sql_lit(_CODE_SEPS[i])] if i < 7 else [])
+        )
+    ]
+)
+
+
+def _code_text_col() -> F.Column:
+    """Spark twin of CODE_TEXT_SQL — must be byte-identical per doc_id."""
+    arr = F.array(*[F.lit(w) for w in CODE_VOCAB])
+    d = F.col("doc_id")
+    parts = [F.lit(_CODE_PREFIX)]
+    for i in range(8):
+        parts.append(F.element_at(arr, ((d * (i + 3) + i * i) % 16 + 1).cast("int")))
+        if i < 7:
+            parts.append(F.lit(_CODE_SEPS[i]))
+    return F.concat(*parts)
+
+
+def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_documents(spark, sf_dir).select("doc_id", _code_text_col().alias("text"))
 
 
 # Session-lifetime memo of shared index tables: an engine builds its
@@ -492,6 +560,63 @@ def q_slot_uni_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return packed_slot_search(_packed_uni_index(spark, sf_dir),
                               UNI_SLOTS, UNI_DISTS)
+
+
+def q_bm25_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the code-identifier SUBTOKEN tokenizer (round 5 closing
+    wave): the query 'parse JSON buffer' finds docs whose identifiers
+    merely EMBED those subtokens (parseJSONResponse, MAX_BUFFER_SIZE) —
+    the zoekt/Sourcegraph code-search behavior the whole-identifier ASCII
+    contract cannot express. Expression path; the oracle mirrors the
+    two-pass boundary rule and the same synthetic code corpus."""
+    return bm25_topk_expression(_code_docs(spark, sf_dir), CODE_QUERY, k=10,
+                                round_score=True, tokenizer="code") \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+def _packed_code_index(spark: SparkSession, sf_dir: str):
+    """Packed physical index over the subtoken tokenization — the full
+    stack (varbyte pack, block metadata, WAND) is tokenizer-agnostic."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        idx = build_index_frames(
+            _code_docs(spark, sf_dir), doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+            tokenizer="code",
+        )
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_code", sf_dir), build)
+
+
+def q_bm25_topk_wand_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-subtoken query through the FULL physical path (pack ->
+    Block-Max WAND): must hash-match q_bm25_topk_code's oracle."""
+    from fastmorph_spark.search.wand import search_wand
+
+    return search_wand(_packed_code_index(spark, sf_dir), CODE_QUERY, k=10,
+                       round_score=True, tokenizer="code")
+
+
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep-style result unit for code search: (doc_id, line_no, line)
+    for every line containing the identifier as a whole ASCII token —
+    pure Catalyst split+posexplode+HOF filter, zero shuffles before the
+    output ORDER BY."""
+    from fastmorph_spark.search.grep import grep_lines
+
+    return grep_lines(_code_docs(spark, sf_dir), GREP_TERM)
+
+
+def q_code_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition/symbol extraction (def/class/function lines) — the
+    ctags/zoekt symbol surface over the synthetic code corpus."""
+    from fastmorph_spark.search.grep import code_defs
+
+    return code_defs(_code_docs(spark, sf_dir))
 
 
 # deterministic tombstone set for the delete-path driver query: every
@@ -1547,6 +1672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jobs/check_queries.py + pytest (tail casualties by design)
         "c4_clean": q_c4_clean,
         "bm25_expanded": q_bm25_expanded,
+        "bm25_topk_code": q_bm25_topk_code,
+        "bm25_topk_wand_code": q_bm25_topk_wand_code,
+        "grep_lines": q_grep_lines,
+        "code_defs": q_code_defs,
     }
 
 
@@ -1619,6 +1748,16 @@ def oracle_sqls() -> dict[str, str]:
         "c4_clean": oracles_ops.c4_clean_sql(src=C4_AUG_SRC),
         "bm25_expanded": oracles_corpus.expanded_bm25_sql(
             EXPAND_QUERY, EXPAND_N, EXPAND_WINDOW, EXPAND_MIN_SHARED, 10),
+        # code-search wave: subtoken BM25 (expression + full packed/WAND
+        # path share ONE oracle), grep line reporting, symbol extraction
+        "bm25_topk_code": oracles.bm25_topk_sql(
+            CODE_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_CODE,
+            text_expr=CODE_TEXT_SQL, tokenize=tokenize_py_code),
+        "bm25_topk_wand_code": oracles.bm25_topk_sql(
+            CODE_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_CODE,
+            text_expr=CODE_TEXT_SQL, tokenize=tokenize_py_code),
+        "grep_lines": oracles.grep_lines_sql(GREP_TERM, text_expr=CODE_TEXT_SQL),
+        "code_defs": oracles.code_defs_sql(_GREP_DEF_PATTERN, text_expr=CODE_TEXT_SQL),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

@@ -77,11 +77,18 @@ def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "do
                         with_positions=False, tokenizer=tokenizer)
     if id_col != "doc_id":
         tf = tf.withColumnRenamed("doc_id", id_col)
-    count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else TOKEN_PATTERN
+    if tokenizer == "code":
+        from fastmorph_spark.constants import TOKEN_PATTERN_CODE
+        from fastmorph_spark.tokenize import code_boundaries_expr
+
+        counted = F.lower(code_boundaries_expr(F.col(text_col)))
+        count_pattern = TOKEN_PATTERN_CODE
+    else:
+        counted = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else TOKEN_PATTERN
     doc_lens = documents.select(
         id_col,
-        F.regexp_count(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(count_pattern))
-        .cast("long").alias("dl"),
+        F.regexp_count(counted, F.lit(count_pattern)).cast("long").alias("dl"),
     )
     global_stats = doc_lens.agg(
         F.count("*").alias("n_docs"),
@@ -110,9 +117,9 @@ def bm25_topk_expression(
     ``tokenizer="uni"`` scores over the Unicode tokenization (query terms
     fold through the same tokenizer, so a Cyrillic query works end-to-end).
     """
-    from fastmorph_spark.tokenize import tokenize_py_uni
+    from fastmorph_spark.tokenize import tokenize_py_code, tokenize_py_uni
 
-    tok_py = tokenize_py_uni if tokenizer == "uni" else tokenize_py
+    tok_py = {"uni": tokenize_py_uni, "code": tokenize_py_code}.get(tokenizer, tokenize_py)
     qterms = sorted(set(tok_py(query_text)))
     docs = documents.filter(F.col("lang") == lang) if lang else documents
     tf, doc_lens, global_stats = corpus_stats(docs, text_col=text_col, id_col=id_col,

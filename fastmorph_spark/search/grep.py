@@ -1,0 +1,85 @@
+"""Grep-style line reporting + definition extraction for source-code
+corpora (round 5 closing wave).
+
+A code search engine's result unit is (file, line number, line text) —
+the grep/ripgrep/zoekt contract — not a bare doc id. Both operators here
+are PURE Catalyst (split + posexplode + regexp; WholeStageCodegen, zero
+Python), so at 100 TB they pipeline over the corpus scan with no shuffle
+at all: the only wide operation in a grep job is the final ORDER BY the
+caller may add, and callers that stream results (the serving layer) can
+skip even that.
+
+- ``grep_lines``: lines whose TOKEN set contains the query term
+  (token-boundary exact — 'log' does not hit 'dialog'; matching is the
+  canonical ASCII tokenizer so it composes with every corpus-path
+  operator).
+- ``code_defs``: definition lines (def/class/function/func + identifier),
+  the zoekt/ctags-style symbol surface. One pinned cross-engine pattern:
+  Java regexp_extract and DuckDB/RE2 regexp_extract agree on this
+  alternation because 'function' precedes its prefix 'func' (leftmost-
+  first in Java == leftmost-longest in RE2 on this input, and no
+  backtracking subtlety either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastmorph_spark.tokenize import tokenize_expr, tokenize_py
+
+# pinned definition-line pattern (shared verbatim with the DuckDB oracle):
+# group 1 = kind, group 2 = symbol. [ \t] rather than \s — per-line input
+# can't contain newlines, and the byte-class is engine-identical.
+DEF_PATTERN = r"^[ \t]*(def|class|function|func)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def split_lines(corpus: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id_col, line_no, line): 1-based line numbers via posexplode —
+    the position index IS the line number, no window, no shuffle."""
+    return corpus.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_p", "line"),
+    ).select(
+        id_col,
+        (F.col("_p") + 1).cast("int").alias("line_no"),
+        "line",
+    )
+
+
+def grep_lines(corpus: DataFrame, term: str, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """All (doc, line_no, line) whose line contains ``term`` as a whole
+    token (canonical ASCII tokenizer). ``term`` must fold to exactly one
+    token — multi-token queries belong to phrase/slot search."""
+    folded = tokenize_py(term)
+    if len(folded) != 1:
+        raise ValueError(f"grep term must fold to one token, got {folded!r}")
+    lines = split_lines(corpus, text_col=text_col, id_col=id_col)
+    return (
+        lines.where(F.array_contains(tokenize_expr(F.col("line")), folded[0]))
+        .orderBy(id_col, "line_no")
+    )
+
+
+def code_defs(corpus: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Definition/symbol lines: (id_col, line_no, kind, symbol).
+
+    regexp_extract evaluates once per output column on the same pinned
+    pattern; rows with no match (kind = '') are filtered, mirroring the
+    oracle's regexp_matches gate.
+    """
+    lines = split_lines(corpus, text_col=text_col, id_col=id_col)
+    return (
+        lines.select(
+            id_col,
+            "line_no",
+            F.regexp_extract(F.col("line"), DEF_PATTERN, 1).alias("kind"),
+            F.regexp_extract(F.col("line"), DEF_PATTERN, 2).alias("symbol"),
+        )
+        .where(F.col("kind") != "")
+        .orderBy(id_col, "line_no")
+    )

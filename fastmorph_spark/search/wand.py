@@ -207,9 +207,9 @@ def search_wand(
     ``tokenizer`` must match the one the index was built with — it only
     affects how the QUERY text folds into terms (the kernel itself is
     tokenizer-agnostic); "uni" folds a Cyrillic/any-script query."""
-    from fastmorph_spark.tokenize import tokenize_py_uni
+    from fastmorph_spark.tokenize import tokenize_py_code, tokenize_py_uni
 
-    tok_py = tokenize_py_uni if tokenizer == "uni" else tokenize_py
+    tok_py = {"uni": tokenize_py_uni, "code": tokenize_py_code}.get(tokenizer, tokenize_py)
     qterms = sorted(set(tok_py(query_text)))
     return search_wand_terms(index, qterms, k=k, round_score=round_score,
                              prune=prune)

@@ -25,10 +25,14 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from fastmorph_spark.constants import (
+    CODE_BOUNDARY_A,
+    CODE_BOUNDARY_B,
     TOKEN_PATTERN,
+    TOKEN_PATTERN_CODE,
     TOKEN_PATTERN_CS,
     TOKEN_PATTERN_UNI_PY,
     TOKEN_SPLIT_PATTERN,
+    TOKEN_SPLIT_PATTERN_CODE,
     TOKEN_SPLIT_PATTERN_CS,
     TOKEN_SPLIT_PATTERN_UNI,
 )
@@ -135,6 +139,61 @@ DUCKDB_TOKENIZE_UNI = (
 )
 
 
+# ---- code-identifier subtoken twin (round 5 closing wave): camelCase /
+# acronym / snake_case splitting for source-code corpora (the contract
+# input class). Pinned rule + cross-engine argument at
+# constants.CODE_BOUNDARY_A; identity pinned by tests/test_code_tokenizer.
+
+_CODE_A_RE = re.compile(CODE_BOUNDARY_A)
+_CODE_B_RE = re.compile(CODE_BOUNDARY_B)
+_TOKEN_RE_CODE = re.compile(TOKEN_PATTERN_CODE)
+
+
+def tokenize_py_code(text: str | None) -> list[str]:
+    if not text:
+        return []
+    t = _CODE_B_RE.sub(r"\1 \2", _CODE_A_RE.sub(r"\1 \2", text))
+    return _TOKEN_RE_CODE.findall(t.lower())
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf_code(texts: pd.Series) -> pd.Series:
+    """Vectorized subtoken tokenizer (Arrow batches; two pandas
+    str.replace boundary passes, then lower + findall)."""
+    return (
+        texts.fillna("")
+        .str.replace(CODE_BOUNDARY_A, r"\1 \2", regex=True)
+        .str.replace(CODE_BOUNDARY_B, r"\1 \2", regex=True)
+        .str.lower()
+        .str.findall(TOKEN_PATTERN_CODE)
+    )
+
+
+def code_boundaries_expr(col: Column | str) -> Column:
+    """Catalyst boundary-insertion passes (A then B) — shared by the
+    tokenizer twin and the regexp_count doc-length fast path (boundary
+    insertion never changes the token COUNT rule: tokens of the result
+    under [a-z0-9]+ after lower() == the code tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.coalesce(c, F.lit("")), CODE_BOUNDARY_A, r"$1 $2")
+    return F.regexp_replace(c, CODE_BOUNDARY_B, r"$1 $2")
+
+
+def tokenize_expr_code(col: Column | str) -> Column:
+    """Catalyst-only twin (WholeStageCodegen, no Python)."""
+    return F.filter(
+        F.split(F.lower(code_boundaries_expr(col)), TOKEN_SPLIT_PATTERN_CODE),
+        lambda x: x != F.lit(""),
+    )
+
+
+DUCKDB_TOKENIZE_CODE = (
+    r"list_filter(regexp_split_to_array(lower(regexp_replace(regexp_replace("
+    r"{col}, '([a-z0-9])([A-Z])', '\1 \2', 'g'), "
+    r"'([A-Z])([A-Z][a-z])', '\1 \2', 'g')), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
 def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",), use_udf: bool = True, fold_case: bool = True, tokenizer: str = "ascii"):
     """content -> one row per (doc, pos, term). Position = 0-based token index.
 
@@ -143,7 +202,10 @@ def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] =
     case-preserving twin tokenizer (same boundaries -> same positions);
     ``tokenizer="uni"`` the Unicode twin (folded only — see constants).
     """
-    if tokenizer == "uni":
+    if tokenizer == "code":
+        assert fold_case, "the code tokenizer has no case-preserving twin"
+        tok = tokenize_udf_code(F.col(text_col)) if use_udf else tokenize_expr_code(text_col)
+    elif tokenizer == "uni":
         assert fold_case, "the uni tokenizer has no case-preserving twin"
         tok = tokenize_udf_uni(F.col(text_col)) if use_udf else tokenize_expr_uni(text_col)
     elif fold_case:
