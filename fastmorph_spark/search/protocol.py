@@ -59,8 +59,8 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Thirteen further request forms share the boundary, all bounded by ``k`` /
-``until``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
+Fifteen further request forms share the boundary, all bounded by ``k`` /
+``until`` / ``limit``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND; add ``"expand": n`` for synonym query expansion — each
 query term pulls its top-n thesaurus neighbors first, search/expand.py),
 the collocation profile (``{"collocations": "term",
@@ -91,7 +91,11 @@ block skip), terminology extraction (``{"mwe": true, "min_count":
 statistic like keyness), and similar-document retrieval
 (``{"more_like": doc_id, "m": 10, "k": 10}`` — the source doc's top-m
 TF-IDF terms as a BM25 disjunction off the packed index, source
-excluded; search/mlt.py).
+excluded; search/mlt.py), grep line reporting (``{"grep": "term",
+"limit": 100}`` — (doc_id, line_no, line) for lines holding the term as
+a whole token, the code-search result unit; search/grep.py), and the
+symbol tab (``{"defs": true, "limit": 100}`` — ctags-style definition
+lines (kind, symbol) off the same line scan).
 """
 
 from __future__ import annotations
@@ -162,16 +166,16 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Fourteen request forms behind one boundary (module docstring): slots
+    Sixteen request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
     keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
-    offsets, mwe, more_like."""
+    offsets, mwe, more_like, grep, defs."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
-                         "offsets", "mwe", "more_like")
+                         "offsets", "mwe", "more_like", "grep", "defs")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -187,6 +191,44 @@ def parse_request(req: dict) -> dict:
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
         return {"stats": True, "lang": lang}
+    if "grep" in req:
+        # grep/ripgrep result unit over the served corpus: lines holding
+        # the term as a whole token, with 1-based line numbers
+        from fastmorph_spark.tokenize import tokenize_py
+
+        unknown = set(req) - {"grep", "limit", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        term = req["grep"]
+        if not isinstance(term, str) or not term.strip():
+            raise RequestError("grep must be a non-empty term")
+        folded = tokenize_py(term)
+        if len(folded) != 1:
+            raise RequestError(
+                f"grep term must fold to exactly one token, got {folded!r}")
+        limit = req.get("limit", 100)
+        if not isinstance(limit, int) or isinstance(limit, bool) \
+                or not 1 <= limit <= _MAX_UNTIL:
+            raise RequestError(f"limit must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"grep": folded[0], "limit": limit, "lang": lang}
+    if "defs" in req:
+        # symbol tab: definition lines (def/class/function/func + name)
+        unknown = set(req) - {"defs", "limit", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        if req["defs"] is not True:
+            raise RequestError("defs must be true")
+        limit = req.get("limit", 100)
+        if not isinstance(limit, int) or isinstance(limit, bool) \
+                or not 1 <= limit <= _MAX_UNTIL:
+            raise RequestError(f"limit must be an integer in [1, {_MAX_UNTIL}]")
+        lang = req.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return {"defs": True, "limit": limit, "lang": lang}
     if "cql" in req:
         # textual corpus-query form (search/cql.py dialect): compiles to
         # the slots form — same options, same lifecycle — except
@@ -706,12 +748,38 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                         "results": []}
             if p.get("freq"):
                 return {"freq": p["freq"], "k": p["freq_k"], "results": []}
+            if "grep" in p:
+                return {"term": p["grep"], "limit": p["limit"], "results": []}
+            if "defs" in p:
+                return {"limit": p["limit"], "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if "grep" in p:
+        # line-level result unit (code-search contract): pure-Catalyst
+        # split/posexplode over the (possibly lang-routed) corpus; the
+        # ORDER BY + limit fuse into one bounded collect
+        from fastmorph_spark.search.grep import grep_lines
+
+        rows = grep_lines(documents, p["grep"]).limit(p["limit"]).collect()
+        return {"term": p["grep"], "limit": p["limit"],
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "line_no": int(r["line_no"]),
+                             "line": r["line"]} for r in rows]}
+    if "defs" in p:
+        # symbol tab: ctags-style definition lines off the same
+        # split/posexplode scan
+        from fastmorph_spark.search.grep import code_defs
+
+        rows = code_defs(documents).limit(p["limit"]).collect()
+        return {"limit": p["limit"],
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "line_no": int(r["line_no"]),
+                             "kind": r["kind"], "symbol": r["symbol"]}
+                            for r in rows]}
     if "stats" in p:
         # index summary off METADATA alone: the stats table (n_docs,
         # avgdl — one memoized driver row) + ONE dictionary aggregate

@@ -739,3 +739,64 @@ def test_collocations_group_by_request(spark, serving):
     plain = handle_request(docs, idx, {"collocations": "fast", "k": 5})
     assert "group_by" not in plain
     assert plain["results"] and "term" in plain["results"][0]
+
+
+# ---------------- grep / defs forms (code-search wave)
+
+def test_grep_request_matches_corpus_path(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"grep": "fast", "limit": 7})
+    assert "error" not in resp and resp["term"] == "fast"
+    from fastmorph_spark.search.grep import grep_lines
+
+    want = [{"doc_id": int(r["doc_id"]), "line_no": int(r["line_no"]),
+             "line": r["line"]}
+            for r in grep_lines(docs, "fast").limit(7).collect()]
+    assert resp["results"] == want and len(want) == 7
+
+
+def test_grep_request_validation():
+    with pytest.raises(RequestError, match="one token"):
+        parse_request({"grep": "two words"})
+    with pytest.raises(RequestError, match="non-empty"):
+        parse_request({"grep": ""})
+    with pytest.raises(RequestError, match="limit"):
+        parse_request({"grep": "x", "limit": 0})
+    with pytest.raises(RequestError, match="unknown"):
+        parse_request({"grep": "x", "bogus": 1})
+    # the term folds through the canonical tokenizer (case, punctuation)
+    assert parse_request({"grep": "FAST!"})["grep"] == "fast"
+
+
+def test_defs_request_inline(spark, serving):
+    _, idx = serving
+    docs = spark.createDataFrame(
+        [(0, "def alpha(x):\n    y = 1\nclass Beta:")],
+        "doc_id long, text string",
+    )
+    resp = handle_request(docs, idx, {"defs": True})
+    assert resp["results"] == [
+        {"doc_id": 0, "line_no": 1, "kind": "def", "symbol": "alpha"},
+        {"doc_id": 0, "line_no": 3, "kind": "class", "symbol": "Beta"},
+    ]
+    with pytest.raises(RequestError, match="defs must be true"):
+        parse_request({"defs": 1})
+
+
+def test_grep_lang_routed(spark, serving):
+    """Per-lang index map: grep routes through the lang filter; a lang
+    absent from the map answers empty, not an error."""
+    docs, idx = serving
+    resp = handle_request(docs, {"en": idx}, {"grep": "fast", "lang": "xx"})
+    assert resp == {"term": "fast", "limit": 100, "results": []}
+    routed = handle_request(docs, {"en": idx}, {"grep": "fast", "lang": "en",
+                                                "limit": 5})
+    assert "error" not in routed and len(routed["results"]) <= 5
+    from pyspark.sql import functions as F
+    from fastmorph_spark.search.grep import grep_lines
+
+    want = [{"doc_id": int(r["doc_id"]), "line_no": int(r["line_no"]),
+             "line": r["line"]}
+            for r in grep_lines(docs.filter(F.col("lang") == "en"),
+                                "fast").limit(5).collect()]
+    assert routed["results"] == want
