@@ -775,3 +775,61 @@ FROM l
 WHERE regexp_matches(line, '{def_pattern}')
 ORDER BY doc_id, line_no
 """
+
+
+def substring_docs_sql(q: str, case: bool = True, text_expr: str = "text") -> str:
+    """Mirror of search.substring.substring_search: exact substring
+    containment (DuckDB contains == Spark instr>0 — both literal, no
+    pattern semantics), folded on both sides when case=False. The
+    oracle is pure brute force on purpose: the Spark path must prove
+    the trigram candidate/verify pipeline loses and invents nothing."""
+    hay, needle = (text_expr, q) if case else (f"lower({text_expr})", q.lower())
+    return f"""
+SELECT doc_id
+FROM documents
+WHERE contains({hay}, '{needle}')
+ORDER BY doc_id
+"""
+
+
+def substring_grep_sql(q: str, case: bool = True, text_expr: str = "text") -> str:
+    """Mirror of search.substring.substring_grep: per-line containment
+    with 1-based line numbers (the parallel-unnest zip, as
+    grep_lines_sql)."""
+    hay, needle = ("line", q) if case else ("lower(line)", q.lower())
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split({text_expr}, chr(10)) AS lines FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+)
+SELECT doc_id, line_no, line
+FROM l
+WHERE contains({hay}, '{needle}')
+ORDER BY doc_id, line_no
+"""
+
+
+def regex_grep_sql(pat: str, text_expr: str = "text") -> str:
+    """Mirror of search.substring.regex_grep: UNANCHORED per-line match.
+    DuckDB regexp_matches (RE2 find) == Spark rlike (Java find) on the
+    validated cross-engine subset (search/regex.py)."""
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split({text_expr}, chr(10)) AS lines FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+)
+SELECT doc_id, line_no, line
+FROM l
+WHERE regexp_matches(line, '{pat}')
+ORDER BY doc_id, line_no
+"""

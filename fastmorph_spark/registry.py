@@ -619,6 +619,83 @@ def q_code_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_defs(_code_docs(spark, sf_dir))
 
 
+# --- trigram substring/regex search (round 5 code-search wave): the
+# grep/zoekt query surface TOKEN search cannot express. SUB_QUERY
+# crosses an identifier/punctuation boundary on purpose — no tokenizer
+# emits 'Response(x', so a green row here proves genuine substring
+# semantics; the ci twin exercises the fold-at-verify design (one folded
+# index serves both case modes); the regex pattern has two top-level
+# branches so the factor OR-union path runs, not just a single AND.
+SUB_QUERY = "Response(x"
+SUB_QUERY_CI = "jsonresponse(x"
+REGEX_GREP_PAT = "parseJSONResponse|XMLHttpRequest"
+
+
+def _trigram_code_index(spark: SparkSession, sf_dir: str):
+    """Session-memoized FLAT trigram index over the code corpus."""
+    from fastmorph_spark.index.trigram import build_trigram_index
+
+    def build():
+        idx = build_trigram_index(_code_docs(spark, sf_dir))
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("trigram_code", sf_dir), build)
+
+
+def _trigram_code_packed(spark: SparkSession, sf_dir: str):
+    """The varbyte doc-gap form (pack_trigrams) of the same index —
+    candidates decode only the chosen trigrams' blobs."""
+    from fastmorph_spark.index.trigram import pack_trigrams
+
+    def build():
+        idx = pack_trigrams(_trigram_code_index(spark, sf_dir))
+        idx.blobs = idx.blobs.persist()
+        return idx
+
+    return _memo(spark, ("trigram_code_packed", sf_dir), build)
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring containment via trigram candidates + exact verify
+    (search/substring.py, the Cox/zoekt algebra): doc ids whose RAW text
+    contains 'Response(x' — across a token boundary."""
+    from fastmorph_spark.search.substring import substring_search
+
+    return substring_search(_code_docs(spark, sf_dir),
+                            _trigram_code_index(spark, sf_dir), SUB_QUERY)
+
+
+def q_substring_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the at-rest varbyte blob path (prune-below-
+    decode): must hash-match q_substring_search's oracle."""
+    from fastmorph_spark.search.substring import substring_search
+
+    return substring_search(_code_docs(spark, sf_dir),
+                            _trigram_code_packed(spark, sf_dir), SUB_QUERY)
+
+
+def q_substring_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-INSENSITIVE substring grep lines: the folded-index/
+    fold-at-verify mode ('jsonresponse(x' finds parseJSONResponse(x)."""
+    from fastmorph_spark.search.substring import substring_grep
+
+    return substring_grep(_code_docs(spark, sf_dir),
+                          _trigram_code_index(spark, sf_dir),
+                          SUB_QUERY_CI, case=False)
+
+
+def q_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex grep with factor-trigram acceleration: two top-level
+    branches -> per-branch factor AND, branch OR-union, exact rlike
+    verify on lines. Unanchored (the ripgrep contract)."""
+    from fastmorph_spark.search.substring import regex_grep
+
+    return regex_grep(_code_docs(spark, sf_dir),
+                      _trigram_code_packed(spark, sf_dir), REGEX_GREP_PAT)
+
+
 # deterministic tombstone set for the delete-path driver query: every
 # doc with doc_id % DELETE_MOD == DELETE_REM is deleted (mirrors exactly
 # in the DuckDB oracle as a modulo predicate). mod 7 rem 0 intersects
@@ -1676,6 +1753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_code": q_bm25_topk_wand_code,
         "grep_lines": q_grep_lines,
         "code_defs": q_code_defs,
+        "substring_search": q_substring_search,
+        "substring_search_packed": q_substring_search_packed,
+        "substring_grep": q_substring_grep,
+        "regex_grep": q_regex_grep,
     }
 
 
@@ -1758,6 +1839,14 @@ def oracle_sqls() -> dict[str, str]:
             text_expr=CODE_TEXT_SQL, tokenize=tokenize_py_code),
         "grep_lines": oracles.grep_lines_sql(GREP_TERM, text_expr=CODE_TEXT_SQL),
         "code_defs": oracles.code_defs_sql(_GREP_DEF_PATTERN, text_expr=CODE_TEXT_SQL),
+        "substring_search": oracles.substring_docs_sql(
+            SUB_QUERY, text_expr=CODE_TEXT_SQL),
+        "substring_search_packed": oracles.substring_docs_sql(
+            SUB_QUERY, text_expr=CODE_TEXT_SQL),
+        "substring_grep": oracles.substring_grep_sql(
+            SUB_QUERY_CI, case=False, text_expr=CODE_TEXT_SQL),
+        "regex_grep": oracles.regex_grep_sql(
+            REGEX_GREP_PAT, text_expr=CODE_TEXT_SQL),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

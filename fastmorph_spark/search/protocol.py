@@ -59,7 +59,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Fifteen further request forms share the boundary, all bounded by ``k`` /
+Seventeen further request forms share the boundary, all bounded by ``k`` /
 ``until`` / ``limit``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND; add ``"expand": n`` for synonym query expansion — each
 query term pulls its top-n thesaurus neighbors first, search/expand.py),
@@ -93,9 +93,15 @@ statistic like keyness), and similar-document retrieval
 TF-IDF terms as a BM25 disjunction off the packed index, source
 excluded; search/mlt.py), grep line reporting (``{"grep": "term",
 "limit": 100}`` — (doc_id, line_no, line) for lines holding the term as
-a whole token, the code-search result unit; search/grep.py), and the
+a whole token, the code-search result unit; search/grep.py), the
 symbol tab (``{"defs": true, "limit": 100}`` — ctags-style definition
-lines (kind, symbol) off the same line scan).
+lines (kind, symbol) off the same line scan), raw substring search
+(``{"substring": "Response(x", "case": false}`` — containment, not
+token match; trigram-accelerated when the server holds a trigram
+sidecar, exact full-scan verify otherwise; search/substring.py), and
+unanchored line regex (``{"regex": "parse(JSON|XML)"}`` — the ripgrep
+contract on the pinned cross-engine subset, factor-trigram-accelerated
+the same way).
 """
 
 from __future__ import annotations
@@ -166,16 +172,17 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Sixteen request forms behind one boundary (module docstring): slots
+    Eighteen request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
     keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
-    offsets, mwe, more_like, grep, defs."""
+    offsets, mwe, more_like, grep, defs, substring, regex."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
-                         "offsets", "mwe", "more_like", "grep", "defs")
+                         "offsets", "mwe", "more_like", "grep", "defs",
+                         "substring", "regex")
              if f in req]
     if len(forms) > 1:
         raise RequestError(
@@ -191,6 +198,16 @@ def parse_request(req: dict) -> dict:
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
         return {"stats": True, "lang": lang}
+    def _limit_lang(r: dict) -> tuple[int, str | None]:
+        limit = r.get("limit", 100)
+        if not isinstance(limit, int) or isinstance(limit, bool) \
+                or not 1 <= limit <= _MAX_UNTIL:
+            raise RequestError(f"limit must be an integer in [1, {_MAX_UNTIL}]")
+        lang = r.get("lang")
+        if lang is not None and (not isinstance(lang, str) or not lang):
+            raise RequestError("lang must be a non-empty string")
+        return limit, lang
+
     if "grep" in req:
         # grep/ripgrep result unit over the served corpus: lines holding
         # the term as a whole token, with 1-based line numbers
@@ -229,6 +246,37 @@ def parse_request(req: dict) -> dict:
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
         return {"defs": True, "limit": limit, "lang": lang}
+    if "substring" in req:
+        # raw substring containment over content (trigram-accelerated
+        # when the server holds a trigram sidecar; exact either way)
+        unknown = set(req) - {"substring", "case", "limit", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        q = req["substring"]
+        if not isinstance(q, str) or not q:
+            raise RequestError("substring must be a non-empty string")
+        case = req.get("case", True)
+        if not isinstance(case, bool):
+            raise RequestError("case must be a boolean")
+        limit, lang = _limit_lang(req)
+        return {"substring": q, "case": case, "limit": limit, "lang": lang}
+    if "regex" in req:
+        # unanchored line regex (ripgrep contract) on the pinned
+        # cross-engine subset — rejection is client-addressable
+        unknown = set(req) - {"regex", "limit", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        pat = req["regex"]
+        if not isinstance(pat, str) or not pat:
+            raise RequestError("regex must be a non-empty string")
+        from fastmorph_spark.search.regex import validate_regex
+
+        try:
+            validate_regex(pat)
+        except ValueError as e:
+            raise RequestError(str(e)) from None
+        limit, lang = _limit_lang(req)
+        return {"regex": pat, "limit": limit, "lang": lang}
     if "cql" in req:
         # textual corpus-query form (search/cql.py dialect): compiles to
         # the slots form — same options, same lifecycle — except
@@ -643,7 +691,8 @@ def _serialize(rows: list, skip: int, until: int,
 
 
 def handle_request(documents: DataFrame, index, req: dict | str,
-                   scope=None, session: dict | None = None) -> dict:
+                   scope=None, session: dict | None = None,
+                   trigram=None) -> dict:
     """Entry point 2 [PK-high]: one serving request over the PACKED
     index, end to end — parse/validate, packed slot scan + pagination +
     snippets (packed_search_request), bounded collect, nested response.
@@ -659,7 +708,13 @@ def handle_request(documents: DataFrame, index, req: dict | str,
     skip/until/width share one persisted match set. The session owns
     those pins — call close_session(session) at end of burst; don't mix
     with ``scope`` for the same request (scope is per-call, session
-    outlives it)."""
+    outlives it).
+
+    ``trigram``: optional TrigramIndex (or dict lang -> TrigramIndex)
+    sidecar accelerating the substring/regex forms; without one they
+    run the exact full-scan verify — an ACCELERATOR, never a truth
+    source, so a missing per-lang entry degrades to the scan rather
+    than answering empty."""
     import json as _json
 
     from fastmorph_spark.search.packed import packed_search_request
@@ -752,12 +807,20 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 return {"term": p["grep"], "limit": p["limit"], "results": []}
             if "defs" in p:
                 return {"limit": p["limit"], "results": []}
+            if "substring" in p:
+                return {"q": p["substring"], "case": p["case"],
+                        "limit": p["limit"], "results": []}
+            if "regex" in p:
+                return {"regex": p["regex"], "limit": p["limit"],
+                        "results": []}
             return {"total_docs": 0, "total_matches": 0, "skip": p["skip"],
                     "until": p["until"], "results": []}
         index = index[p["lang"]]
         from pyspark.sql import functions as F
 
         documents = documents.filter(F.col("lang") == p["lang"])
+    if isinstance(trigram, dict):
+        trigram = trigram.get(p.get("lang"))
     if "grep" in p:
         # line-level result unit (code-search contract): pure-Catalyst
         # split/posexplode over the (possibly lang-routed) corpus; the
@@ -780,6 +843,27 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "line_no": int(r["line_no"]),
                              "kind": r["kind"], "symbol": r["symbol"]}
                             for r in rows]}
+    if "substring" in p:
+        # containment lines via trigram candidates + exact verify (or
+        # the exact full scan when no sidecar is mounted)
+        from fastmorph_spark.search.substring import substring_grep
+
+        rows = substring_grep(documents, trigram, p["substring"],
+                              case=p["case"]).limit(p["limit"]).collect()
+        return {"q": p["substring"], "case": p["case"], "limit": p["limit"],
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "line_no": int(r["line_no"]),
+                             "line": r["line"]} for r in rows]}
+    if "regex" in p:
+        # unanchored line regex, factor-trigram candidates when indexable
+        from fastmorph_spark.search.substring import regex_grep
+
+        rows = regex_grep(documents, trigram, p["regex"]) \
+            .limit(p["limit"]).collect()
+        return {"regex": p["regex"], "limit": p["limit"],
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "line_no": int(r["line_no"]),
+                             "line": r["line"]} for r in rows]}
     if "stats" in p:
         # index summary off METADATA alone: the stats table (n_docs,
         # avgdl — one memoized driver row) + ONE dictionary aggregate

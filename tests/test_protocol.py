@@ -800,3 +800,70 @@ def test_grep_lang_routed(spark, serving):
             for r in grep_lines(docs.filter(F.col("lang") == "en"),
                                 "fast").limit(5).collect()]
     assert routed["results"] == want
+
+
+# ---------------- substring / regex forms (trigram sidecar)
+
+def test_substring_request_scan_vs_sidecar(spark, serving):
+    """The trigram sidecar is an accelerator: with and without it the
+    substring form answers identically (exact verify either way)."""
+    docs, idx = serving
+    from fastmorph_spark.index.trigram import build_trigram_index
+
+    tg = build_trigram_index(docs)
+    scan = handle_request(docs, idx, {"substring": "the", "limit": 9})
+    fast = handle_request(docs, idx, {"substring": "the", "limit": 9},
+                          trigram=tg)
+    assert "error" not in scan and scan == fast
+    assert scan["results"] and len(scan["results"]) <= 9
+    assert all("the" in r["line"] for r in scan["results"])
+
+
+def test_substring_request_case_insensitive(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"substring": "THE", "case": False,
+                                      "limit": 5})
+    assert "error" not in resp
+    assert all("the" in r["line"].lower() for r in resp["results"])
+
+
+def test_substring_request_validation():
+    with pytest.raises(RequestError, match="non-empty"):
+        parse_request({"substring": ""})
+    with pytest.raises(RequestError, match="case must be"):
+        parse_request({"substring": "x", "case": "yes"})
+    with pytest.raises(RequestError, match="unknown"):
+        parse_request({"substring": "x", "width": 2})
+    p = parse_request({"substring": "Response(x"})
+    assert p == {"substring": "Response(x", "case": True, "limit": 100,
+                 "lang": None}
+
+
+def test_regex_request_and_subset_rejection(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"regex": "the|and", "limit": 7})
+    assert "error" not in resp and len(resp["results"]) <= 7
+    import re as _re
+
+    assert all(_re.search("the|and", r["line"]) for r in resp["results"])
+    # out-of-subset pattern -> client-addressable error, not a crash
+    bad = handle_request(docs, idx, {"regex": r"\bthe\b"})
+    assert "error" in bad and "subset" in bad["error"]
+
+
+def test_substring_lang_routing(spark, serving):
+    """lang absent from the INDEX map -> empty (no such subcorpus);
+    lang absent from the TRIGRAM map -> scan fallback, NOT empty."""
+    docs, idx = serving
+    resp = handle_request(docs, {"en": idx}, {"substring": "the",
+                                              "lang": "xx"})
+    assert resp == {"q": "the", "case": True, "limit": 100, "results": []}
+    routed = handle_request(docs, {"en": idx},
+                            {"substring": "the", "lang": "en", "limit": 4},
+                            trigram={})  # no 'en' sidecar -> scan
+    assert "error" not in routed and routed["results"]
+    from pyspark.sql import functions as F
+
+    en_docs = {r["doc_id"] for r in
+               docs.filter(F.col("lang") == "en").select("doc_id").collect()}
+    assert all(r["doc_id"] in en_docs for r in routed["results"])
