@@ -110,3 +110,10 @@ DOC_SHARD_SIZE = 1 << 20  # docs per doc-shard (the salt). Contiguous doc_id
 # many decimals in BOTH the Spark and the oracle SQL path, so the driver's
 # order-insensitive value-hash is immune to <=1e-9 summation-order noise.
 SCORE_DECIMALS = 6
+
+# Symbol-definition ranking boost (search/symbols.py, the zoekt
+# symbol-atom weighting): added to BM25 when the doc DEFINES the queried
+# identifier. Far above any realistic single-term BM25 score (idf*(k1+1)
+# tops out ~60 even at df=1, N=10^12), so defining docs form a strict
+# first stratum while one sort key preserves BM25 order inside strata.
+SYMBOL_BOOST = 1000.0

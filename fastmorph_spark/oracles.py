@@ -833,3 +833,50 @@ FROM l
 WHERE regexp_matches(line, '{pat}')
 ORDER BY doc_id, line_no
 """
+
+
+def symbol_boosted_sql(symbol: str, def_pattern: str, k: int = 10,
+                       boost: float = 1000.0,
+                       text_expr: str = "text") -> str:
+    """Mirror of search.symbols.symbol_boosted_topk: canonical BM25 on
+    the folded symbol token + ``boost`` for docs with a definition line
+    whose extracted symbol equals ``symbol`` case-exactly. Rank over the
+    unrounded boosted score; round only for output."""
+    k1, b = BM25_K1, BM25_B
+    folded = tokenize_py(symbol)
+    assert len(folded) == 1, f"symbol must fold to one token: {folded!r}"
+    return f"""
+WITH {_corpus_ctes(text_expr=text_expr)},
+m AS (SELECT * FROM tf WHERE term = '{folded[0]}'),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
+         )::DOUBLE AS score
+  FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN gs
+  GROUP BY m.doc_id
+),
+deflines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs
+),
+defs AS (
+  SELECT DISTINCT doc_id FROM deflines
+  WHERE regexp_matches(line, '{def_pattern}')
+    AND regexp_extract(line, '{def_pattern}', 2) = '{symbol}'
+),
+bo AS (
+  SELECT s.doc_id,
+         s.score + CASE WHEN d.doc_id IS NOT NULL THEN {boost}
+                        ELSE 0.0 END AS score
+  FROM s LEFT JOIN defs d USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       round(score, {SCORE_DECIMALS}) AS score
+FROM bo
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

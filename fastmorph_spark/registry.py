@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from fastmorph_spark import oracles, oracles_corpus, oracles_ops
 from fastmorph_spark import registry_corpus as _corpus_ext
-from fastmorph_spark.constants import SCORE_DECIMALS
+from fastmorph_spark.constants import SCORE_DECIMALS, SYMBOL_BOOST
 from fastmorph_spark.index import (
     build_dictionary,
     build_doc_lens,
@@ -694,6 +694,57 @@ def q_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return regex_grep(_code_docs(spark, sf_dir),
                       _trigram_code_packed(spark, sf_dir), REGEX_GREP_PAT)
+
+
+# --- contract-shaped code corpus (BASELINE.json input_hint: repo, path,
+# commit, lang, content) synthesized deterministically from doc_id in
+# BOTH engines, so operators over the contract columns (path filters,
+# repo facets) are oracle-checkable. ~40 files per repo, 3 langs.
+_REPO_SQL = "concat('repo', doc_id % 50)"
+_PATH_SQL = "concat('src/m', doc_id % 20, '/f', doc_id, '.py')"
+PATH_LIKE = "src/m7/%"
+FACET_TERM = "parse"          # code subtoken: hits parseJSONResponse docs
+SYMBOL_QUERY = "parseJSONResponse"
+
+
+def _code_contract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _code_docs(spark, sf_dir).select(
+        F.concat(F.lit("repo"), (d % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("src/m"), (d % 20).cast("string"),
+                 F.lit("/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("commit"),
+        F.element_at(F.array(F.lit("py"), F.lit("go"), F.lit("rs")),
+                     (d % 3 + 1).cast("int")).alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def q_path_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zoekt `file:` filter over the contract corpus: (repo, path) rows
+    whose path matches a LIKE pattern — Catalyst prunes the scan to two
+    columns (ReadSchema) and derives a pushable StartsWith."""
+    from fastmorph_spark.search.grep import path_filter
+
+    return path_filter(_code_contract_corpus(spark, sf_dir), PATH_LIKE)
+
+
+def q_repo_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo facet counts for a code-subtoken hit list ('parse' hits
+    parseJSONResponse via the boundary splitter) — the result-grouping
+    header of a code-search UI. One map-side-partial groupBy, no join."""
+    from fastmorph_spark.search.grep import repo_match_counts
+
+    return repo_match_counts(_code_contract_corpus(spark, sf_dir), FACET_TERM)
+
+
+def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-boosted ranking (search/symbols.py): docs DEFINING
+    parseJSONResponse (def/class lines) outrank docs merely calling it,
+    BM25 order inside each stratum."""
+    from fastmorph_spark.search.symbols import symbol_boosted_topk
+
+    return symbol_boosted_topk(_code_docs(spark, sf_dir), SYMBOL_QUERY, k=10)
 
 
 # deterministic tombstone set for the delete-path driver query: every
@@ -1757,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search_packed": q_substring_search_packed,
         "substring_grep": q_substring_grep,
         "regex_grep": q_regex_grep,
+        "path_search": q_path_search,
+        "repo_facets": q_repo_facets,
+        "symbol_search": q_symbol_search,
     }
 
 
@@ -1847,6 +1901,27 @@ def oracle_sqls() -> dict[str, str]:
             SUB_QUERY_CI, case=False, text_expr=CODE_TEXT_SQL),
         "regex_grep": oracles.regex_grep_sql(
             REGEX_GREP_PAT, text_expr=CODE_TEXT_SQL),
+        "path_search": f"""
+WITH c AS (
+  SELECT {_REPO_SQL} AS repo, {_PATH_SQL} AS path FROM documents
+)
+SELECT repo, path FROM c WHERE path LIKE '{PATH_LIKE}'
+ORDER BY repo, path
+""",
+        "repo_facets": f"""
+WITH c AS (
+  SELECT {_REPO_SQL} AS repo, {CODE_TEXT_SQL} AS content FROM documents
+)
+SELECT repo, count(*)::BIGINT AS n_files
+FROM c
+WHERE list_contains({DUCKDB_TOKENIZE_CODE.format(col='content')},
+                    '{FACET_TERM}')
+GROUP BY repo
+ORDER BY n_files DESC, repo ASC
+""",
+        "symbol_search": oracles.symbol_boosted_sql(
+            SYMBOL_QUERY, _GREP_DEF_PATTERN, k=10, boost=SYMBOL_BOOST,
+            text_expr=CODE_TEXT_SQL),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

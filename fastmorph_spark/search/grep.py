@@ -83,3 +83,46 @@ def code_defs(corpus: DataFrame, text_col: str = "text",
         .where(F.col("kind") != "")
         .orderBy(id_col, "line_no")
     )
+
+
+def path_filter(corpus: DataFrame, like: str,
+                path_col: str = "path") -> DataFrame:
+    """zoekt's `file:` filter over the CONTRACT corpus shape: (repo,
+    path) rows whose path matches the SQL LIKE pattern (%/_ wildcards —
+    LIKE is engine-identical between Spark and DuckDB, unlike glob
+    dialects). Pure scan+filter: Catalyst prunes to the two columns and
+    pushes StringContains/StartsWith derivations of the pattern into
+    parquet where possible."""
+    return (
+        corpus.filter(F.col(path_col).like(like))
+        .select("repo", path_col)
+        .orderBy("repo", path_col)
+    )
+
+
+def repo_match_counts(corpus: DataFrame, term: str,
+                      text_col: str = "content",
+                      tokenizer: str = "code") -> DataFrame:
+    """Per-repo facet for a code-search hit list: repos ranked by how
+    many of their files contain ``term`` as a (sub)token — the
+    result-grouping header a code-search UI shows. One map-side-partial
+    groupBy; no join (the repo key rides the corpus row)."""
+    from fastmorph_spark.tokenize import (
+        tokenize_expr,
+        tokenize_expr_code,
+        tokenize_py,
+        tokenize_py_code,
+    )
+
+    tok_expr, tok_py = {
+        "code": (tokenize_expr_code, tokenize_py_code),
+    }.get(tokenizer, (tokenize_expr, tokenize_py))
+    folded = tok_py(term)
+    if len(folded) != 1:
+        raise ValueError(f"facet term must fold to one token, got {folded!r}")
+    return (
+        corpus.filter(F.array_contains(tok_expr(F.col(text_col)), folded[0]))
+        .groupBy("repo")
+        .agg(F.count("*").cast("long").alias("n_files"))
+        .orderBy(F.desc("n_files"), F.asc("repo"))
+    )

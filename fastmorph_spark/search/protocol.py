@@ -59,7 +59,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Seventeen further request forms share the boundary, all bounded by ``k`` /
+Eighteen further request forms share the boundary, all bounded by ``k`` /
 ``until`` / ``limit``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND; add ``"expand": n`` for synonym query expansion — each
 query term pulls its top-n thesaurus neighbors first, search/expand.py),
@@ -101,7 +101,10 @@ token match; trigram-accelerated when the server holds a trigram
 sidecar, exact full-scan verify otherwise; search/substring.py), and
 unanchored line regex (``{"regex": "parse(JSON|XML)"}`` — the ripgrep
 contract on the pinned cross-engine subset, factor-trigram-accelerated
-the same way).
+the same way), and symbol-boosted ranking (``{"symbol":
+"parseJSONResponse", "k": 10}`` — docs DEFINING the identifier outrank
+mentioners, BM25 order inside each stratum; the defs form also takes an
+optional ``"symbol"`` filter for go-to-definition; search/symbols.py).
 """
 
 from __future__ import annotations
@@ -172,18 +175,21 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Eighteen request forms behind one boundary (module docstring): slots
+    Nineteen request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
     keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
-    offsets, mwe, more_like, grep, defs, substring, regex."""
+    offsets, mwe, more_like, grep, defs (optional symbol filter),
+    substring, regex, symbol."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
                          "offsets", "mwe", "more_like", "grep", "defs",
-                         "substring", "regex")
+                         "substring", "regex", "symbol")
              if f in req]
+    if "defs" in forms and "symbol" in forms:
+        forms.remove("symbol")  # "symbol" is an OPTION of the defs form
     if len(forms) > 1:
         raise RequestError(
             f"request must use exactly one form, got {sorted(forms)}")
@@ -232,20 +238,37 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return {"grep": folded[0], "limit": limit, "lang": lang}
     if "defs" in req:
-        # symbol tab: definition lines (def/class/function/func + name)
-        unknown = set(req) - {"defs", "limit", "lang"}
+        # symbol tab: definition lines (def/class/function/func + name);
+        # optional "symbol" narrows to one identifier (case-exact)
+        unknown = set(req) - {"defs", "limit", "lang", "symbol"}
         if unknown:
             raise RequestError(f"unknown request fields: {sorted(unknown)}")
         if req["defs"] is not True:
             raise RequestError("defs must be true")
-        limit = req.get("limit", 100)
-        if not isinstance(limit, int) or isinstance(limit, bool) \
-                or not 1 <= limit <= _MAX_UNTIL:
-            raise RequestError(f"limit must be an integer in [1, {_MAX_UNTIL}]")
+        sym = req.get("symbol")
+        if sym is not None and (not isinstance(sym, str) or not sym):
+            raise RequestError("symbol must be a non-empty string")
+        limit, lang = _limit_lang(req)
+        return {"defs": True, "limit": limit, "lang": lang, "symbol": sym}
+    if "symbol" in req:
+        # symbol-boosted ranking: docs DEFINING the identifier outrank
+        # mentioners (search/symbols.py)
+        from fastmorph_spark.tokenize import tokenize_py
+
+        unknown = set(req) - {"symbol", "k", "lang"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        sym = req["symbol"]
+        if not isinstance(sym, str) or len(tokenize_py(sym)) != 1:
+            raise RequestError(
+                "symbol must be a string folding to exactly one token")
+        k = req.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1000:
+            raise RequestError("k must be an integer in [1, 1000]")
         lang = req.get("lang")
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
-        return {"defs": True, "limit": limit, "lang": lang}
+        return {"symbol": sym, "k": k, "lang": lang}
     if "substring" in req:
         # raw substring containment over content (trigram-accelerated
         # when the server holds a trigram sidecar; exact either way)
@@ -806,7 +829,10 @@ def handle_request(documents: DataFrame, index, req: dict | str,
             if "grep" in p:
                 return {"term": p["grep"], "limit": p["limit"], "results": []}
             if "defs" in p:
-                return {"limit": p["limit"], "results": []}
+                return {"limit": p["limit"], "symbol": p["symbol"],
+                        "results": []}
+            if "symbol" in p:
+                return {"symbol": p["symbol"], "k": p["k"], "results": []}
             if "substring" in p:
                 return {"q": p["substring"], "case": p["case"],
                         "limit": p["limit"], "results": []}
@@ -834,15 +860,31 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "line": r["line"]} for r in rows]}
     if "defs" in p:
         # symbol tab: ctags-style definition lines off the same
-        # split/posexplode scan
+        # split/posexplode scan; optional case-exact symbol narrowing
+        # (go-to-definition)
+        from pyspark.sql import functions as F
+
         from fastmorph_spark.search.grep import code_defs
 
-        rows = code_defs(documents).limit(p["limit"]).collect()
-        return {"limit": p["limit"],
+        defs = code_defs(documents)
+        if p["symbol"] is not None:
+            defs = defs.filter(F.col("symbol") == p["symbol"])
+        rows = defs.limit(p["limit"]).collect()
+        return {"limit": p["limit"], "symbol": p["symbol"],
                 "results": [{"doc_id": int(r["doc_id"]),
                              "line_no": int(r["line_no"]),
                              "kind": r["kind"], "symbol": r["symbol"]}
                             for r in rows]}
+    if "symbol" in p:
+        # symbol-boosted ranking (definers first, BM25 inside strata)
+        from fastmorph_spark.search.symbols import symbol_boosted_topk
+
+        rows = symbol_boosted_topk(documents, p["symbol"], k=p["k"],
+                                   scope=scope).collect()
+        return {"symbol": p["symbol"], "k": p["k"],
+                "results": [{"rank": int(r["rank"]),
+                             "doc_id": int(r["doc_id"]),
+                             "score": float(r["score"])} for r in rows]}
     if "substring" in p:
         # containment lines via trigram candidates + exact verify (or
         # the exact full scan when no sidecar is mounted)

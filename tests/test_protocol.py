@@ -867,3 +867,41 @@ def test_substring_lang_routing(spark, serving):
     en_docs = {r["doc_id"] for r in
                docs.filter(F.col("lang") == "en").select("doc_id").collect()}
     assert all(r["doc_id"] in en_docs for r in routed["results"])
+
+
+# ---------------- symbol forms
+
+def test_defs_symbol_filter(spark, serving):
+    _, idx = serving
+    docs = spark.createDataFrame(
+        [(0, "def alpha(x):\n    pass\ndef beta(y):\n    pass"),
+         (1, "class alpha:\n    pass")],
+        "doc_id long, text string",
+    )
+    resp = handle_request(docs, idx, {"defs": True, "symbol": "alpha"})
+    assert [(r["doc_id"], r["kind"]) for r in resp["results"]] == \
+        [(0, "def"), (1, "class")]
+    assert resp["symbol"] == "alpha"
+    with pytest.raises(RequestError, match="symbol must be"):
+        parse_request({"defs": True, "symbol": ""})
+
+
+def test_symbol_request_matches_operator(spark, serving):
+    docs, idx = serving
+    resp = handle_request(docs, idx, {"symbol": "fast", "k": 5})
+    assert "error" not in resp and len(resp["results"]) <= 5
+    from fastmorph_spark.search.symbols import symbol_boosted_topk
+
+    want = [{"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+             "score": float(r["score"])}
+            for r in symbol_boosted_topk(docs, "fast", k=5).collect()]
+    assert resp["results"] == want and want
+
+
+def test_symbol_request_validation():
+    with pytest.raises(RequestError, match="one token"):
+        parse_request({"symbol": "two words"})
+    with pytest.raises(RequestError, match="k must be"):
+        parse_request({"symbol": "x", "k": 0})
+    with pytest.raises(RequestError, match="unknown"):
+        parse_request({"symbol": "x", "limit": 5})
