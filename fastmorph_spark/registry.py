@@ -22,6 +22,7 @@ from fastmorph_spark.index import (
     global_stats,
 )
 from fastmorph_spark.search import engine
+from fastmorph_spark.search import history
 from fastmorph_spark.search.grep import DEF_PATTERN as _GREP_DEF_PATTERN
 from fastmorph_spark.search.bm25 import bm25_topk_expression
 from fastmorph_spark.sources import read_documents
@@ -166,23 +167,31 @@ def _code_sql_lit(s: str) -> str:
     return "'" + s.replace("\n", "' || chr(10) || '") + "'"
 
 
-CODE_TEXT_SQL = " || ".join(
-    [_code_sql_lit(_CODE_PREFIX)]
-    + [
-        part
-        for i in range(8)
-        for part in (
-            [f"{_CODE_VOCAB_SQL}[(doc_id*{i + 3} + {i * i}) % 16 + 1]"]
-            + ([_code_sql_lit(_CODE_SEPS[i])] if i < 7 else [])
-        )
-    ]
-)
+def code_text_sql(var: str = "doc_id") -> str:
+    """DuckDB expression for the synthetic code text keyed on ``var`` —
+    parameterized so the history fixtures can key content on a GROUP id
+    (doc_id % K) to create cross-version / cross-repo duplicates."""
+    return " || ".join(
+        [_code_sql_lit(_CODE_PREFIX)]
+        + [
+            part
+            for i in range(8)
+            for part in (
+                [f"{_CODE_VOCAB_SQL}[(({var})*{i + 3} + {i * i}) % 16 + 1]"]
+                + ([_code_sql_lit(_CODE_SEPS[i])] if i < 7 else [])
+            )
+        ]
+    )
 
 
-def _code_text_col() -> F.Column:
-    """Spark twin of CODE_TEXT_SQL — must be byte-identical per doc_id."""
+CODE_TEXT_SQL = code_text_sql()
+
+
+def _code_text_col(d: F.Column | None = None) -> F.Column:
+    """Spark twin of code_text_sql(var) — must be byte-identical per key."""
     arr = F.array(*[F.lit(w) for w in CODE_VOCAB])
-    d = F.col("doc_id")
+    if d is None:
+        d = F.col("doc_id")
     parts = [F.lit(_CODE_PREFIX)]
     for i in range(8):
         parts.append(F.element_at(arr, ((d * (i + 3) + i * i) % 16 + 1).cast("int")))
@@ -745,6 +754,91 @@ def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastmorph_spark.search.symbols import symbol_boosted_topk
 
     return symbol_boosted_topk(_code_docs(spark, sf_dir), SYMBOL_QUERY, k=10)
+
+
+# ---------------------------------------------------------- history wave
+# Versioned contract-corpus fixture (search/history.py): doc_id % 167
+# picks the FILE a row is a version of (~3 versions per (repo, path) at
+# sf0.01's 500 docs), doc_id % 123 picks the CONTENT group — so the same
+# blob recurs under different files in different repos (the vendored-
+# copy shape), and distinct rows per file give latest_files a real
+# choice. Commits are sha256(content || ':' || doc_id)[:12] — unique per
+# row, deterministic in both engines.
+_HIST_FILES = 167
+_HIST_CONTENT_MOD = 123
+_HIST_REPOS = 29
+_HIST_MIN_REPOS = 2
+
+
+def _hist_contract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    g = d % _HIST_FILES
+    content = _code_text_col(d % _HIST_CONTENT_MOD)
+    return read_documents(spark, sf_dir).select(
+        F.concat(F.lit("repo"), (g % _HIST_REPOS).cast("string")).alias("repo"),
+        F.concat(F.lit("src/h"), (g % 13).cast("string"),
+                 F.lit("/f"), g.cast("string"), F.lit(".py")).alias("path"),
+        F.substring(
+            F.sha2(F.concat(content, F.lit(":"), d.cast("string")), 256), 1, 12
+        ).alias("commit"),
+        F.element_at(F.array(F.lit("py"), F.lit("go"), F.lit("rs")),
+                     (d % 3 + 1).cast("int")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+def _hist_corpus_sql() -> str:
+    content = code_text_sql(f"doc_id % {_HIST_CONTENT_MOD}")
+    return f"""
+  SELECT concat('repo', (doc_id % {_HIST_FILES}) % {_HIST_REPOS}) AS repo,
+         concat('src/h', (doc_id % {_HIST_FILES}) % 13,
+                '/f', doc_id % {_HIST_FILES}, '.py') AS path,
+         substring(sha256({content} || ':' || doc_id::VARCHAR), 1, 12) AS commit,
+         ['py', 'go', 'rs'][(doc_id % 3 + 1)::INT] AS lang,
+         {content} AS content
+  FROM documents
+"""
+
+
+def q_latest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD resolution (search/history.latest_files): one row per
+    (repo, path) — the version every code-search engine actually
+    indexes. Struct-max aggregate, not a window: partial agg survives."""
+    from fastmorph_spark.search.history import latest_files
+
+    return latest_files(_hist_contract_corpus(spark, sf_dir))
+
+
+def q_file_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file version ledger: (repo, path, n_versions, n_contents,
+    latest_commit). One groupBy."""
+    from fastmorph_spark.search.history import file_history
+
+    return file_history(_hist_contract_corpus(spark, sf_dir))
+
+
+def q_vendored_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo vendored blobs: content sha carried by >= 2 distinct
+    repos, repo list sorted/capped/joined (bounded row width)."""
+    from fastmorph_spark.search.history import vendored_content
+
+    return vendored_content(_hist_contract_corpus(spark, sf_dir),
+                            min_repos=_HIST_MIN_REPOS)
+
+
+def q_code_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-reference edges from the pinned '# see A and B' comment
+    lines of the code corpus — the find-usages edge list."""
+    from fastmorph_spark.search.history import code_refs
+
+    return code_refs(_code_docs(spark, sf_dir))
+
+
+def q_ref_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-usages ranking: identifiers by citing-doc count."""
+    from fastmorph_spark.search.history import ref_counts
+
+    return ref_counts(_code_docs(spark, sf_dir))
 
 
 # deterministic tombstone set for the delete-path driver query: every
@@ -1811,6 +1905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_search": q_path_search,
         "repo_facets": q_repo_facets,
         "symbol_search": q_symbol_search,
+        "latest_files": q_latest_files,
+        "file_history": q_file_history,
+        "vendored_content": q_vendored_content,
+        "code_refs": q_code_refs,
+        "ref_counts": q_ref_counts,
     }
 
 
@@ -1922,6 +2021,79 @@ ORDER BY n_files DESC, repo ASC
         "symbol_search": oracles.symbol_boosted_sql(
             SYMBOL_QUERY, _GREP_DEF_PATTERN, k=10, boost=SYMBOL_BOOST,
             text_expr=CODE_TEXT_SQL),
+        # history wave: HEAD resolution / version ledger / vendored blobs
+        # over the versioned contract corpus; find-usages edges over the
+        # code corpus. latest_files's struct-max winner == the window
+        # oracle's first row because (commit, lang, content) is a total
+        # order (commits unique per (repo, path) by construction).
+        "latest_files": f"""
+WITH c AS ({_hist_corpus_sql()}),
+r AS (
+  SELECT repo, path, commit, lang, content,
+         row_number() OVER (PARTITION BY repo, path
+                            ORDER BY commit DESC, lang DESC, content DESC)
+           AS rn
+  FROM c
+)
+SELECT repo, path, commit, lang, content FROM r WHERE rn = 1
+ORDER BY repo, path
+""",
+        "file_history": f"""
+WITH c AS ({_hist_corpus_sql()})
+SELECT repo, path, count(*)::BIGINT AS n_versions,
+       count(DISTINCT content)::BIGINT AS n_contents,
+       max(commit) AS latest_commit
+FROM c GROUP BY repo, path ORDER BY repo, path
+""",
+        "vendored_content": f"""
+WITH c AS ({_hist_corpus_sql()}),
+d AS (SELECT DISTINCT sha256(content) AS sha256, repo FROM c)
+SELECT sha256, count(*)::BIGINT AS n_repos,
+       array_to_string((list(repo ORDER BY repo))[1:{history.REPOS_CAP}], ',')
+         AS repos
+FROM d GROUP BY sha256 HAVING count(*) >= {_HIST_MIN_REPOS}
+ORDER BY sha256
+""",
+        "code_refs": f"""
+WITH src AS (
+  SELECT doc_id, string_split({CODE_TEXT_SQL}, chr(10)) AS lines
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+),
+e AS (
+  SELECT doc_id, line_no,
+         unnest([regexp_extract(line, '{history.REF_PATTERN}', 1),
+                 regexp_extract(line, '{history.REF_PATTERN}', 2)]) AS ref
+  FROM l
+)
+SELECT doc_id, line_no, ref FROM e WHERE ref <> ''
+ORDER BY doc_id, line_no, ref
+""",
+        "ref_counts": f"""
+WITH src AS (
+  SELECT doc_id, string_split({CODE_TEXT_SQL}, chr(10)) AS lines
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+),
+e AS (
+  SELECT doc_id, line_no,
+         unnest([regexp_extract(line, '{history.REF_PATTERN}', 1),
+                 regexp_extract(line, '{history.REF_PATTERN}', 2)]) AS ref
+  FROM l
+)
+SELECT ref, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_refs
+FROM e WHERE ref <> ''
+GROUP BY ref ORDER BY n_docs DESC, ref ASC
+""",
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

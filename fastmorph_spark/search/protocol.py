@@ -104,7 +104,10 @@ contract on the pinned cross-engine subset, factor-trigram-accelerated
 the same way), and symbol-boosted ranking (``{"symbol":
 "parseJSONResponse", "k": 10}`` — docs DEFINING the identifier outrank
 mentioners, BM25 order inside each stratum; the defs form also takes an
-optional ``"symbol"`` filter for go-to-definition; search/symbols.py).
+optional ``"symbol"`` filter for go-to-definition; search/symbols.py),
+and the find-usages tab (``{"refs": true, "k": 50}`` — referenced
+identifiers ranked by citing-doc count — or ``{"refs": "Ident"}`` for
+one identifier's citing (doc, line) edges; search/history.py).
 """
 
 from __future__ import annotations
@@ -175,18 +178,18 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Nineteen request forms behind one boundary (module docstring): slots
+    Twenty request forms behind one boundary (module docstring): slots
     (incl. format/sort/facets options), bm25, collocations, top_terms,
     keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
     offsets, mwe, more_like, grep, defs (optional symbol filter),
-    substring, regex, symbol."""
+    substring, regex, symbol, refs."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
                          "offsets", "mwe", "more_like", "grep", "defs",
-                         "substring", "regex", "symbol")
+                         "substring", "regex", "symbol", "refs")
              if f in req]
     if "defs" in forms and "symbol" in forms:
         forms.remove("symbol")  # "symbol" is an OPTION of the defs form
@@ -237,6 +240,37 @@ def parse_request(req: dict) -> dict:
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
         return {"grep": folded[0], "limit": limit, "lang": lang}
+    if "refs" in req:
+        # find-usages tab (search/history.py): refs=true ranks referenced
+        # identifiers by citing-doc count (k rows); refs="Ident" lists the
+        # citing (doc, line) edges for one identifier (case-exact)
+        import re as _re
+
+        unknown = set(req) - {"refs", "limit", "lang", "k"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        v = req["refs"]
+        if v is True:
+            if "limit" in req:
+                raise RequestError(
+                    "limit applies to the single-identifier refs form; "
+                    "use k for the ranking form")
+            k = req.get("k", 50)
+            if not isinstance(k, int) or isinstance(k, bool) \
+                    or not 1 <= k <= _MAX_UNTIL:
+                raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+            lang = req.get("lang")
+            if lang is not None and (not isinstance(lang, str) or not lang):
+                raise RequestError("lang must be a non-empty string")
+            return {"refs": True, "k": k, "lang": lang}
+        if not isinstance(v, str) \
+                or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v):
+            raise RequestError(
+                "refs must be true (ranking) or an identifier string")
+        if "k" in req:
+            raise RequestError("k applies to the refs=true ranking form")
+        limit, lang = _limit_lang(req)
+        return {"refs": v, "limit": limit, "lang": lang}
     if "defs" in req:
         # symbol tab: definition lines (def/class/function/func + name);
         # optional "symbol" narrows to one identifier (case-exact)
@@ -858,6 +892,25 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                 "results": [{"doc_id": int(r["doc_id"]),
                              "line_no": int(r["line_no"]),
                              "line": r["line"]} for r in rows]}
+    if "refs" in p:
+        # find-usages tab: '# see A and B' cross-reference edges
+        # (search/history.py) — ranking (refs=true) or one identifier's
+        # citing lines; both pure Catalyst over the lang-routed corpus
+        from pyspark.sql import functions as F
+
+        from fastmorph_spark.search.history import code_refs, ref_counts
+
+        if p["refs"] is True:
+            rows = ref_counts(documents).limit(p["k"]).collect()
+            return {"refs": True, "k": p["k"],
+                    "results": [{"ref": r["ref"],
+                                 "n_docs": int(r["n_docs"]),
+                                 "n_refs": int(r["n_refs"])} for r in rows]}
+        rows = (code_refs(documents).where(F.col("ref") == p["refs"])
+                .limit(p["limit"]).collect())
+        return {"refs": p["refs"], "limit": p["limit"],
+                "results": [{"doc_id": int(r["doc_id"]),
+                             "line_no": int(r["line_no"])} for r in rows]}
     if "defs" in p:
         # symbol tab: ctags-style definition lines off the same
         # split/posexplode scan; optional case-exact symbol narrowing

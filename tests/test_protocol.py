@@ -905,3 +905,39 @@ def test_symbol_request_validation():
         parse_request({"symbol": "x", "k": 0})
     with pytest.raises(RequestError, match="unknown"):
         parse_request({"symbol": "x", "limit": 5})
+
+
+def test_refs_request_forms(spark, serving):
+    _, idx = serving
+    docs = spark.createDataFrame(
+        [(0, "def f():\n# see alphaFn and beta_util"),
+         (1, "# see alphaFn and alphaFn"),
+         (2, "plain line")],
+        "doc_id long, text string",
+    )
+    ranking = handle_request(docs, idx, {"refs": True, "k": 10})
+    assert ranking["results"] == [
+        {"ref": "alphaFn", "n_docs": 2, "n_refs": 3},
+        {"ref": "beta_util", "n_docs": 1, "n_refs": 1},
+    ]
+    edges = handle_request(docs, idx, {"refs": "alphaFn"})
+    assert edges["results"] == [
+        {"doc_id": 0, "line_no": 2},
+        {"doc_id": 1, "line_no": 1},
+        {"doc_id": 1, "line_no": 1},
+    ]
+    missing = handle_request(docs, idx, {"refs": "nothingCitesThis"})
+    assert missing["results"] == []    # empty is an answer, not an error
+
+
+def test_refs_request_validation():
+    with pytest.raises(RequestError, match="identifier"):
+        parse_request({"refs": "two words"})
+    with pytest.raises(RequestError, match="identifier"):
+        parse_request({"refs": 7})
+    with pytest.raises(RequestError, match="ranking form"):
+        parse_request({"refs": True, "limit": 5})
+    with pytest.raises(RequestError, match="refs=true"):
+        parse_request({"refs": "x", "k": 5})
+    with pytest.raises(RequestError, match="exactly one form"):
+        parse_request({"refs": True, "grep": "x"})
