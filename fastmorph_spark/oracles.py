@@ -754,6 +754,75 @@ ORDER BY doc_id, line_no
 """
 
 
+def grep_context_sql(term: str, context: int = 2,
+                     text_expr: str = "text") -> str:
+    """Mirror of search.grep.grep_context: per-doc match line-number
+    list, context membership via list_filter (DuckDB's HOF exists
+    analog), is_match as 0/1 BIGINT (same cast as the Spark side)."""
+    folded = tokenize_py(term)
+    assert len(folded) == 1, f"grep term must fold to one token: {folded!r}"
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split({text_expr}, chr(10)) AS lines FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1))::INT AS line_no
+  FROM src
+),
+m AS (
+  SELECT doc_id, list(line_no) AS mls
+  FROM l
+  WHERE list_contains({TOK.format(col='line')}, '{folded[0]}')
+  GROUP BY doc_id
+)
+SELECT l.doc_id, l.line_no, l.line,
+       list_contains(m.mls, l.line_no)::BIGINT AS is_match
+FROM l JOIN m USING (doc_id)
+WHERE len(list_filter(m.mls, x -> abs(l.line_no - x) <= {context})) > 0
+ORDER BY doc_id, line_no
+"""
+
+
+def repo_rank_sql(query_text: str, repo_expr: str, k: int = 10,
+                  tok_fragment: str = TOK, text_expr: str = "text",
+                  tokenize=tokenize_py) -> str:
+    """Mirror of search.grep.repo_rank: the bm25 scoring chain, then
+    max-score + matching-file count per repo (``repo_expr`` derives the
+    repo from doc_id exactly as the Spark fixture corpus does)."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH {_corpus_ctes(None, tok_fragment, text_expr)},
+q AS ({_qterms_values(query_text, tokenize)}),
+m AS (SELECT tf.* FROM tf JOIN q USING (term)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
+         )::DOUBLE AS score
+  FROM m
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN gs
+  GROUP BY m.doc_id
+),
+r AS (
+  SELECT {repo_expr} AS repo, max(score) AS score,
+         count(*)::BIGINT AS n_files
+  FROM s GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY score DESC, repo ASC) AS rank,
+       repo, round(score, {SCORE_DECIMALS}) AS score, n_files
+FROM r
+ORDER BY score DESC, repo ASC
+LIMIT {k}
+"""
+
+
 def code_defs_sql(def_pattern: str, text_expr: str = "text") -> str:
     """Mirror of search.grep.code_defs (same pinned DEF_PATTERN verbatim;
     regexp_matches gate == Spark's kind != '' filter because group 1 of

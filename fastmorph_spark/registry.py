@@ -756,6 +756,30 @@ def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symbol_boosted_topk(_code_docs(spark, sf_dir), SYMBOL_QUERY, k=10)
 
 
+def q_grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -C over the code corpus: matching lines plus one line of
+    context either side, overlapping windows merged, matches flagged
+    (search/grep.grep_context)."""
+    from fastmorph_spark.search.grep import grep_context
+
+    return grep_context(_code_docs(spark, sf_dir), GREP_TERM, context=1)
+
+
+def q_repo_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zoekt's scored repo grouping: repos ranked by their best file's
+    BM25 score for the code query, with matching-file counts
+    (search/grep.repo_rank)."""
+    from fastmorph_spark.search.grep import repo_rank
+
+    d = F.col("doc_id")
+    corpus = _code_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("repo"), (d % 50).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    return repo_rank(corpus, CODE_QUERY, k=10)
+
+
 # ---------------------------------------------------------- history wave
 # Versioned contract-corpus fixture (search/history.py): doc_id % 167
 # picks the FILE a row is a version of (~3 versions per (repo, path) at
@@ -1905,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_search": q_path_search,
         "repo_facets": q_repo_facets,
         "symbol_search": q_symbol_search,
+        "grep_context": q_grep_context,
+        "repo_rank": q_repo_rank,
         "latest_files": q_latest_files,
         "file_history": q_file_history,
         "vendored_content": q_vendored_content,
@@ -2021,6 +2047,11 @@ ORDER BY n_files DESC, repo ASC
         "symbol_search": oracles.symbol_boosted_sql(
             SYMBOL_QUERY, _GREP_DEF_PATTERN, k=10, boost=SYMBOL_BOOST,
             text_expr=CODE_TEXT_SQL),
+        "grep_context": oracles.grep_context_sql(
+            GREP_TERM, context=1, text_expr=CODE_TEXT_SQL),
+        "repo_rank": oracles.repo_rank_sql(
+            CODE_QUERY, _REPO_SQL, k=10, tok_fragment=DUCKDB_TOKENIZE_CODE,
+            text_expr=CODE_TEXT_SQL, tokenize=tokenize_py_code),
         # history wave: HEAD resolution / version ledger / vendored blobs
         # over the versioned contract corpus; find-usages edges over the
         # code corpus. latest_files's struct-max winner == the window

@@ -97,26 +97,21 @@ def corpus_stats(documents: DataFrame, text_col: str = "text", id_col: str = "do
     return tf, doc_lens, global_stats
 
 
-def bm25_topk_expression(
+def bm25_scores(
     documents: DataFrame,
     query_text: str,
-    k: int = 10,
     lang: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    round_score: bool = False,
     scope=None,
     tokenizer: str = "ascii",
 ) -> DataFrame:
-    """Top-k docs for an OR (disjunctive) BM25 query, index-free.
-
-    Returns (rank, doc_id, score). Plan shape at scale: the tf table is
-    filtered to the (tiny) query-term set BEFORE any join, both per-term
-    df aggs and the 1-row global stats broadcast, and orderBy+limit fuses
-    into TakeOrderedAndProject — no global sort materializes.
-    ``tokenizer="uni"`` scores over the Unicode tokenization (query terms
-    fold through the same tokenizer, so a Cyrillic query works end-to-end).
-    """
+    """Per-doc BM25 scores (id_col, score) for ALL docs matching an OR
+    query — the un-truncated scoring core shared by bm25_topk_expression
+    (which TakeOrdered-limits it) and repo_rank (which max-aggregates it
+    per repo). Plan shape at scale: the tf table is filtered to the
+    (tiny) query-term set BEFORE any join, both per-term df aggs and the
+    1-row global stats broadcast."""
     from fastmorph_spark.tokenize import tokenize_py_code, tokenize_py_uni
 
     tok_py = {"uni": tokenize_py_uni, "code": tokenize_py_code}.get(tokenizer, tokenize_py)
@@ -149,7 +144,29 @@ def bm25_topk_expression(
             bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")),
         )
     )
-    scored = sum_term_scores(scored, id_col)
+    return sum_term_scores(scored, id_col)
+
+
+def bm25_topk_expression(
+    documents: DataFrame,
+    query_text: str,
+    k: int = 10,
+    lang: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_score: bool = False,
+    scope=None,
+    tokenizer: str = "ascii",
+) -> DataFrame:
+    """Top-k docs for an OR (disjunctive) BM25 query, index-free.
+
+    Returns (rank, doc_id, score). Plan shape at scale: see bm25_scores;
+    additionally orderBy+limit fuses into TakeOrderedAndProject — no
+    global sort materializes. ``tokenizer="uni"`` scores over the
+    Unicode tokenization (query terms fold through the same tokenizer,
+    so a Cyrillic query works end-to-end)."""
+    scored = bm25_scores(documents, query_text, lang=lang, text_col=text_col,
+                         id_col=id_col, scope=scope, tokenizer=tokenizer)
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     # rank over the UNROUNDED score (oracle parity); round only for output
     w_rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col)))

@@ -100,6 +100,84 @@ def path_filter(corpus: DataFrame, like: str,
     )
 
 
+def grep_context(corpus: DataFrame, term: str, context: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """grep -C: matching lines PLUS ``context`` lines either side,
+    overlapping windows merged (each line appears once), match lines
+    flagged. Returns (id_col, line_no, line, is_match with is_match a
+    0/1 BIGINT — engine-portable, no bool dtype drift).
+
+    Shape: per-doc match line numbers are one collect_set groupBy
+    (bounded by matches-per-doc), joined back on the doc key — matching
+    docs only, so the join's build side is the hit set, not the corpus —
+    then a HOF ``exists`` keeps lines within ``context`` of any match.
+    Two passes over the corpus scan (hit detection, context selection);
+    both pipeline with no shuffle beyond the one doc-keyed join."""
+    folded = tokenize_py(term)
+    if len(folded) != 1:
+        raise ValueError(f"grep term must fold to one token, got {folded!r}")
+    if context < 0:
+        raise ValueError("context must be >= 0")
+    lines = split_lines(corpus, text_col=text_col, id_col=id_col)
+    hits = (
+        lines.where(F.array_contains(tokenize_expr(F.col("line")), folded[0]))
+        .groupBy(id_col)
+        .agg(F.collect_set("line_no").alias("_mls"))
+    )
+    return (
+        lines.join(hits, id_col)
+        .where(F.exists(F.col("_mls"),
+                        lambda m: F.abs(F.col("line_no") - m) <= F.lit(context)))
+        .select(
+            id_col,
+            "line_no",
+            "line",
+            F.array_contains(F.col("_mls"), F.col("line_no"))
+            .cast("long").alias("is_match"),
+        )
+        .orderBy(id_col, "line_no")
+    )
+
+
+def repo_rank(corpus: DataFrame, query_text: str, k: int = 10,
+              text_col: str = "content", id_col: str = "doc_id",
+              repo_col: str = "repo", tokenizer: str = "code",
+              scope=None) -> DataFrame:
+    """zoekt's repo result grouping, scored: repos ranked by their
+    BEST-matching file's BM25 score for the query, with the matching
+    file count as the facet. Returns (rank, repo, score, n_files).
+
+    Shape: bm25_scores (un-truncated scoring core — query-term-filtered
+    tf, broadcast df/stats) joined back to the (id, repo) projection on
+    the doc key — the standard score-joins-metadata lookup (J5), sized
+    by the MATCH set, not the corpus — then one groupBy(repo) whose
+    max/count partial-aggregates map-side; orderBy+limit fuses into
+    TakeOrderedAndProject. Score is max (not sum) so a repo with many
+    weak files cannot outrank one strong definition site."""
+    from fastmorph_spark.constants import SCORE_DECIMALS
+    from fastmorph_spark.search.bm25 import bm25_scores
+
+    scores = bm25_scores(corpus, query_text, text_col=text_col,
+                         id_col=id_col, scope=scope, tokenizer=tokenizer)
+    repos = corpus.select(id_col, repo_col)
+    per_repo = (
+        scores.join(repos, id_col)
+        .groupBy(repo_col)
+        .agg(F.max("score").alias("score"),
+             F.count("*").cast("long").alias("n_files"))
+    )
+    topk = per_repo.orderBy(F.desc("score"), F.asc(repo_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(repo_col))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        repo_col,
+        F.round("score", SCORE_DECIMALS).alias("score"),
+        "n_files",
+    )
+
+
 def repo_match_counts(corpus: DataFrame, term: str,
                       text_col: str = "content",
                       tokenizer: str = "code") -> DataFrame:

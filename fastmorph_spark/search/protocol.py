@@ -222,7 +222,7 @@ def parse_request(req: dict) -> dict:
         # the term as a whole token, with 1-based line numbers
         from fastmorph_spark.tokenize import tokenize_py
 
-        unknown = set(req) - {"grep", "limit", "lang"}
+        unknown = set(req) - {"grep", "limit", "lang", "context"}
         if unknown:
             raise RequestError(f"unknown request fields: {sorted(unknown)}")
         term = req["grep"]
@@ -236,10 +236,17 @@ def parse_request(req: dict) -> dict:
         if not isinstance(limit, int) or isinstance(limit, bool) \
                 or not 1 <= limit <= _MAX_UNTIL:
             raise RequestError(f"limit must be an integer in [1, {_MAX_UNTIL}]")
+        # grep -C: 0 (default) = match lines only; N = N context lines
+        # either side, overlapping windows merged, matches flagged
+        context = req.get("context", 0)
+        if not isinstance(context, int) or isinstance(context, bool) \
+                or not 0 <= context <= 100:
+            raise RequestError("context must be an integer in [0, 100]")
         lang = req.get("lang")
         if lang is not None and (not isinstance(lang, str) or not lang):
             raise RequestError("lang must be a non-empty string")
-        return {"grep": folded[0], "limit": limit, "lang": lang}
+        return {"grep": folded[0], "limit": limit, "lang": lang,
+                "context": context}
     if "refs" in req:
         # find-usages tab (search/history.py): refs=true ranks referenced
         # identifiers by citing-doc count (k rows); refs="Ident" lists the
@@ -885,8 +892,18 @@ def handle_request(documents: DataFrame, index, req: dict | str,
         # line-level result unit (code-search contract): pure-Catalyst
         # split/posexplode over the (possibly lang-routed) corpus; the
         # ORDER BY + limit fuse into one bounded collect
-        from fastmorph_spark.search.grep import grep_lines
+        from fastmorph_spark.search.grep import grep_context, grep_lines
 
+        if p.get("context", 0) > 0:
+            rows = (grep_context(documents, p["grep"], context=p["context"])
+                    .limit(p["limit"]).collect())
+            return {"term": p["grep"], "limit": p["limit"],
+                    "context": p["context"],
+                    "results": [{"doc_id": int(r["doc_id"]),
+                                 "line_no": int(r["line_no"]),
+                                 "line": r["line"],
+                                 "is_match": bool(r["is_match"])}
+                                for r in rows]}
         rows = grep_lines(documents, p["grep"]).limit(p["limit"]).collect()
         return {"term": p["grep"], "limit": p["limit"],
                 "results": [{"doc_id": int(r["doc_id"]),

@@ -907,6 +907,23 @@ def test_symbol_request_validation():
         parse_request({"symbol": "x", "limit": 5})
 
 
+def test_grep_context_option(spark, serving):
+    _, idx = serving
+    docs = spark.createDataFrame(
+        [(0, "before\nhit here\nafter\nfar away")],
+        "doc_id long, text string",
+    )
+    resp = handle_request(docs, idx, {"grep": "hit", "context": 1})
+    assert resp["context"] == 1
+    assert [(r["line_no"], r["is_match"]) for r in resp["results"]] == \
+        [(1, False), (2, True), (3, False)]
+    # default stays the bare match-lines response (no context key)
+    plain = handle_request(docs, idx, {"grep": "hit"})
+    assert "context" not in plain and len(plain["results"]) == 1
+    with pytest.raises(RequestError, match="context"):
+        parse_request({"grep": "x", "context": -1})
+
+
 def test_refs_request_forms(spark, serving):
     _, idx = serving
     docs = spark.createDataFrame(
