@@ -35,13 +35,15 @@ def _docs_cte(lang: str | None, text_expr: str = "text") -> str:
 
 
 def _corpus_ctes(lang: str | None = None, tok_fragment: str = TOK,
-                 text_expr: str = "text") -> str:
+                 text_expr: str = "text", docs_cte: str | None = None) -> str:
     """Shared CTE chain: docs -> tok -> tf -> dl -> gs (global stats).
     ``tok_fragment``/``text_expr`` let the Unicode twin swap in its
-    tokenizer and a derived (e.g. synthetic-Cyrillic) text column."""
+    tokenizer and a derived (e.g. synthetic-Cyrillic) text column;
+    ``docs_cte`` replaces the docs source wholesale (must yield
+    (doc_id, text) — the HEAD-resolved corpus uses this)."""
     tok = tok_fragment.format(col="text")
     return f"""
-docs AS ({_docs_cte(lang, text_expr)}),
+docs AS ({docs_cte if docs_cte is not None else _docs_cte(lang, text_expr)}),
 tok AS (
   SELECT doc_id, unnest({tok}) AS term FROM docs
 ),
@@ -59,13 +61,15 @@ gs AS (
 
 def bm25_topk_sql(query_text: str, k: int = 10, lang: str | None = None,
                   tok_fragment: str = TOK, text_expr: str = "text",
-                  tokenize=tokenize_py) -> str:
+                  tokenize=tokenize_py, docs_cte: str | None = None) -> str:
     """Mirror of search.bm25.bm25_topk_expression(round_score=True).
     The uni twin passes its tokenizer fragment + tokenize_py_uni (query
-    folding) + the synthetic-Cyrillic text expression."""
+    folding) + the synthetic-Cyrillic text expression; the HEAD-resolved
+    twin passes ``docs_cte`` (any (doc_id, text) source — doc_id may be
+    a string key such as a file path)."""
     k1, b = BM25_K1, BM25_B
     return f"""
-WITH {_corpus_ctes(lang, tok_fragment, text_expr)},
+WITH {_corpus_ctes(lang, tok_fragment, text_expr, docs_cte)},
 q AS ({_qterms_values(query_text, tokenize)}),
 m AS (SELECT tf.* FROM tf JOIN q USING (term)),
 dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),

@@ -850,6 +850,40 @@ def q_vendored_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_repos=_HIST_MIN_REPOS)
 
 
+def q_bm25_topk_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD-composed search: latest_files resolves the versioned corpus
+    to one version per (repo, path), then the standard code-subtoken
+    BM25 ranks those files, rekeyed to the int64 file id carried in the
+    path (the engine's doc-id contract is int64 end to end — the numpy
+    posting kernel and the varbyte layout depend on it). Proves the
+    history op composes with the scoring engine; old versions must not
+    contribute df/tf/avgdl."""
+    from fastmorph_spark.search.history import latest_files
+
+    head = latest_files(_hist_contract_corpus(spark, sf_dir))
+    docs = head.select(
+        F.regexp_extract(F.col("path"), r"f(\d+)\.py", 1)
+        .cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    return bm25_topk_expression(docs, CODE_QUERY, k=10, round_score=True,
+                                tokenizer="code") \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+def _head_docs_cte() -> str:
+    return f"""
+  SELECT regexp_extract(path, 'f(\\d+)\\.py', 1)::BIGINT AS doc_id,
+         content AS text FROM (
+    SELECT repo, path, content,
+           row_number() OVER (PARTITION BY repo, path
+                              ORDER BY commit DESC, lang DESC, content DESC)
+             AS rn
+    FROM ({_hist_corpus_sql()}) v
+  ) WHERE rn = 1
+"""
+
+
 def q_code_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-reference edges from the pinned '# see A and B' comment
     lines of the code corpus — the find-usages edge list."""
@@ -1934,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_files": q_latest_files,
         "file_history": q_file_history,
         "vendored_content": q_vendored_content,
+        "bm25_topk_head": q_bm25_topk_head,
         "code_refs": q_code_refs,
         "ref_counts": q_ref_counts,
     }
@@ -2085,6 +2120,9 @@ SELECT sha256, count(*)::BIGINT AS n_repos,
 FROM d GROUP BY sha256 HAVING count(*) >= {_HIST_MIN_REPOS}
 ORDER BY sha256
 """,
+        "bm25_topk_head": oracles.bm25_topk_sql(
+            CODE_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_CODE,
+            tokenize=tokenize_py_code, docs_cte=_head_docs_cte()),
         "code_refs": f"""
 WITH src AS (
   SELECT doc_id, string_split({CODE_TEXT_SQL}, chr(10)) AS lines

@@ -107,6 +107,30 @@ def test_code_refs_edges(spark):
     assert counts == {"alphaFn": (2, 3), "beta_util": (1, 1)}
 
 
+def test_head_resolution_changes_scoring(spark):
+    """Composing latest_files with BM25 must actually matter: scoring
+    the full versioned corpus (old versions inflate df/n_docs) gives a
+    different result set than scoring HEAD only."""
+    from fastmorph_spark.search.bm25 import bm25_topk_expression
+
+    rows = [
+        ("r1", "f1", "c1", "py", "needle old text"),
+        ("r1", "f1", "c2", "py", "nothing relevant"),   # HEAD of f1
+        ("r1", "f2", "c1", "py", "needle here too"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    head = latest_files(corpus).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    got = bm25_topk_expression(head, "needle", k=5, text_col="content").collect()
+    # only f2's HEAD matches; f1's old version must not resurface
+    assert len(got) == 1
+    full = corpus.withColumn("doc_id", F.monotonically_increasing_id())
+    assert bm25_topk_expression(full, "needle", k=5, text_col="content").count() == 2
+
+
 def test_ref_pattern_engine_identity():
     """The pinned pattern must behave identically in Java regex and RE2
     on ref lines: byte classes only, anchored, two groups."""
