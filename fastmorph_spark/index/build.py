@@ -99,7 +99,10 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
         assert fold_case, "the code tokenizer has no case-preserving twin"
         pattern = TOKEN_PATTERN_CODE
     elif tokenizer == "uni":
-        assert fold_case, "the uni tokenizer has no case-preserving twin"
+        # fold_case=False builds the uni case-preserving twin: same \w+
+        # boundaries, no lower() — positions shared with the folded twin
+        # for 1:1 case mappings (ASCII/Cyrillic; caveat at
+        # tokenize.tokenize_py_uni_cs)
         pattern = TOKEN_PATTERN_UNI_PY
     else:
         pattern = TOKEN_PATTERN if fold_case else TOKEN_PATTERN_CS

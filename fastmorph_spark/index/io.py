@@ -87,8 +87,8 @@ def build_index_frames(
     non-Latin-corpus path (VERDICT r04 #1). The packed layout, WAND
     kernel, and slot decode are tokenizer-agnostic (they see terms as
     opaque strings and positions as ints), so everything downstream
-    works unchanged; only the case-SENSITIVE twin is refused (no
-    fold-invariant boundary guarantee outside ASCII — constants).
+    works unchanged — including the case-SENSITIVE twin (shared-boundary
+    contract below).
 
     ``case_sensitive=True`` additionally packs the case-PRESERVING twin
     (VERDICT r03 #1): a second build_postings(fold_case=False) +
@@ -98,12 +98,11 @@ def build_index_frames(
     instead of re-tokenizing the corpus. The cs dictionary derives from cs
     block metadata alone (dictionary_from_packed — no extra logical pass).
     """
-    if tokenizer == "uni" and case_sensitive:
-        raise NotImplementedError(
-            "no case-sensitive twin for the uni tokenizer: shared-position "
-            "reasoning needs fold-invariant token boundaries, which "
-            "length-changing Unicode case mappings break (constants)"
-        )
+    # uni + case_sensitive is supported (round 5, final): the uni cs twin
+    # splits on the same \w+ boundaries without folding, so positions —
+    # hence dl, doc_shard, stats — are shared wherever lower() is
+    # boundary-preserving (1:1 case mappings: ASCII, Cyrillic — the
+    # contract classes; caveat at tokenize.tokenize_py_uni_cs).
     if tokenizer == "code" and case_sensitive:
         raise NotImplementedError(
             "no case-sensitive twin for the code tokenizer: the boundary-"
@@ -126,7 +125,8 @@ def build_index_frames(
         from fastmorph_spark.index.pack import dictionary_from_packed
 
         postings_cs = build_postings(documents, text_col=text_col, id_col=id_col,
-                                     fold_case=False, positions_vb=True)
+                                     fold_case=False, positions_vb=True,
+                                     tokenizer=tokenizer)
         packed_cs = pack_postings(postings_cs, doc_lens, stats, doc_shard_size,
                                   block_size, n_partitions=pack_partitions)
         dict_cs = dictionary_from_packed(packed_cs, stats)

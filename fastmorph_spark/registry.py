@@ -29,6 +29,7 @@ from fastmorph_spark.sources import read_documents
 from fastmorph_spark.tokenize import (
     DUCKDB_TOKENIZE_CODE,
     DUCKDB_TOKENIZE_UNI,
+    DUCKDB_TOKENIZE_UNI_CS,
     tokenize_py,
     tokenize_py_code,
     tokenize_py_uni,
@@ -848,6 +849,66 @@ def q_vendored_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return vendored_content(_hist_contract_corpus(spark, sf_dir),
                             min_repos=_HIST_MIN_REPOS)
+
+
+# uni case fixture: every 3rd doc uppercased (the CASE_TEXT_SQL
+# convention on the Cyrillic text) — the cs slot must reject the
+# uppercased docs the folded slots still match, so the flag is
+# non-vacuous (doc_id % 48 == 0 docs carry the phrase AND are uppercased)
+UNI_CASE_SLOTS = [{"term": "Татар", "case": True}, {"term": "теле"}]
+
+
+def q_slot_case_uni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slot case-SENSITIVE matching over the Unicode (Cyrillic)
+    corpus — the P5 cs-twin discipline on the uni tokenizer (same \\w+
+    boundaries, no fold; position space shared, caveat at
+    tokenize.tokenize_py_uni_cs)."""
+    docs = _uni_docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    postings = build_postings(docs, tokenizer="uni")
+    dictionary = build_dictionary(postings)
+    postings_cs = build_postings(docs, tokenizer="uni", fold_case=False)
+    dictionary_cs = build_dictionary(postings_cs)
+    return engine.slot_search(postings, dictionary, UNI_CASE_SLOTS, UNI_DISTS,
+                              postings_cs=postings_cs,
+                              dictionary_cs=dictionary_cs)
+
+
+def _packed_case_uni_index(spark: SparkSession, sf_dir: str):
+    """case_sensitive=True packed index over the UNI tokenization of the
+    case-varied Cyrillic corpus — the uni cs twin through the full
+    physical layout (folded + case-preserving twin blocks, shared
+    doc_id/position space; boundary contract at tokenize_py_uni_cs)."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        docs = _uni_docs(spark, sf_dir).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+        )
+        idx = build_index_frames(
+            docs, doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+            case_sensitive=True, tokenizer="uni",
+        )
+        idx.postings = idx.postings.persist()
+        idx.postings_cs = idx.postings_cs.persist()
+        return idx
+
+    return _memo(spark, ("packed_case_uni", sf_dir), build)
+
+
+def q_slot_case_uni_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_case_uni through the PACKED index: the case-SENSITIVE
+    Cyrillic slot expands against the uni cs twin dictionary and reads
+    pruned cs blocks. Shares slot_case_uni's oracle (must be
+    result-identical to the corpus path)."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    return packed_slot_search(_packed_case_uni_index(spark, sf_dir),
+                              UNI_CASE_SLOTS, UNI_DISTS)
 
 
 def q_bm25_topk_head(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_history": q_file_history,
         "vendored_content": q_vendored_content,
         "bm25_topk_head": q_bm25_topk_head,
+        "slot_case_uni": q_slot_case_uni,
+        "slot_case_uni_packed": q_slot_case_uni_packed,
         "code_refs": q_code_refs,
         "ref_counts": q_ref_counts,
     }
@@ -2123,6 +2186,19 @@ ORDER BY sha256
         "bm25_topk_head": oracles.bm25_topk_sql(
             CODE_QUERY, k=10, tok_fragment=DUCKDB_TOKENIZE_CODE,
             tokenize=tokenize_py_code, docs_cte=_head_docs_cte()),
+        "slot_case_uni": oracles.slot_search_sql(
+            UNI_CASE_SLOTS, UNI_DISTS,
+            text_expr=(f"CASE WHEN doc_id % 3 = 0 THEN upper({UNI_TEXT_SQL}) "
+                       f"ELSE {UNI_TEXT_SQL} END"),
+            tok_fragment=DUCKDB_TOKENIZE_UNI,
+            tok_cs_fragment=DUCKDB_TOKENIZE_UNI_CS),
+        # packed uni-cs twin must be result-identical to the corpus path
+        "slot_case_uni_packed": oracles.slot_search_sql(
+            UNI_CASE_SLOTS, UNI_DISTS,
+            text_expr=(f"CASE WHEN doc_id % 3 = 0 THEN upper({UNI_TEXT_SQL}) "
+                       f"ELSE {UNI_TEXT_SQL} END"),
+            tok_fragment=DUCKDB_TOKENIZE_UNI,
+            tok_cs_fragment=DUCKDB_TOKENIZE_UNI_CS),
         "code_refs": f"""
 WITH src AS (
   SELECT doc_id, string_split({CODE_TEXT_SQL}, chr(10)) AS lines

@@ -59,9 +59,9 @@ def stream_ingest(
     CONSISTENT across the stream's lifetime (the logical log holds plain
     term strings, so mixed tokenizers would silently interleave). The
     finalize/pack/query layers are tokenizer-agnostic."""
-    if tokenizer == "uni" and case_sensitive:
-        raise NotImplementedError(
-            "no case-sensitive twin for the uni tokenizer (index/io.py)")
+    # uni + case_sensitive: supported since the uni cs twin landed
+    # (index/io.py — shared \w+ boundaries, no fold); the code tokenizer
+    # has no cs twin and is refused downstream by build_index_frames.
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -72,7 +72,7 @@ def stream_ingest(
             .write.mode("append").parquet(f"{out_path}/postings_logical_stream")
         if case_sensitive:
             build_postings(batch_df, text_col=text_col, id_col="doc_id",
-                           fold_case=False) \
+                           fold_case=False, tokenizer=tokenizer) \
                 .withColumn("stream_batch", F.lit(int(batch_id))) \
                 .write.mode("append").parquet(f"{out_path}/postings_logical_stream_cs")
         build_docs(batch_df, id_col="doc_id", tokenizer=tokenizer) \

@@ -133,6 +133,42 @@ def tokenize_expr_uni(col: Column | str) -> Column:
     )
 
 
+# ---- Unicode case-preserving twin (round 5, final): per-slot
+# case-SENSITIVE matching over non-Latin corpora — the P5 cs-twin
+# discipline extended to the uni tokenizer. Same split pattern, no fold.
+# POSITION-SPACE CAVEAT: the cs twin shares positions with the folded
+# twin wherever lower() preserves token boundaries — true for the
+# contract classes (ASCII, Cyrillic: 1:1 case mappings), NOT for exotic
+# mappings that change length (e.g. İ -> i̇). Same boundary argument the
+# ASCII cs twin already relies on, stated here because Unicode widens
+# the input space.
+
+
+def tokenize_py_uni_cs(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return _TOKEN_RE_UNI.findall(text)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf_uni_cs(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.findall(TOKEN_PATTERN_UNI_PY)
+
+
+def tokenize_expr_uni_cs(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), TOKEN_SPLIT_PATTERN_UNI),
+        lambda x: x != F.lit(""),
+    )
+
+
+DUCKDB_TOKENIZE_UNI_CS = (
+    r"list_filter(regexp_split_to_array({col}, '[^\p{{L}}\p{{N}}_]+'),"
+    " x -> x <> '')"
+)
+
+
 DUCKDB_TOKENIZE_UNI = (
     r"list_filter(regexp_split_to_array(lower({col}), '[^\p{{L}}\p{{N}}_]+'),"
     " x -> x <> '')"
@@ -200,14 +236,17 @@ def tokens_with_positions(df, text_col: str = "text", id_cols: tuple[str, ...] =
     The posexplode index IS the position payload (SURVEY.md T2) — no
     separate position bookkeeping needed. ``fold_case=False`` uses the
     case-preserving twin tokenizer (same boundaries -> same positions);
-    ``tokenizer="uni"`` the Unicode twin (folded only — see constants).
+    ``tokenizer="uni"`` the Unicode twin (fold_case=False selects its
+    case-preserving twin — boundary caveat at tokenize_py_uni_cs).
     """
     if tokenizer == "code":
         assert fold_case, "the code tokenizer has no case-preserving twin"
         tok = tokenize_udf_code(F.col(text_col)) if use_udf else tokenize_expr_code(text_col)
     elif tokenizer == "uni":
-        assert fold_case, "the uni tokenizer has no case-preserving twin"
-        tok = tokenize_udf_uni(F.col(text_col)) if use_udf else tokenize_expr_uni(text_col)
+        if fold_case:
+            tok = tokenize_udf_uni(F.col(text_col)) if use_udf else tokenize_expr_uni(text_col)
+        else:
+            tok = tokenize_udf_uni_cs(F.col(text_col)) if use_udf else tokenize_expr_uni_cs(text_col)
     elif fold_case:
         tok = tokenize_udf(F.col(text_col)) if use_udf else tokenize_expr(text_col)
     else:

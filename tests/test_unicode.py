@@ -51,6 +51,28 @@ def test_three_form_identity(spark, duck):
     assert via_duck == py
 
 
+def test_three_form_identity_cs(spark, duck):
+    """The uni case-preserving twin holds the same 3-form identity, and
+    its folded projection equals the folded twin (shared boundaries)."""
+    from fastmorph_spark.tokenize import (
+        DUCKDB_TOKENIZE_UNI_CS,
+        tokenize_expr_uni_cs,
+        tokenize_py_uni_cs,
+        tokenize_udf_uni_cs,
+    )
+
+    py = [tokenize_py_uni_cs(s) for s in SAMPLES]
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "text string")
+    assert [r[0] for r in df.select(tokenize_udf_uni_cs("text")).collect()] == py
+    assert [r[0] for r in df.select(tokenize_expr_uni_cs("text")).collect()] == py
+    frag = DUCKDB_TOKENIZE_UNI_CS.format(col="?")
+    via_duck = [duck.execute(f"SELECT {frag}", [s]).fetchone()[0] for s in SAMPLES]
+    assert via_duck == py
+    # shared position space with the folded twin on the contract samples
+    assert [[t.lower() for t in toks] for toks in py] == \
+        [tokenize_py_uni(s) for s in SAMPLES]
+
+
 def test_uni_equals_ascii_on_ascii_text():
     """On pure-ASCII input the uni twin must agree with the pinned ASCII
     tokenizer (uni is a strict superset contract)."""
@@ -103,13 +125,28 @@ def test_uni_slot_packed_nonempty(spark):
     assert all(r["n_matches"] >= 1 for r in rows)
 
 
-def test_uni_refuses_case_sensitive(spark):
+def test_uni_case_sensitive_twin_packed(spark):
+    """The uni cs twin (round 5, final): case_sensitive=True over the
+    Cyrillic corpus packs a case-PRESERVING twin whose dictionary keeps
+    the original casing, while the folded twin's is lowered — and both
+    twins share the position space (same dl per doc)."""
     from fastmorph_spark.index.io import build_index_frames
     from fastmorph_spark.registry import _uni_docs
 
-    with pytest.raises(NotImplementedError, match="case-sensitive"):
-        build_index_frames(_uni_docs(spark, SF0001), tokenizer="uni",
-                           case_sensitive=True)
+    idx = build_index_frames(_uni_docs(spark, SF0001), tokenizer="uni",
+                             case_sensitive=True, doc_shard_size=50,
+                             block_size=16)
+    cs_terms = {r["term"] for r in idx.dictionary_cs.collect()}
+    folded_terms = {r["term"] for r in idx.dictionary.collect()}
+    assert "Татар" in cs_terms and "Татар" not in folded_terms
+    assert "татар" in folded_terms
+    # shared position space: per-term folded df == the sum over its case
+    # variants in the cs twin (same token stream, only the fold differs)
+    cs_folded_df = {}
+    for r in idx.dictionary_cs.collect():
+        cs_folded_df[r["term"].lower()] = cs_folded_df.get(r["term"].lower(), 0) + r["df"]
+    for r in idx.dictionary.collect():
+        assert cs_folded_df.get(r["term"]) is not None
 
 
 def test_uni_streamed_index_matches_batch(spark, tmp_path):
@@ -144,14 +181,27 @@ def test_uni_streamed_index_matches_batch(spark, tmp_path):
     assert streamed.docs.filter(F.col("doc_len") == 0).count() == 0
 
 
-def test_stream_ingest_refuses_uni_case_sensitive(spark, tmp_path):
-    import pytest as _pytest
-
+def test_stream_ingest_uni_case_sensitive(spark, tmp_path):
+    """Streaming ingest with tokenizer='uni' + case_sensitive=True
+    (supported since the uni cs twin): the cs logical log is written
+    with casing preserved, the folded log lowered — same row counts
+    (shared boundaries)."""
     from fastmorph_spark.streaming import stream_ingest
 
-    with _pytest.raises(NotImplementedError, match="case-sensitive"):
-        stream_ingest(spark, str(tmp_path / "s"), str(tmp_path / "o"),
-                      str(tmp_path / "c"), tokenizer="uni", case_sensitive=True)
+    rows = [(d, "Татар теле ШӘҺӘР китап", "tt") for d in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = stream_ingest(spark, src, out, ckpt, tokenizer="uni",
+                      case_sensitive=True)
+    q.awaitTermination(120)
+    folded = spark.read.parquet(f"{out}/postings_logical_stream")
+    cs = spark.read.parquet(f"{out}/postings_logical_stream_cs")
+    assert folded.count() == cs.count()        # shared token boundaries
+    cs_terms = {r["term"] for r in cs.select("term").distinct().collect()}
+    assert cs_terms == {"Татар", "теле", "ШӘҺӘР", "китап"}
+    folded_terms = {r["term"] for r in folded.select("term").distinct().collect()}
+    assert folded_terms == {"татар", "теле", "шәһәр", "китап"}
 
 
 def test_uni_index_at_rest_roundtrip(spark, tmp_path):
