@@ -953,3 +953,108 @@ FROM bo
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def _like_sql(col: str, value: str) -> str:
+    """Predicate fragment mirroring querylang._meta_filter: equality,
+    or LIKE with the engine's wildcard translation when the value
+    carries * / ? (DuckDB needs the ESCAPE clause spelled out; the
+    backslash is literal inside DuckDB's escape-free strings)."""
+    if "*" in value or "?" in value:
+        from fastmorph_spark.search.engine import wildcard_pattern_to_like
+
+        return f"{col} LIKE '{wildcard_pattern_to_like(value)}' ESCAPE '\\'"
+    return f"{col} = '{value}'"
+
+
+def query_lang_sql(q: str, k: int, docs_cte: str, tok_fragment: str = TOK,
+                   tokenizer: str = "ascii") -> str:
+    """Mirror of search.querylang.query_search over ``docs_cte`` — any
+    source yielding (doc_id, repo, path, lang, text) BEFORE metadata
+    filters. The spec is parsed by the very parser the engine uses, so
+    grammar and SQL can't drift; scoring stats are scoped to the
+    filtered corpus, constraints apply before the top-k cut, ties
+    break (score DESC, doc_id ASC) — all per the querylang pinning."""
+    from fastmorph_spark.search.querylang import parse_query
+
+    spec = parse_query(q, tokenizer=tokenizer)
+    k1, b = BM25_K1, BM25_B
+    tok = tok_fragment.format(col="text")
+
+    where = " AND ".join(
+        [_like_sql(f, spec[f]) for f in ("repo", "path") if spec[f]]
+        + ([f"lang = '{spec['lang']}'"] if spec["lang"] else [])
+    ) or "true"
+
+    score_terms = sorted(set(spec["terms"])
+                         | {t for p in spec["phrases"] for t in p})
+    qvals = ", ".join(f"('{t}')" for t in score_terms)
+
+    required = sorted(set(spec["terms"]))
+    need_and = bool(required) and (len(required) > 1 or bool(spec["phrases"]))
+
+    ctes = [f"corpus AS ({docs_cte})",
+            f"fdocs AS (SELECT * FROM corpus WHERE {where})",
+            "docs AS (SELECT doc_id, text FROM fdocs)",
+            f"tok AS (SELECT doc_id, unnest({tok}) AS term FROM docs)",
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf"
+            " FROM tok GROUP BY doc_id, term)",
+            "dl AS (SELECT d.doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS dl"
+            " FROM docs d LEFT JOIN tf ON d.doc_id = tf.doc_id"
+            " GROUP BY d.doc_id)",
+            "gs AS (SELECT count(*)::BIGINT AS n_docs,"
+            " avg(dl)::DOUBLE AS avgdl FROM dl)",
+            f"q AS (SELECT * FROM (VALUES {qvals}) AS qt(term))",
+            "m AS (SELECT tf.* FROM tf JOIN q USING (term))",
+            "dft AS (SELECT term, count(*)::BIGINT AS df FROM m"
+            " GROUP BY term)",
+            f"""s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (gs.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (m.tf * ({k1} + 1.0)
+              / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / gs.avgdl)))
+         )::DOUBLE AS score
+  FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN gs
+  GROUP BY m.doc_id
+)"""]
+    joins, antis = [], []
+    if need_and:
+        inlist = ", ".join(f"'{t}'" for t in required)
+        ctes.append(
+            f"req AS (SELECT doc_id FROM tf WHERE term IN ({inlist})"
+            f" GROUP BY doc_id HAVING count(DISTINCT term) = {len(required)})")
+        joins.append("req")
+    sequences = spec["phrases"] + spec["excludes"]
+    if sequences:
+        ctes.append(f"tokarr AS (SELECT doc_id, {tok} AS toks FROM docs)")
+        ctes.append("pos AS (SELECT doc_id, unnest(toks) AS term,"
+                    " unnest(range(len(toks)))::INT AS pos FROM tokarr)")
+    for si, seq in enumerate(sequences):
+        name = f"seq{si}"
+        adj = "\n".join(
+            f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+            for i, t in enumerate(seq[1:], 1))
+        ctes.append(
+            f"{name} AS (SELECT DISTINCT p0.doc_id AS doc_id FROM pos p0\n"
+            f"{adj}\n  WHERE p0.term = '{seq[0]}')")
+        (joins if si < len(spec["phrases"]) else antis).append(name)
+
+    sel_joins = "".join(f" JOIN {j} USING (doc_id)" for j in joins)
+    sel_antis = "".join(
+        f" AND s.doc_id NOT IN (SELECT doc_id FROM {a})" for a in antis)
+    with_block = ",\n".join(ctes)
+    return f"""
+WITH {with_block},
+sel AS (SELECT s.doc_id, round(s.score, {SCORE_DECIMALS}) AS score
+        FROM s{sel_joins} WHERE true{sel_antis}),
+top AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM sel ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.rank, t.doc_id, f.repo, f.path, t.score
+FROM top t JOIN fdocs f USING (doc_id)
+ORDER BY t.rank
+"""

@@ -960,6 +960,67 @@ def q_ref_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ref_counts(_code_docs(spark, sf_dir))
 
 
+# --- unified query-string language (round 5, final wave): the "one
+# search box" front door — metadata filters + phrases + negation + BM25
+# ranked terms in one textual query (search/querylang.py pinning).
+# Both pinned queries were tuned so every atom binds on the HEAD-resolved
+# corpus at sf0.001 AND sf0.01: for QL_QUERY the lang/phrase/negation
+# atoms each change the doc set and the bare term changes the scores
+# (13 -> 7 survivors, k-cut inert at 7); for QL_REPO_QUERY the repo/path
+# wildcards and the negation each change the doc set (15/13 -> 4) and the
+# two bare terms exercise the AND-containment (HAVING = 2) path.
+QL_QUERY = 'lang:py "xml http" user -"write log"'
+QL_REPO_QUERY = 'repo:repo1? path:src/h1*/f*.py merge stream -log'
+
+
+def _head_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD-resolved contract corpus with metadata kept: (doc_id, repo,
+    path, lang, text) — the frame a code-search front end queries.
+    doc_id is the int64 file id carried in the path (engine contract)."""
+    from fastmorph_spark.search.history import latest_files
+
+    return latest_files(_hist_contract_corpus(spark, sf_dir)).select(
+        F.regexp_extract(F.col("path"), r"f(\d+)\.py", 1)
+        .cast("long").alias("doc_id"),
+        "repo", "path", "lang", F.col("content").alias("text"))
+
+
+def _head_meta_cte() -> str:
+    """DuckDB twin of _head_meta_docs (the _head_docs_cte window form,
+    metadata columns kept)."""
+    return f"""
+  SELECT regexp_extract(path, 'f(\\d+)\\.py', 1)::BIGINT AS doc_id,
+         repo, path, lang, content AS text
+  FROM (
+    SELECT repo, path, lang, content,
+           row_number() OVER (PARTITION BY repo, path
+                              ORDER BY commit DESC, lang DESC, content DESC)
+             AS rn
+    FROM ({_hist_corpus_sql()}) v
+  ) WHERE rn = 1
+"""
+
+
+def q_qlang_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-language flagship: lang filter + phrase + scored required
+    term + negated phrase over the HEAD-resolved code corpus, subtoken
+    tokenizer — one string driving four operator families."""
+    from fastmorph_spark.search.querylang import query_search
+
+    return query_search(_head_meta_docs(spark, sf_dir), QL_QUERY, k=10,
+                        tokenizer="code")
+
+
+def q_qlang_repo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-language metadata-wildcard form: repo:? and path:* wildcard
+    filters (byte-exact LIKE translation), two AND-required scored terms,
+    term negation."""
+    from fastmorph_spark.search.querylang import query_search
+
+    return query_search(_head_meta_docs(spark, sf_dir), QL_REPO_QUERY, k=10,
+                        tokenizer="code")
+
+
 # deterministic tombstone set for the delete-path driver query: every
 # doc with doc_id % DELETE_MOD == DELETE_REM is deleted (mirrors exactly
 # in the DuckDB oracle as a modulo predicate). mod 7 rem 0 intersects
@@ -2034,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_case_uni_packed": q_slot_case_uni_packed,
         "code_refs": q_code_refs,
         "ref_counts": q_ref_counts,
+        "qlang_search": q_qlang_search,
+        "qlang_repo_search": q_qlang_repo_search,
     }
 
 
@@ -2239,6 +2302,15 @@ SELECT ref, count(DISTINCT doc_id)::BIGINT AS n_docs,
 FROM e WHERE ref <> ''
 GROUP BY ref ORDER BY n_docs DESC, ref ASC
 """,
+        # unified query-string language over the HEAD-resolved corpus:
+        # the oracle parses the SAME string with the SAME parser, so
+        # grammar and SQL cannot drift
+        "qlang_search": oracles.query_lang_sql(
+            QL_QUERY, 10, _head_meta_cte(),
+            tok_fragment=DUCKDB_TOKENIZE_CODE, tokenizer="code"),
+        "qlang_repo_search": oracles.query_lang_sql(
+            QL_REPO_QUERY, 10, _head_meta_cte(),
+            tok_fragment=DUCKDB_TOKENIZE_CODE, tokenizer="code"),
         "kmeans_clusters": oracles_ops.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "cluster_sample": oracles_ops.cluster_sample_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE),

@@ -59,7 +59,7 @@ order — the sentences/highlights/totals surface):
 The response collect is bounded by `until` — the protocol layer never
 materializes an unbounded result.
 
-Eighteen further request forms share the boundary, all bounded by ``k`` /
+Nineteen further request forms share the boundary, all bounded by ``k`` /
 ``until`` / ``limit``: ranked top-k (``{"bm25": "query text", "k": 10}`` →
 Block-Max WAND; add ``"expand": n`` for synonym query expansion — each
 query term pulls its top-n thesaurus neighbors first, search/expand.py),
@@ -107,7 +107,11 @@ mentioners, BM25 order inside each stratum; the defs form also takes an
 optional ``"symbol"`` filter for go-to-definition; search/symbols.py),
 and the find-usages tab (``{"refs": true, "k": 50}`` — referenced
 identifiers ranked by citing-doc count — or ``{"refs": "Ident"}`` for
-one identifier's citing (doc, line) edges; search/history.py).
+one identifier's citing (doc, line) edges; search/history.py), and the
+one-search-box form (``{"q": 'lang:py "exact phrase" term -noise',
+"k": 10}`` — the unified query-string language of search/querylang.py:
+repo:/path:/lang: filters, quoted phrases, -negation and BM25-ranked
+bare terms in one string, answered off the document corpus).
 """
 
 from __future__ import annotations
@@ -178,18 +182,19 @@ def parse_request(req: dict) -> dict:
     malformed field — the serving boundary must reject bad input loudly,
     not produce an empty (or wrong) result.
 
-    Twenty request forms behind one boundary (module docstring): slots
-    (incl. format/sort/facets options), bm25, collocations, top_terms,
-    keyness, paradigm, cql, stats, thesaurus, sketch_diff, suggest,
-    offsets, mwe, more_like, grep, defs (optional symbol filter),
-    substring, regex, symbol, refs."""
+    Twenty-one request forms behind one boundary (module docstring):
+    slots (incl. format/sort/facets options), bm25, collocations,
+    top_terms, keyness, paradigm, cql, stats, thesaurus, sketch_diff,
+    suggest, offsets, mwe, more_like, grep, defs (optional symbol
+    filter), substring, regex, symbol, refs, q (query-string
+    language)."""
     if not isinstance(req, dict):
         raise RequestError("request must be a JSON object")
     forms = [f for f in ("slots", "bm25", "collocations", "top_terms",
                          "keyness", "paradigm", "cql", "stats",
                          "thesaurus", "sketch_diff", "suggest",
                          "offsets", "mwe", "more_like", "grep", "defs",
-                         "substring", "regex", "symbol", "refs")
+                         "substring", "regex", "symbol", "refs", "q")
              if f in req]
     if "defs" in forms and "symbol" in forms:
         forms.remove("symbol")  # "symbol" is an OPTION of the defs form
@@ -217,6 +222,29 @@ def parse_request(req: dict) -> dict:
             raise RequestError("lang must be a non-empty string")
         return limit, lang
 
+    if "q" in req:
+        # unified query-string language (search/querylang.py grammar):
+        # repo:/path:/lang: filters, "quoted phrases", -negation and
+        # BM25-ranked bare terms in ONE string — the search-box form.
+        # Grammar errors surface HERE (boundary), corpus-shape errors
+        # (e.g. repo: over a corpus without a repo column) at execution.
+        from fastmorph_spark.search.querylang import parse_query
+
+        unknown = set(req) - {"q", "k"}
+        if unknown:
+            raise RequestError(f"unknown request fields: {sorted(unknown)}")
+        q = req["q"]
+        if not isinstance(q, str) or not q.strip():
+            raise RequestError("q must be a non-empty query string")
+        try:
+            parse_query(q)  # serving tokenizer is the ascii contract
+        except ValueError as e:
+            raise RequestError(f"q: {e}") from None
+        k = req.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or not 1 <= k <= _MAX_UNTIL:
+            raise RequestError(f"k must be an integer in [1, {_MAX_UNTIL}]")
+        return {"q": q, "k": k}
     if "grep" in req:
         # grep/ripgrep result unit over the served corpus: lines holding
         # the term as a whole token, with 1-based line numbers
@@ -808,6 +836,25 @@ def handle_request(documents: DataFrame, index, req: dict | str,
                              "g2": float(r["g2"]),
                              "log_ratio": float(r["log_ratio"])}
                             for r in rows]}
+    if "q" in p:
+        # one-search-box form: a DOCUMENT-corpus query whose own
+        # lang:/repo:/path: atoms do the filtering, so it is answered
+        # before per-lang routing; corpus-shape mismatches (a filter on
+        # a column the served corpus lacks) come back as
+        # client-addressable errors, not crashes
+        from fastmorph_spark.search.querylang import query_search
+
+        try:
+            rows = query_search(documents, p["q"], k=p["k"]).collect()
+        except ValueError as e:
+            return {"error": f"q: {e}"}
+        return {"q": p["q"], "k": p["k"],
+                "results": [
+                    {**{"rank": int(r["rank"]), "doc_id": int(r["doc_id"])},
+                     **{c: r[c] for c in ("repo", "path")
+                        if c in r.__fields__},
+                     "score": float(r["score"])}
+                    for r in rows]}
     if "mwe" in p:
         # terminology extraction: corpus-wide bigram logDice — like
         # keyness, a DOCUMENT-corpus statistic independent of which
