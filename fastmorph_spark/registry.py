@@ -1967,7 +1967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocations_by_stem/unigram_ppl, then slot_fuzzy_* .. ngram_freq).
     Every casualty is oracle-verified this round anyway:
     jobs/check_queries.py re-runs EVERY key locally before the driver
-    run (BENCH/check_all_r05_final.txt: 133/133 green)."""
+    run (BENCH/check_all_r05_final.txt: 133/133 green at the window
+    freeze; the post-freeze closing waves — code search, history,
+    unicode-cs, find-usages, qlang — grew the dict to 158, all
+    attested in BENCH/check_all_r05_final2.txt)."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
