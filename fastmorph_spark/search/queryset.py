@@ -16,6 +16,9 @@ Dispatch:
   slot_packed / and_packed -> same packed path for slot patterns (incl.
                             wildcard expansion + block-skip pruning) and
                             conjunctive search
+  qlang                  -> the unified query-string language (one
+                            search box: filters + phrases + negation +
+                            ranked terms; search/querylang.py)
 """
 
 from __future__ import annotations
@@ -190,6 +193,13 @@ def run_query(
         c = parse_cql(q)
         assert not c["within_sentence"], "use a sentence mode for within s"
         return engine.slot_search(postings, dictionary, c["slots"], c["dists"])
+    if mode == "qlang":
+        # the one-search-box form (search/querylang.py): metadata filter
+        # + phrase + negation + BM25-ranked terms in ONE string — the
+        # whole unified-query path, parser included
+        from fastmorph_spark.search.querylang import query_search
+
+        return query_search(documents, q, k=k)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -269,7 +279,39 @@ def run_query_oracle(spec: dict, oracle) -> list:
 
         c = parse_cql(q)
         return oracle.slot_docs(c["slots"], c["dists"])
+    if mode == "qlang":
+        return _oracle_qlang(oracle, q, k)
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _oracle_qlang(oracle, q: str, k: int) -> list:
+    """Independent execution of a query-language string (parser shared
+    with the engine — the cql convention; execution is exhaustive
+    in-memory set algebra + the oracle's own BM25). Rows mirror
+    query_search's (rank, doc_id, score-rounded) contract."""
+    from fastmorph_spark.constants import SCORE_DECIMALS
+    from fastmorph_spark.search.querylang import parse_query
+
+    spec = parse_query(q)
+    assert spec["repo"] is None and spec["path"] is None, \
+        "the documents fixture has no repo/path columns"
+    o = oracle.filtered(spec["lang"]) if spec["lang"] else oracle
+    score_terms = sorted(set(spec["terms"])
+                         | {t for p in spec["phrases"] for t in p})
+    cands: set[int] = set()
+    for t in score_terms:
+        cands.update(o.postings.get(t, {}))
+    required = sorted(set(spec["terms"]))
+    if required:
+        cands &= set(o.and_docs(" ".join(required)))
+    for p in spec["phrases"]:
+        cands &= set(o.phrase_docs(" ".join(p)))
+    for e in spec["excludes"]:
+        cands -= set(o.phrase_docs(" ".join(e)))
+    scored = [(d, round(o.score(score_terms, d), SCORE_DECIMALS))
+              for d in cands]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [[i + 1, d, s] for i, (d, s) in enumerate(scored[:k])]
 
 
 def _oracle_keyness(oracle, focus: str, min_count: int, k: int) -> list:

@@ -109,6 +109,13 @@ def test_engine_matches_golden(spark, ctx, golden, spec):
                [g[:2] for g in exp], spec["qid"]
         for r, g in zip(rows, exp):
             assert math.isclose(r["score"], float(g[2]), abs_tol=1e-6), spec["qid"]
+    elif spec["mode"] == "qlang":
+        # rounded-score ranking (querylang pins ties on the ROUNDED
+        # score), so exact equality on all three columns is safe
+        assert [[r["rank"], r["doc_id"]] for r in rows] == \
+               [g[:2] for g in exp], spec["qid"]
+        for r, g in zip(rows, exp):
+            assert math.isclose(r["score"], float(g[2]), abs_tol=1e-9), spec["qid"]
     elif spec["mode"] == "within_sentence_indexed":
         assert [[r["doc_id"], r["sent_id"]] for r in rows] == exp, spec["qid"]
     elif spec["mode"] == "facets":
