@@ -2014,13 +2014,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_packed": q_more_like_this_packed,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_sample": q_cluster_sample,
-        # --- (b2) new this round, wave 2: corpus analytics (keyness /
-        # ipm / dispersion), fuzzy matching, facets, sentence scope,
-        # concordance sampling (fastmorph_spark/registry_corpus.py)
+        # --- (b5) the code-search wave (the graft's payload IS code):
+        # subtoken BM25, trigram substring/regex, grep, symbols,
+        # repo-history HEAD semantics, find-usages, the unified query
+        # language, and the unicode-cs packed twin. These are the round's
+        # most on-thesis novel claims, so they take the final in-window
+        # slots (34-50); the displaced conc_*/panel keys join the attested
+        # tail (check_all_r05 green + pytest).
+        "bm25_topk_code": q_bm25_topk_code,
+        "bm25_topk_wand_code": q_bm25_topk_wand_code,
+        "grep_lines": q_grep_lines,
+        "code_defs": q_code_defs,
+        "substring_search": q_substring_search,
+        "substring_search_packed": q_substring_search_packed,
+        "regex_grep": q_regex_grep,
+        "symbol_search": q_symbol_search,
+        "grep_context": q_grep_context,
+        "repo_rank": q_repo_rank,
+        "latest_files": q_latest_files,
+        "file_history": q_file_history,
+        "bm25_topk_head": q_bm25_topk_head,
+        "code_refs": q_code_refs,
+        "slot_case_uni_packed": q_slot_case_uni_packed,
+        "qlang_search": q_qlang_search,
+        "qlang_repo_search": q_qlang_repo_search,
+        # ---------------- 50-key cap lands HERE ----------------
+        # --- (b2) round-5 wave 2: corpus analytics (keyness / ipm /
+        # dispersion), fuzzy matching, facets, sentence scope,
+        # concordance sampling (fastmorph_spark/registry_corpus.py) —
+        # displaced to the tail by (b5); every key green in
+        # BENCH/check_all_r05_final2.txt
         **_corpus_ext.QUERIES,
-        # ---------------- 50-key cap lands 9 keys BEFORE the end of the
-        # corpus extension (its last 9 keys are this round's documented
-        # cap casualties — see the docstring) ----------------
         # --- (c) r04-green, code paths touched this round + flagships
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -2073,33 +2097,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_freq": q_ngram_freq,
-        # closing-wave additions after the window froze: attested by
+        # closing-wave additions not in the (b5) window: attested by
         # jobs/check_queries.py + pytest (tail casualties by design)
         "c4_clean": q_c4_clean,
         "bm25_expanded": q_bm25_expanded,
-        "bm25_topk_code": q_bm25_topk_code,
-        "bm25_topk_wand_code": q_bm25_topk_wand_code,
-        "grep_lines": q_grep_lines,
-        "code_defs": q_code_defs,
-        "substring_search": q_substring_search,
-        "substring_search_packed": q_substring_search_packed,
         "substring_grep": q_substring_grep,
-        "regex_grep": q_regex_grep,
         "path_search": q_path_search,
         "repo_facets": q_repo_facets,
-        "symbol_search": q_symbol_search,
-        "grep_context": q_grep_context,
-        "repo_rank": q_repo_rank,
-        "latest_files": q_latest_files,
-        "file_history": q_file_history,
         "vendored_content": q_vendored_content,
-        "bm25_topk_head": q_bm25_topk_head,
         "slot_case_uni": q_slot_case_uni,
-        "slot_case_uni_packed": q_slot_case_uni_packed,
-        "code_refs": q_code_refs,
         "ref_counts": q_ref_counts,
-        "qlang_search": q_qlang_search,
-        "qlang_repo_search": q_qlang_repo_search,
     }
 
 
