@@ -1955,22 +1955,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack_shards signatures) plus the core flagships; (d) the TAIL holds
     only r04-GREEN keys untouched this round and pinned by pytest, so a
     capped-out tail key is still attested green in CORRECTNESS_r04 ∪ the
-    suite. With 133 keys, window positions 30-33 carry the closing
-    wave's most novel correctness claims (section (b4):
-    more_like_this[_packed], kmeans_clusters, cluster_sample) and
-    positions 34-49 the late-wave round-5 panel keys (conc_filter*,
-    conc_collocations*, mwe_bigrams, colloc_by_offset[_packed],
-    doc_keywords, next_word, kwic_gdex, conc_freq_*); the cap
-    casualties are the remaining corpus-ext tail (term_profile,
-    dispersion, fuzzy_*, ... — displaced by (b4)) plus the
-    r04-driver-green tail (freq_by_stem/freq_by_tag/stratified_sample/
-    collocations_by_stem/unigram_ppl, then slot_fuzzy_* .. ngram_freq).
+    suite. With 158 keys, window positions 30-33 carry section (b4)
+    (more_like_this[_packed], kmeans_clusters, cluster_sample) and
+    positions 34-50 section (b5), the code-search wave — the round's
+    most on-thesis novel claims for a payload=code graft (subtoken BM25,
+    trigram substring/regex, grep+context, symbols, repo-history HEAD
+    semantics, find-usages, the unified query language, the unicode-cs
+    packed twin). The cap casualties are the displaced corpus-analytics
+    extension (conc_* panel, keyness, dispersion, fuzzy_*, …) plus the
+    r04-driver-green tail (freq_by_stem .. ngram_freq) and the non-(b5)
+    closing keys (c4_clean, bm25_expanded, substring_grep, path_search,
+    repo_facets, vendored_content, slot_case_uni, ref_counts).
     Every casualty is oracle-verified this round anyway:
     jobs/check_queries.py re-runs EVERY key locally before the driver
-    run (BENCH/check_all_r05_final.txt: 133/133 green at the window
-    freeze; the post-freeze closing waves — code search, history,
-    unicode-cs, find-usages, qlang — grew the dict to 158, all
-    attested in BENCH/check_all_r05_final2.txt)."""
+    run — BENCH/check_all_r05_final2.txt attests all 158 keys green
+    (rows+schema+hash vs DuckDB, sf0.01) under this exact dict."""
     return {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
