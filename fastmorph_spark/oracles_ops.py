@@ -877,3 +877,96 @@ SELECT doc_id,
        sha256(coalesce(array_to_string(kept, chr(10)), '')) AS clean_sha256
 FROM k ORDER BY doc_id
 """
+
+
+# ---------------- repo dependency graph (ops/graph.py twins) ----------------
+
+_IMPORT_RE = "(?m)^import ([a-z0-9_]+)$"
+_DECL_RE = "(?m)^# module ([a-z0-9_]+)$"
+
+
+def _dep_edges_ctes(corpus_sql: str) -> str:
+    """Shared CTE chain corpus -> parsed imports -> ownership -> weighted
+    edges; RE2 (?m)-anchored patterns ≡ Java MULTILINE on this content.
+    ``corpus_sql`` is the registry's dep_corpus_sql() (repo, content)."""
+    return f"""c AS ({corpus_sql}),
+imp AS (
+  SELECT repo AS src_repo,
+         unnest(regexp_extract_all(content, '{_IMPORT_RE}', 1)) AS module
+  FROM c
+),
+decl AS (
+  SELECT unnest(regexp_extract_all(content, '{_DECL_RE}', 1)) AS module, repo
+  FROM c
+),
+own AS (SELECT module, min(repo) AS owner_repo FROM decl GROUP BY module),
+e AS (
+  SELECT src_repo, owner_repo AS dst_repo, count(*)::BIGINT AS n_imports
+  FROM imp JOIN own USING (module)
+  WHERE src_repo <> owner_repo
+  GROUP BY src_repo, owner_repo
+)"""
+
+
+def import_edges_sql(corpus_sql: str) -> str:
+    return f"""
+WITH {_dep_edges_ctes(corpus_sql)}
+SELECT src_repo, dst_repo, n_imports FROM e ORDER BY src_repo, dst_repo
+"""
+
+
+def import_degree_sql(corpus_sql: str) -> str:
+    return f"""
+WITH {_dep_edges_ctes(corpus_sql)},
+nodes AS (
+  SELECT DISTINCT repo
+  FROM (SELECT src_repo AS repo FROM e UNION ALL SELECT dst_repo FROM e)
+),
+o AS (SELECT src_repo AS repo, count(*)::BIGINT AS fan_out,
+             sum(n_imports)::BIGINT AS imports_out FROM e GROUP BY 1),
+i AS (SELECT dst_repo AS repo, count(*)::BIGINT AS fan_in,
+             sum(n_imports)::BIGINT AS imports_in FROM e GROUP BY 1)
+SELECT nodes.repo,
+       coalesce(fan_in, 0)::BIGINT AS fan_in,
+       coalesce(fan_out, 0)::BIGINT AS fan_out,
+       coalesce(imports_in, 0)::BIGINT AS imports_in,
+       coalesce(imports_out, 0)::BIGINT AS imports_out
+FROM nodes LEFT JOIN o USING (repo) LEFT JOIN i USING (repo)
+ORDER BY repo
+"""
+
+
+def pagerank_sql(corpus_sql: str, iters: int = 3, damping: float = 0.85,
+                 decimals: int = 6) -> str:
+    """ops/graph.py::pagerank pinned semantics, iterations UNROLLED as
+    chained CTEs. Constants are Python-computed and repr-inlined so the
+    float literals match the Spark side bit-for-bit ((1-d) in DuckDB
+    would be DECIMAL 0.15; Python 1.0-0.85 is 0.15000000000000002)."""
+    base = f"""{_dep_edges_ctes(corpus_sql)},
+nodes AS (
+  SELECT DISTINCT repo
+  FROM (SELECT src_repo AS repo FROM e UNION ALL SELECT dst_repo FROM e)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+ow AS (SELECT src_repo, sum(n_imports)::DOUBLE AS out_w FROM e GROUP BY 1),
+it0 AS (SELECT repo, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    its = [base]
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        its.append(f"""it{k} AS (
+  SELECT nodes.repo,
+         {(1.0 - damping)!r} / nn.n
+           + {damping!r} * (coalesce(cagg.c, 0.0) + dg.dang / nn.n) AS pr
+  FROM nodes
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(pr), 0.0) AS dang FROM {prev}
+              WHERE repo NOT IN (SELECT src_repo FROM ow)) dg
+  LEFT JOIN (SELECT e.dst_repo, sum(p.pr * e.n_imports / ow.out_w) AS c
+             FROM e JOIN {prev} p ON e.src_repo = p.repo
+             JOIN ow ON e.src_repo = ow.src_repo
+             GROUP BY e.dst_repo) cagg ON nodes.repo = cagg.dst_repo
+)""")
+    joined = ",\n".join(its)
+    return (f"\nWITH {joined}\n"
+            f"SELECT repo, round(pr, {decimals}) AS pr "
+            f"FROM it{iters} ORDER BY repo\n")

@@ -205,6 +205,48 @@ def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents(spark, sf_dir).select("doc_id", _code_text_col().alias("text"))
 
 
+# --- dependency-graph fixture (round 5 graph wave): deterministic
+# import-bearing files over DEP_REPOS repos. Doc d lives in repo-(d%R),
+# declares module mod{d%R} (one package per repo, declared in content so
+# ownership is PARSED, not assumed), and imports 3 modules keyed by
+# affine maps of d. The tail carries an INDENTED import (vendored) and a
+# commented-out one — anchored (?m)^…$ patterns must ignore both, so a
+# hash-green edge table proves genuine line-anchored parsing. d≡6 (mod
+# 20) makes the third import a SELF-import (6d≡36 mod 40), exercising
+# the self-edge exclusion non-vacuously.
+DEP_REPOS = 40
+_DEP_MULTS = ((3, 1), (5, 2), (7, 4))  # import slots: (d*m + o) % DEP_REPOS
+_DEP_TAIL = (
+    "\n    import os  # indented: vendored, must NOT parse as an edge"
+    "\n# import commented_out"
+    "\ndef main():\n    return 0\n"
+)
+
+
+def _dep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    parts = [F.lit("# module mod"), (d % DEP_REPOS).cast("string")]
+    for m, o in _DEP_MULTS:
+        parts += [F.lit("\nimport mod"), ((d * m + o) % DEP_REPOS).cast("string")]
+    parts.append(F.lit(_DEP_TAIL))
+    return read_documents(spark, sf_dir).select(
+        F.concat(F.lit("repo-"), (d % DEP_REPOS).cast("string")).alias("repo"),
+        F.concat(*parts).alias("content"),
+    )
+
+
+def dep_corpus_sql() -> str:
+    """DuckDB twin of _dep_corpus — byte-identical (repo, content)."""
+    parts = [_code_sql_lit("# module mod"), f"(doc_id % {DEP_REPOS})::VARCHAR"]
+    for m, o in _DEP_MULTS:
+        parts += [_code_sql_lit("\nimport mod"),
+                  f"((doc_id*{m} + {o}) % {DEP_REPOS})::VARCHAR"]
+    parts.append(_code_sql_lit(_DEP_TAIL))
+    content = " || ".join(parts)
+    return (f"SELECT 'repo-' || (doc_id % {DEP_REPOS})::VARCHAR AS repo, "
+            f"{content} AS content FROM documents")
+
+
 # Session-lifetime memo of shared index tables: an engine builds its
 # index once and serves many queries — per-query rebuilds were pure
 # driver-run overhead (and the reason round-2's correctness run may have
@@ -1942,6 +1984,41 @@ def _neardup_oracle() -> str:
     return oracles_ops.cosine_neardup_banded_sql(NEARDUP_T, NEARDUP_BANDS, NEARDUP_R, planes)
 
 
+# ---------------- repo dependency graph (round 5 graph wave) ----------------
+
+
+def q_import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted repo dependency edges parsed from file CONTENT
+    (ops/graph.py): anchored top-level `import X` lines joined to
+    `# module X` ownership declarations; self-edges excluded. The
+    fixture's indented + commented-out import lines must NOT appear."""
+    from fastmorph_spark.ops.graph import import_edges
+
+    return import_edges(_dep_corpus(spark, sf_dir)) \
+        .orderBy("src_repo", "dst_repo")
+
+
+def q_import_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo dependency degree: distinct-neighbor fan-in/out plus
+    statement-weighted import totals over the parsed edge table."""
+    from fastmorph_spark.ops.graph import import_degree, import_edges
+
+    return import_degree(import_edges(_dep_corpus(spark, sf_dir))) \
+        .orderBy("repo")
+
+
+def q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations, d=0.85, dangling mass
+    redistributed) over the parsed repo graph — the repo-priority
+    ranking signal, computed as Pregel-style DataFrame joins with no
+    driver-side graph. Oracle unrolls the same three iterations in
+    chained DuckDB CTEs with identical arithmetic."""
+    from fastmorph_spark.ops.graph import import_edges, pagerank
+
+    return pagerank(import_edges(_dep_corpus(spark, sf_dir))) \
+        .orderBy("repo")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2 / r04 #5): (a) the 18
@@ -2106,6 +2183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vendored_content": q_vendored_content,
         "slot_case_uni": q_slot_case_uni,
         "ref_counts": q_ref_counts,
+        # --- (b6) repo dependency graph (ops/graph.py): parsed import
+        # edges, degree, PageRank — tail keys attested by
+        # jobs/check_queries.py + pytest (the window was already set)
+        "import_edges": q_import_edges,
+        "import_degree": q_import_degree,
+        "repo_pagerank": q_repo_pagerank,
     }
 
 
@@ -2447,5 +2530,11 @@ ORDER BY doc_id
 """,
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+        # repo dependency graph: edges/degree parsed independently by
+        # DuckDB's RE2 regexes over the byte-identical fixture content;
+        # PageRank unrolled as chained CTEs with identical arithmetic
+        "import_edges": oracles_ops.import_edges_sql(dep_corpus_sql()),
+        "import_degree": oracles_ops.import_degree_sql(dep_corpus_sql()),
+        "repo_pagerank": oracles_ops.pagerank_sql(dep_corpus_sql()),
         **_corpus_ext.oracle_sqls(),
     }
