@@ -194,3 +194,55 @@ def pagerank(
     nodes.unpersist()
     e.unpersist()
     return ranks.select("repo", F.round("pr", SCORE_DECIMALS).alias("pr"))
+
+
+def dependents_closure(
+    edges: DataFrame,
+    seed: str,
+    hops: int = 3,
+    direction: str = "in",
+) -> DataFrame:
+    """Transitive closure from ``seed`` within ``hops`` import hops:
+    (repo, hops) with the MINIMUM hop count per repo.
+
+    ``direction="in"`` walks edges BACKWARDS (who imports seed,
+    transitively) — the impact-analysis / "what breaks if this repo
+    changes" navigation of code-search UIs; ``"out"`` walks forward
+    (what seed transitively depends on). Pinned BFS layering (mirrored
+    by the DuckDB oracle): layer 1 = direct neighbors minus the seed;
+    layer h = neighbors of layer h-1 minus every earlier layer and the
+    seed. Each round is one join + distinct + one anti-join against the
+    accumulated frontier — the same bounded-round shape as the dedup
+    components loop; cycles terminate because layers only shrink the
+    candidate set."""
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    here, there = (("dst_repo", "src_repo") if direction == "in"
+                   else ("src_repo", "dst_repo"))
+    step = edges.select(F.col(here).alias("at"), F.col(there).alias("nxt")).persist()
+
+    frontier = (
+        step.filter(F.col("at") == seed)
+        .select(F.col("nxt").alias("repo")).distinct()
+        .filter(F.col("repo") != seed)
+        .withColumn("hops", F.lit(1))
+        .persist()
+    )
+    acc = frontier
+    for h in range(2, hops + 1):
+        frontier = (
+            step.join(frontier.select(F.col("repo").alias("at")), "at")
+            .select(F.col("nxt").alias("repo")).distinct()
+            .filter(F.col("repo") != seed)
+            .join(acc.select("repo"), "repo", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .persist()
+        )
+        # materialize the layer: the next round joins the CACHED frontier
+        # and the anti-join reads the cached accumulator, so rounds stay
+        # O(|edges|) instead of re-deriving the whole chain
+        if frontier.count() == 0:
+            break
+        acc = acc.unionByName(frontier).persist()
+    step.unpersist()
+    return acc

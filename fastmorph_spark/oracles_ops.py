@@ -970,3 +970,27 @@ it0 AS (SELECT repo, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
     return (f"\nWITH {joined}\n"
             f"SELECT repo, round(pr, {decimals}) AS pr "
             f"FROM it{iters} ORDER BY repo\n")
+
+
+def dependents_closure_sql(corpus_sql: str, seed: str, hops: int = 3) -> str:
+    """ops/graph.py::dependents_closure (direction="in") with the BFS
+    layers UNROLLED: layer h = distinct importers of layer h-1, minus
+    the seed and every earlier layer."""
+    ctes = [f"""s1 AS (
+  SELECT DISTINCT src_repo AS repo FROM e
+  WHERE dst_repo = '{seed}' AND src_repo <> '{seed}'
+),
+h1 AS (SELECT repo, 1 AS hops FROM s1)"""]
+    for h in range(2, hops + 1):
+        earlier = " UNION ALL ".join(f"SELECT repo FROM h{i}" for i in range(1, h))
+        ctes.append(f"""s{h} AS (
+  SELECT DISTINCT e.src_repo AS repo
+  FROM e JOIN h{h - 1} ON e.dst_repo = h{h - 1}.repo
+  WHERE e.src_repo <> '{seed}'
+),
+h{h} AS (SELECT repo, {h} AS hops FROM s{h}
+         WHERE repo NOT IN ({earlier}))""")
+    layers = " UNION ALL ".join(f"SELECT * FROM h{i}" for i in range(1, hops + 1))
+    joined = ",\n".join(ctes)
+    return (f"\nWITH {_dep_edges_ctes(corpus_sql)},\n{joined}\n"
+            f"SELECT repo, hops FROM ({layers}) ORDER BY hops, repo\n")

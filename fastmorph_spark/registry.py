@@ -2019,6 +2019,21 @@ def q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("repo")
 
 
+DEP_SEED = "repo-1"   # h1 = {repo-0, repo-11} by the affine maps — layered
+DEP_HOPS = 3
+
+
+def q_dependents_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact analysis: repos that transitively import DEP_SEED's module
+    within DEP_HOPS hops, labeled with their minimum hop count (BFS
+    layering, oracle-unrolled)."""
+    from fastmorph_spark.ops.graph import dependents_closure, import_edges
+
+    return dependents_closure(import_edges(_dep_corpus(spark, sf_dir)),
+                              DEP_SEED, hops=DEP_HOPS) \
+        .orderBy("hops", "repo")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ROTATING ordering (the driver's CORRECTNESS run records only the
     FIRST 50 keys — budget-capped; VERDICT r03 #2 / r04 #5): (a) the 18
@@ -2189,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_edges": q_import_edges,
         "import_degree": q_import_degree,
         "repo_pagerank": q_repo_pagerank,
+        "dependents_closure": q_dependents_closure,
     }
 
 
@@ -2536,5 +2552,7 @@ ORDER BY doc_id
         "import_edges": oracles_ops.import_edges_sql(dep_corpus_sql()),
         "import_degree": oracles_ops.import_degree_sql(dep_corpus_sql()),
         "repo_pagerank": oracles_ops.pagerank_sql(dep_corpus_sql()),
+        "dependents_closure": oracles_ops.dependents_closure_sql(
+            dep_corpus_sql(), DEP_SEED, DEP_HOPS),
         **_corpus_ext.oracle_sqls(),
     }

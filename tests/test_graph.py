@@ -118,3 +118,51 @@ def test_fixture_exercises_self_edge_exclusion(spark):
     deg = registry.queries()["import_degree"](spark, SF0001)
     two = {r.repo for r in deg.filter(F.col("fan_out") == 2).collect()}
     assert {"repo-6", "repo-26"} <= two
+
+
+CHAIN = [
+    # w -> x -> y -> seed, plus a 1-hop shortcut w -> seed and a cycle
+    # seed -> w: min-hops labeling and cycle termination in one graph
+    ("w", "# module mod_w\nimport mod_s\nimport mod_x\n"),
+    ("x", "# module mod_x\nimport mod_y\n"),
+    ("y", "# module mod_y\nimport mod_s\n"),
+    ("s", "# module mod_s\nimport mod_w\n"),
+]
+
+
+def test_dependents_closure_min_hops_and_cycle(spark):
+    from fastmorph_spark.ops.graph import dependents_closure
+
+    e = import_edges(_corpus(spark, CHAIN))
+    got = {(r.repo, r.hops)
+           for r in dependents_closure(e, "s", hops=3).collect()}
+    # w reaches s directly (hop 1, NOT via x->y at 3); y at 1; x at 2;
+    # the s->w cycle edge must not re-admit s
+    assert got == {("w", 1), ("y", 1), ("x", 2)}
+
+
+def test_dependents_closure_out_direction(spark):
+    from fastmorph_spark.ops.graph import dependents_closure
+
+    e = import_edges(_corpus(spark, CHAIN))
+    got = {(r.repo, r.hops)
+           for r in dependents_closure(e, "x", hops=3, direction="out").collect()}
+    # x imports y; y imports s; s imports w
+    assert got == {("y", 1), ("s", 2), ("w", 3)}
+
+
+def test_dependents_closure_bad_direction(spark):
+    from fastmorph_spark.ops.graph import dependents_closure
+
+    e = import_edges(_corpus(spark, CHAIN))
+    with pytest.raises(ValueError):
+        dependents_closure(e, "s", direction="sideways")
+
+
+def test_dependents_closure_registry_parity(spark):
+    con = duckdb.connect()
+    register_views(con, SF0001)
+    assert_frames_match(
+        registry.queries()["dependents_closure"](spark, SF0001),
+        con.execute(registry.oracle_sqls()["dependents_closure"]),
+    )
