@@ -157,7 +157,6 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "repo", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    prev = None
     for _ in range(iters):
         contrib = (
             e.join(ranks, e["src_repo"] == ranks["repo"])
@@ -180,17 +179,15 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang") / F.col("n"))
                 ).alias("pr"),
             )
-            .persist()
+            # materialize this round (|nodes| rows — tiny) AND truncate
+            # lineage: rank appears under BOTH contrib and dangling, so
+            # the unrolled logical plan doubles per round — persist alone
+            # keeps execution cheap but Catalyst still re-analyzes the
+            # doubling tree on every count; localCheckpoint pins each
+            # round's plan at constant size (driver-side serial time per
+            # superstep stays flat as iters grows)
+            .localCheckpoint(eager=True)
         )
-        # materialize this round (|nodes| rows — tiny) so the next round
-        # reads cached ranks instead of re-deriving the whole chain, then
-        # release the previous round (the dedup_groups loop discipline)
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    # the final rank frame stays persisted: it backs the returned plan
-    # (caller-owns, the drop_list contract); the graph inputs do not
     nodes.unpersist()
     e.unpersist()
     return ranks.select("repo", F.round("pr", SCORE_DECIMALS).alias("pr"))

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _synth_corpus(spark, n_docs: int, n_repos: int):
+def _synth_corpus(spark, n_docs: int, n_repos: int, partitions: int):
     from pyspark.sql import functions as F
 
     d = F.col("id")
@@ -41,26 +41,35 @@ def _synth_corpus(spark, n_docs: int, n_repos: int):
     for m, o in ((3, 1), (5, 2), (7, 4)):
         parts += [F.lit("\nimport mod"), ((d * m + o) % n_repos).cast("string")]
     parts.append(F.lit("\ndef main():\n    return 0\n"))
-    return spark.range(n_docs).select(
+    return spark.range(0, n_docs, numPartitions=partitions).select(
         F.concat(F.lit("repo-"), (d % n_repos).cast("string")).alias("repo"),
         F.concat(*parts).alias("content"),
     )
 
 
-def _run_level(cores: int, n_docs: int, n_repos: int, iters: int) -> float:
+def _run_level(cores: int, n_docs: int, n_repos: int, iters: int,
+               stage: str) -> float:
     from fastmorph_spark.ops.graph import import_edges, pagerank
     from fastmorph_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cores}]", shuffle_partitions=2 * cores,
                       app_name=f"fastmorph-bench-graph-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = _synth_corpus(spark, n_docs, n_repos).repartition(4 * cores).persist()
+    # range(numPartitions=4*cores) sizes the input without a repartition
+    # shuffle — generation is untimed but real wall-clock
+    corpus = _synth_corpus(spark, n_docs, n_repos, 4 * cores).persist()
     corpus.count()  # materialize input outside the timed window
     t0 = time.monotonic()
-    pr = pagerank(import_edges(corpus), iters=iters)
-    n = pr.count()
+    if stage == "edges":
+        # the corpus-bound stage: at a real 100 TB this is ~all the work
+        # (the graph itself is |repos|-sized, independent of corpus)
+        n = import_edges(corpus).count()
+        assert n > 0
+    else:
+        pr = pagerank(import_edges(corpus), iters=iters)
+        n = pr.count()
+        assert n == n_repos, n
     wall = time.monotonic() - t0
-    assert n == n_repos, n
     spark.stop()
     return wall
 
@@ -72,6 +81,7 @@ def main() -> None:
     ap.add_argument("--n-repos", type=int, default=10_000)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--stage", choices=("full", "edges"), default="full")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH/graph_scale.json"))
     args = ap.parse_args()
 
@@ -80,7 +90,8 @@ def main() -> None:
     for r in range(args.rounds):
         pair = {}
         for cores in levels:  # back-to-back pairing absorbs host drift
-            wall = _run_level(cores, args.n_docs, args.n_repos, args.iters)
+            wall = _run_level(cores, args.n_docs, args.n_repos, args.iters,
+                              args.stage)
             pair[cores] = args.n_docs / wall
             print(f"round {r} cores={cores}: {pair[cores]:,.0f} docs/s "
                   f"({wall:.2f}s)", flush=True)
@@ -88,6 +99,7 @@ def main() -> None:
         rounds.append(pair)
     report = {
         "n_docs": args.n_docs, "n_repos": args.n_repos, "iters": args.iters,
+        "stage": args.stage,
         "levels": list(levels),
         "rounds": rounds,
         "throughput_n": statistics.median(p[levels[0]] for p in rounds),
