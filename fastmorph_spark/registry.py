@@ -1152,6 +1152,50 @@ def _packed_index(spark: SparkSession, sf_dir: str, lang: str | None = None):
     return _memo(spark, ("packed", sf_dir, lang), build)
 
 
+# NRT split: doc_id % MOD == REM plays the post-checkpoint ingest slice
+# (the modular-split convention of decontam); the other 90% is the packed
+# base index. Shared with tests so the fixture split is pinned once.
+NRT_TAIL_MOD, NRT_TAIL_REM = 10, 7
+
+
+def _nrt_base_index(spark: SparkSession, sf_dir: str):
+    """Packed index over the NRT BASE slice only (docs outside the tail),
+    memoized like _packed_index — the at-rest side of the NRT composed
+    query (search/nrt.py)."""
+    from fastmorph_spark.index.io import build_index_frames
+
+    def build():
+        docs = read_documents(spark, sf_dir).filter(
+            F.col("doc_id") % NRT_TAIL_MOD != NRT_TAIL_REM
+        )
+        idx = build_index_frames(
+            docs, doc_shard_size=1000, block_size=64,
+            pack_partitions=max(2 * spark.sparkContext.defaultParallelism, 8),
+        )
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_nrt_base", sf_dir), build)
+
+
+def q_bm25_topk_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-real-time composed search (search/nrt.py): the flagship BM25
+    query answered from a packed index over 90% of the corpus PLUS the
+    10% 'post-checkpoint' unindexed tail, with exactly-combined global
+    stats — must be RANK-IDENTICAL to the single-index answer, so it
+    shares bm25_topk's full-corpus oracle. The split genuinely perturbs
+    both sides' inputs (df, avgdl, n_docs all differ per side), so a hash
+    match here verifies the stats recombination, the kernel's
+    avgdl-slack bounds, and the union top-k at once."""
+    from fastmorph_spark.search.nrt import search_nrt
+
+    docs = read_documents(spark, sf_dir)
+    tail = docs.filter(F.col("doc_id") % NRT_TAIL_MOD == NRT_TAIL_REM)
+    return search_nrt(_nrt_base_index(spark, sf_dir), tail, FLAGSHIP_QUERY,
+                      k=10, round_score=True)
+
+
 def q_phrase_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search over the PACKED index (pruned block scan + varbyte
     decode, search/packed.py) — no corpus re-tokenization at query time;
@@ -2205,6 +2249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_degree": q_import_degree,
         "repo_pagerank": q_repo_pagerank,
         "dependents_closure": q_dependents_closure,
+        # --- (b7) NRT composed search (search/nrt.py): packed base ∪
+        # unindexed tail, rank-identical to a full single-index rebuild —
+        # tail key attested by jobs/check_queries.py + pytest (test_nrt)
+        "bm25_topk_nrt": q_bm25_topk_nrt,
     }
 
 
@@ -2218,6 +2266,10 @@ def oracle_sqls() -> dict[str, str]:
         "match_counts": oracles.match_counts_sql(FLAGSHIP_QUERY),
         "bm25_topk_indexed": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_topk_wand": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        # NRT composition must equal the single-index answer over the FULL
+        # corpus — the strongest oracle available: base∪tail recombination
+        # of (df, avgdl, n_docs) cancels only if done exactly
+        "bm25_topk_nrt": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_topk_meta": oracles.bm25_topk_meta_sql(FLAGSHIP_QUERY, k=10),
         "and_search": oracles.and_search_sql(FLAGSHIP_QUERY),
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),

@@ -215,35 +215,46 @@ def search_wand(
                              prune=prune)
 
 
-def search_wand_terms(
+def dictionary_rows(index: Index, qterms: list[str]) -> list:
+    """J1: tiny dictionary lookup for the query terms, collected once
+    (driver-side, ≤|q| rows) — shared by search_wand_terms and the NRT
+    composition (search/nrt.py), which also needs the base-side dfs to
+    combine with the unindexed tail's."""
+    return index.dictionary.filter(F.col("term").isin(qterms)).collect()
+
+
+def wand_local_topk(
     index: Index,
-    qterms: list[str],
-    k: int = 10,
-    round_score: bool = False,
+    drows: list,
+    k: int,
+    *,
+    n_docs: float,
+    avgdl: float,
+    term_df: dict[str, int],
     prune: bool = True,
 ) -> DataFrame:
-    """search_wand for an already-tokenized (deduplicated, sorted) term
-    list — the entry the more-like-this packed twin uses, where the query
-    terms come from the source doc's TF-IDF profile, not from text."""
-    spark = index.postings.sparkSession
-    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
-    if not qterms:
-        return empty
+    """Shard-local top-k (doc_id, score) rows from the packed blocks under
+    CALLER-SUPPLIED global BM25 stats — the scoring core of
+    search_wand_terms (which passes the index's own stats row) and of the
+    NRT composition (search/nrt.py, which passes base∪tail-COMBINED
+    (n_docs, avgdl, df) so the kernel scores base docs exactly as a full
+    single-index rebuild would). ``term_df`` maps term -> df in the
+    query-scope universe; ``drows`` are dictionary_rows(index, qterms).
 
-    # J1: tiny dictionary lookup, collected once (driver-side, ≤|q| rows)
-    drows = index.dictionary.filter(F.col("term").isin(qterms)).collect()
-    if not drows:
-        return empty
+    Exactness when the query-time avgdl differs from the pack-time one is
+    the impact_slack argument (make_shard_kernel): bounds scale by
+    max(1, avgdl/min_pack_avgdl) — looser, never unsafe. An avgdl BELOW
+    the pack-time one only shrinks true impacts, so slack stays 1."""
     srow = index.stats_row()
-    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
     # incremental index: stats carry the smallest avgdl any live block was
     # packed with; scale all impact-derived bounds so pruning stays exact
     # (see make_shard_kernel docstring). Batch-built index: slack == 1.
-    min_pack_avgdl = float(srow.get("min_pack_avgdl") or avgdl)
+    min_pack_avgdl = float(srow.get("min_pack_avgdl") or srow["avgdl"])
     impact_slack = max(1.0, avgdl / min_pack_avgdl)
     term_meta = {
         r["term"]: (
-            float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))),
+            float(np.log(1.0 + (n_docs - term_df[r["term"]] + 0.5)
+                         / (term_df[r["term"]] + 0.5))),
             float(r["max_score"]) * impact_slack,
         )
         for r in drows
@@ -268,9 +279,34 @@ def search_wand_terms(
     kernel = make_shard_kernel(term_meta, n_docs, avgdl, k, prune=prune,
                                impact_slack=impact_slack,
                                exclude=tombstone_broadcast(index))
-    local = blocks.groupBy("doc_shard").applyInPandas(
+    return blocks.groupBy("doc_shard").applyInPandas(
         lambda key, pdf: kernel(pdf), TOPK_SCHEMA
     )
+
+
+def search_wand_terms(
+    index: Index,
+    qterms: list[str],
+    k: int = 10,
+    round_score: bool = False,
+    prune: bool = True,
+) -> DataFrame:
+    """search_wand for an already-tokenized (deduplicated, sorted) term
+    list — the entry the more-like-this packed twin uses, where the query
+    terms come from the source doc's TF-IDF profile, not from text."""
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    if not qterms:
+        return empty
+
+    drows = dictionary_rows(index, qterms)
+    if not drows:
+        return empty
+    srow = index.stats_row()
+    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+    term_df = {r["term"]: int(r["df"]) for r in drows}
+    local = wand_local_topk(index, drows, k, n_docs=n_docs, avgdl=avgdl,
+                            term_df=term_df, prune=prune)
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     rank = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     out = topk.select(rank.cast("long").alias("rank"), "doc_id", "score")
