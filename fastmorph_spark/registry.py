@@ -1196,6 +1196,35 @@ def q_bm25_topk_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=10, round_score=True)
 
 
+def _lang_shard_indexes(spark: SparkSession, sf_dir: str):
+    """The per-lang packed-index FLEET (one shard per language, memoized
+    individually through _packed_index so bm25_topk_lang shares its
+    shard) — langs partition the corpus (no NULLs in the data model), so
+    the fleet is doc-disjoint and covering: exactly the federated-search
+    caller contract (search/federated.py)."""
+    docs = read_documents(spark, sf_dir)
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    return [_packed_index(spark, sf_dir, lang=lang) for lang in langs]
+
+
+def q_bm25_topk_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated sharded search (search/federated.py): the flagship BM25
+    query scattered across the per-lang packed-index fleet and gathered
+    with exactly-combined global (df, n_docs, avgdl) — must be
+    RANK-IDENTICAL to a single global index, so it shares bm25_topk's
+    full-corpus oracle. The per-lang split genuinely perturbs every
+    shard-local statistic (each lang subcorpus has its own df/avgdl/n),
+    so a hash match verifies the distributed-IDF fan-in, the per-shard
+    kernel under foreign stats, and the scatter-gather top-k at once.
+    Architectural payoff: the SAME shard fleet serves lang-filtered
+    queries (pick one index: bm25_topk_lang) and global queries
+    (federate all) — no separate global index to build or keep fresh."""
+    from fastmorph_spark.search.federated import search_federated
+
+    return search_federated(_lang_shard_indexes(spark, sf_dir),
+                            FLAGSHIP_QUERY, k=10, round_score=True)
+
+
 def q_phrase_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search over the PACKED index (pruned block scan + varbyte
     decode, search/packed.py) — no corpus re-tokenization at query time;
@@ -2253,6 +2282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unindexed tail, rank-identical to a full single-index rebuild —
         # tail key attested by jobs/check_queries.py + pytest (test_nrt)
         "bm25_topk_nrt": q_bm25_topk_nrt,
+        # --- (b8) federated sharded search (search/federated.py): global
+        # BM25 over the per-lang index fleet, exact distributed-IDF fan-in
+        "bm25_topk_federated": q_bm25_topk_federated,
     }
 
 
@@ -2270,6 +2302,10 @@ def oracle_sqls() -> dict[str, str]:
         # corpus — the strongest oracle available: base∪tail recombination
         # of (df, avgdl, n_docs) cancels only if done exactly
         "bm25_topk_nrt": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        # federated scatter-gather must equal the single-global-index
+        # answer — per-lang shard stats (df/avgdl/n) all differ, so the
+        # full-corpus oracle only matches if the fan-in is exact
+        "bm25_topk_federated": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_topk_meta": oracles.bm25_topk_meta_sql(FLAGSHIP_QUERY, k=10),
         "and_search": oracles.and_search_sql(FLAGSHIP_QUERY),
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),
