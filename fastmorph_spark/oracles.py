@@ -1058,3 +1058,76 @@ SELECT t.rank, t.doc_id, f.repo, f.path, t.score
 FROM top t JOIN fdocs f USING (doc_id)
 ORDER BY t.rank
 """
+
+
+def bm25f_topk_sql(query_text: str, path_expr: str, content_expr: str,
+                   w_path: float, b_path: float,
+                   w_content: float, b_content: float,
+                   k: int = 10, k1: float = BM25_K1,
+                   tok_fragment: str = TOK, tokenize=tokenize_py) -> str:
+    """Mirror of search.bm25f.bm25f_topk(round_score=True) for the pinned
+    two-field (path, content) case. Same CTE discipline as bm25_topk_sql,
+    duplicated per field; the field merge is a FULL OUTER JOIN whose
+    coalesce-sum reproduces the engine's field-order fold exactly
+    (0.0 + wtf_path + wtf_content, missing legs contributing +0.0); df is
+    the merged frame's per-term row count (df-any-field, one row per doc
+    however many fields hit); avgdl_f averages over ALL docs including
+    zero-length fields (LEFT JOIN + coalesce)."""
+    tokp = tok_fragment.format(col="path")
+    tokc = tok_fragment.format(col="content")
+    qterms = _qterms_values(query_text, tokenize)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {path_expr} AS path, {content_expr} AS content FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+tokp AS (SELECT doc_id, unnest({tokp}) AS term FROM docs),
+tfp AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokp GROUP BY doc_id, term),
+dlp AS (
+  SELECT d.doc_id, coalesce(sum(tfp.tf), 0)::BIGINT AS dl
+  FROM docs d LEFT JOIN tfp ON d.doc_id = tfp.doc_id GROUP BY d.doc_id
+),
+gsp AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dlp),
+tokc AS (SELECT doc_id, unnest({tokc}) AS term FROM docs),
+tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokc GROUP BY doc_id, term),
+dlc AS (
+  SELECT d.doc_id, coalesce(sum(tfc.tf), 0)::BIGINT AS dl
+  FROM docs d LEFT JOIN tfc ON d.doc_id = tfc.doc_id GROUP BY d.doc_id
+),
+gsc AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dlc),
+q AS ({qterms}),
+mp AS (
+  SELECT tfp.doc_id, tfp.term,
+         {w_path} * tfp.tf
+         / ((1.0 - {b_path}) + {b_path} * dlp.dl / gsp.avgdl) AS wtf
+  FROM tfp JOIN q USING (term) JOIN dlp USING (doc_id) CROSS JOIN gsp
+),
+mc AS (
+  SELECT tfc.doc_id, tfc.term,
+         {w_content} * tfc.tf
+         / ((1.0 - {b_content}) + {b_content} * dlc.dl / gsc.avgdl) AS wtf
+  FROM tfc JOIN q USING (term) JOIN dlc USING (doc_id) CROSS JOIN gsc
+),
+m AS (
+  SELECT coalesce(mp.doc_id, mc.doc_id) AS doc_id,
+         coalesce(mp.term, mc.term) AS term,
+         coalesce(mp.wtf, 0.0) + coalesce(mc.wtf, 0.0) AS wtf
+  FROM mp FULL OUTER JOIN mc ON mp.doc_id = mc.doc_id AND mp.term = mc.term
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum(
+           ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (m.wtf * ({k1} + 1.0) / (m.wtf + {k1}))
+         )::DOUBLE AS score
+  FROM m JOIN dft USING (term) CROSS JOIN n
+  GROUP BY m.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       round(score, {SCORE_DECIMALS}) AS score
+FROM s
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -626,6 +626,50 @@ def q_bm25_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
 
 
+# BM25F fixture: (path, content) fielded corpus. Paths embed TWO vocab
+# identifiers by affine maps of doc_id so filename hits for the flagship
+# code query's subtokens are REAL — the path boost genuinely reorders the
+# ranking vs content-only BM25 (tested). Spark + SQL twins must be
+# byte-identical (the code_text_sql discipline).
+BM25F_W_PATH, BM25F_B_PATH = 3.0, 0.5
+BM25F_W_CONTENT, BM25F_B_CONTENT = 1.0, 0.75
+
+
+def _fielded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    arr = F.array(*[F.lit(w) for w in CODE_VOCAB])
+    w1 = F.element_at(arr, ((d * 5 + 2) % 16 + 1).cast("int"))
+    w2 = F.element_at(arr, ((d * 11 + 7) % 16 + 1).cast("int"))
+    return read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("src/"), w1, F.lit("/"), w2, F.lit(".py")).alias("path"),
+        _code_text_col().alias("content"),
+    )
+
+
+FIELDED_PATH_SQL = (
+    f"concat('src/', {_CODE_VOCAB_SQL}[(doc_id*5 + 2) % 16 + 1], '/', "
+    f"{_CODE_VOCAB_SQL}[(doc_id*11 + 7) % 16 + 1], '.py')"
+)
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F field-weighted ranking (search/bm25f.py): the flagship code
+    query over the (path, content) fielded corpus with the filename boost
+    (w_path=3, softer b_path=0.5) — per-field normalized tfs merge BEFORE
+    k1 saturation (Robertson-Zaragoza), df counts any-field hits. The
+    oracle mirrors the full two-field CTE chain, so a hash match pins the
+    per-field normalization, the field-order merge fold, the df-any
+    semantics, and the saturation parenthesization at once."""
+    from fastmorph_spark.search.bm25f import bm25f_topk
+
+    return bm25f_topk(
+        _fielded_corpus(spark, sf_dir), CODE_QUERY, k=10,
+        fields=(("path", BM25F_W_PATH, BM25F_B_PATH),
+                ("content", BM25F_W_CONTENT, BM25F_B_CONTENT)),
+        round_score=True, tokenizer="code")
+
+
 def _packed_code_index(spark: SparkSession, sf_dir: str):
     """Packed physical index over the subtoken tokenization — the full
     stack (varbyte pack, block metadata, WAND) is tokenizer-agnostic."""
@@ -2285,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b8) federated sharded search (search/federated.py): global
         # BM25 over the per-lang index fleet, exact distributed-IDF fan-in
         "bm25_topk_federated": q_bm25_topk_federated,
+        # --- (b8) BM25F fielded ranking (search/bm25f.py): filename boost
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -2306,6 +2352,10 @@ def oracle_sqls() -> dict[str, str]:
         # answer — per-lang shard stats (df/avgdl/n) all differ, so the
         # full-corpus oracle only matches if the fan-in is exact
         "bm25_topk_federated": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25f_topk": oracles.bm25f_topk_sql(
+            CODE_QUERY, FIELDED_PATH_SQL, CODE_TEXT_SQL,
+            BM25F_W_PATH, BM25F_B_PATH, BM25F_W_CONTENT, BM25F_B_CONTENT,
+            k=10, tok_fragment=DUCKDB_TOKENIZE_CODE, tokenize=tokenize_py_code),
         "bm25_topk_meta": oracles.bm25_topk_meta_sql(FLAGSHIP_QUERY, k=10),
         "and_search": oracles.and_search_sql(FLAGSHIP_QUERY),
         "phrase_search": oracles.phrase_search_sql(PHRASE_QUERY),
