@@ -1269,6 +1269,54 @@ def q_bm25_topk_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FLAGSHIP_QUERY, k=10, round_score=True)
 
 
+def _merged_index(spark: SparkSession, sf_dir: str):
+    """Segment-merge fixture (index/merge.py): the corpus split doc_id%2
+    into two indexes built with DIFFERENT doc_shard/block sizes (the
+    caller contract says geometry may differ per side — exercise it in
+    the driver key, not just a unit test), then folded into one Index
+    with no repack. Queries over it must be indistinguishable from a
+    full single build."""
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.index.merge import merge_indexes
+
+    def build():
+        docs = read_documents(spark, sf_dir)
+        pp = max(2 * spark.sparkContext.defaultParallelism, 8)
+        a = build_index_frames(docs.filter(F.col("doc_id") % 2 == 0),
+                               doc_shard_size=1000, block_size=64,
+                               pack_partitions=pp)
+        b = build_index_frames(docs.filter(F.col("doc_id") % 2 == 1),
+                               doc_shard_size=700, block_size=32,
+                               pack_partitions=pp)
+        idx = merge_indexes(a, b)
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_merged", sf_dir), build)
+
+
+def q_bm25_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND over the MERGED index (index/merge.py): must be
+    rank-identical to a single full build, so it shares bm25_topk's
+    full-corpus oracle — a hash match pins the exact stats recombination
+    (Σdl recovery), the min_pack_avgdl slack across two different pack
+    geometries, and the metadata-only dictionary rebuild at once."""
+    from fastmorph_spark.search.wand import search_wand
+
+    return search_wand(_merged_index(spark, sf_dir), FLAGSHIP_QUERY, k=10,
+                       round_score=True)
+
+
+def q_phrase_search_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional query over the MERGED index: phrase decode across the
+    union of two sides' blocks (interleaved doc-range envelopes, mixed
+    block sizes) — shares the corpus path's phrase oracle."""
+    from fastmorph_spark.search.packed import packed_phrase_search
+
+    return packed_phrase_search(_merged_index(spark, sf_dir), PHRASE_QUERY)
+
+
 def q_phrase_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search over the PACKED index (pruned block scan + varbyte
     decode, search/packed.py) — no corpus re-tokenization at query time;
@@ -2331,6 +2379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_federated": q_bm25_topk_federated,
         # --- (b8) BM25F fielded ranking (search/bm25f.py): filename boost
         "bm25f_topk": q_bm25f_topk,
+        # --- (b8) segment merge (index/merge.py): two packed indexes
+        # folded without repack; ranking + positional paths
+        "bm25_topk_merged": q_bm25_topk_merged,
+        "phrase_search_merged": q_phrase_search_merged,
     }
 
 
@@ -2352,6 +2404,10 @@ def oracle_sqls() -> dict[str, str]:
         # answer — per-lang shard stats (df/avgdl/n) all differ, so the
         # full-corpus oracle only matches if the fan-in is exact
         "bm25_topk_federated": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        # merged-index paths share the FULL-corpus oracles: both sides'
+        # stats/geometry differ, so hash matches prove the merge exact
+        "bm25_topk_merged": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "phrase_search_merged": oracles.phrase_search_sql(PHRASE_QUERY),
         "bm25f_topk": oracles.bm25f_topk_sql(
             CODE_QUERY, FIELDED_PATH_SQL, CODE_TEXT_SQL,
             BM25F_W_PATH, BM25F_B_PATH, BM25F_W_CONTENT, BM25F_B_CONTENT,
