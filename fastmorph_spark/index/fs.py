@@ -71,3 +71,14 @@ def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> 
         if it.next().getPath().getName().endswith(suffix):
             n += 1
     return n
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    """Create ``path`` (and parents); no-op when it already exists —
+    Hadoop ``mkdirs`` is idempotent. Needed because ``fs_rename``
+    requires the DESTINATION'S PARENT to exist (local FS and HDFS both
+    return False otherwise), so a file-move merge creates the target
+    partition layer first."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.mkdirs(p):
+        raise OSError(f"Hadoop FS mkdirs failed: {path}")

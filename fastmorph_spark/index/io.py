@@ -251,7 +251,12 @@ def recover_postings(index_path: str, spark: SparkSession | None = None) -> bool
 
     spark = spark or SparkSession.getActiveSession()
     recovered = False
-    for subdir in ("postings", "postings_cs"):
+    # registry tables are covered too: purge_tombstones' _swap_write and
+    # compact_postings' merged-layout normalization use the SAME
+    # tmp->rename swap on docs/doc_lens/stats/dictionary/tombstones, so
+    # the same between-renames crash window applies to them
+    for subdir in ("postings", "postings_cs", "docs", "doc_lens", "stats",
+                   "dictionary", "dictionary_cs", "tombstones"):
         cur = f"{index_path}/{subdir}"
         old = f"{index_path}/.{subdir}-old"
         if spark is not None:
@@ -282,25 +287,53 @@ def recover_postings(index_path: str, spark: SparkSession | None = None) -> bool
 
 def read_index(spark: SparkSession, path: str) -> Index:
     from fastmorph_spark.index.fs import fs_is_dir
+    from fastmorph_spark.index.merge import (
+        MERGE_JOURNAL,
+        apply_shard_bases,
+        load_shard_bases,
+        recover_merge,
+        strip_side,
+    )
 
+    # a crashed at-rest merge rolls FORWARD here (journal only exists
+    # once completing the moves is always sound — index/merge.py)
+    if fs_is_dir(spark, f"{path}/{MERGE_JOURNAL}"):
+        recover_merge(spark, path)
     recover_postings(path, spark)
+    postings = spark.read.parquet(f"{path}/postings")
+    if "side" in postings.columns:
+        # at-rest merged layout: the shard namespacing recorded by
+        # merge_index_dirs is applied lazily — this read IS the
+        # frame-level merge (index/merge.py exactness argument)
+        bases = load_shard_bases(spark, path)
+        if bases is None:
+            raise RuntimeError(
+                f"{path}/postings has a side= layer but no shard_bases "
+                "table — at-rest merge metadata is missing"
+            )
+        postings = apply_shard_bases(postings, bases)
+    else:
+        bases = None
     postings_cs = dictionary_cs = None
     # cs-twin discovery through the Hadoop FS API — uniform across
     # schemes (a missing optional twin is not an error)
     if fs_is_dir(spark, f"{path}/postings_cs"):
         postings_cs = spark.read.parquet(f"{path}/postings_cs")
+        if bases is not None:
+            postings_cs = apply_shard_bases(postings_cs, bases)
         dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
     from fastmorph_spark.index.tombstones import read_tombstones
 
+    tomb = read_tombstones(spark, path)
     return Index(
-        docs=spark.read.parquet(f"{path}/docs"),
-        doc_lens=spark.read.parquet(f"{path}/doc_lens"),
+        docs=strip_side(spark.read.parquet(f"{path}/docs")),
+        doc_lens=strip_side(spark.read.parquet(f"{path}/doc_lens")),
         dictionary=spark.read.parquet(f"{path}/dictionary"),
         stats=spark.read.parquet(f"{path}/stats"),
-        postings=spark.read.parquet(f"{path}/postings"),
+        postings=postings,
         postings_cs=postings_cs,
         dictionary_cs=dictionary_cs,
-        tombstones=read_tombstones(spark, path),
+        tombstones=tomb,
     )
 
 
@@ -344,6 +377,21 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
         df = spark.read.parquet(src)
         if "batch" in df.columns:  # hive-discovered batch=N dirs: incidental
             df = df.drop("batch")
+        if "side" in df.columns:
+            # at-rest merged layout (index/merge.py): materialize the
+            # lazily-applied shard namespacing so the compacted tree is a
+            # plain index again (and re-mergeable)
+            from fastmorph_spark.index.merge import (
+                apply_shard_bases,
+                load_shard_bases,
+            )
+
+            bases = load_shard_bases(spark, index_path)
+            if bases is None:
+                raise RuntimeError(
+                    f"{src} has a side= layer but no shard_bases table"
+                )
+            df = apply_shard_bases(df, bases)
         rows = df.count()
         tmp = f"{index_path}/.{subdir}-compact-tmp"
         fs_delete(spark, tmp)  # stale tmp from a crashed prior attempt
@@ -387,6 +435,27 @@ def compact_postings(spark: SparkSession, index_path: str) -> dict:
     # it in the same call so the two layouts never diverge
     if fs_is_dir(spark, f"{index_path}/postings_cs"):
         out["cs"] = _compact_dir("postings_cs")
+    # at-rest merge normalization: shards are materialized in both trees
+    # now, so the bases table goes; the moved registry tables lose their
+    # incidental side= layer the same swap-protected way (cheap — they
+    # are slim relative to postings), leaving a plain, RE-MERGEABLE index
+    from fastmorph_spark.index.merge import SHARD_BASES, strip_side
+
+    if fs_is_dir(spark, f"{index_path}/{SHARD_BASES}"):
+        for subdir in ("docs", "doc_lens", "tombstones"):
+            src = f"{index_path}/{subdir}"
+            if not fs_is_dir(spark, src):
+                continue
+            df = strip_side(spark.read.parquet(src))
+            tmp = f"{index_path}/.{subdir}-compact-tmp"
+            fs_delete(spark, tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            old = f"{index_path}/.{subdir}-old"
+            fs_delete(spark, old)
+            fs_rename(spark, src, old)
+            fs_rename(spark, tmp, src)
+            fs_delete(spark, old)
+        fs_delete(spark, f"{index_path}/{SHARD_BASES}")
     return out
 
 
