@@ -1317,6 +1317,56 @@ def q_phrase_search_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_phrase_search(_merged_index(spark, sf_dir), PHRASE_QUERY)
 
 
+def _merged_rest_index(spark: SparkSession, sf_dir: str):
+    """AT-REST segment-merge fixture (index/merge.merge_index_dirs): the
+    same doc_id%2 / mixed-geometry split as _merged_index, but each side
+    is PERSISTED (write_index), folded on disk by file moves + an
+    O(vocab) dictionary rewrite, and read back through read_index's lazy
+    shard-base application. Queries over the result must be
+    indistinguishable from the frame-level merge — and from a full
+    single build, which is what the shared oracles pin."""
+    import tempfile
+
+    from fastmorph_spark.index.io import read_index, write_index
+    from fastmorph_spark.index.merge import merge_index_dirs
+
+    def build():
+        docs = read_documents(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="fm_merged_rest_")
+        write_index(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                    f"{base}/a", doc_shard_size=1000, block_size=64)
+        write_index(spark, docs.filter(F.col("doc_id") % 2 == 1),
+                    f"{base}/b", doc_shard_size=700, block_size=32)
+        merge_index_dirs(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+        idx = read_index(spark, f"{base}/m")
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    return _memo(spark, ("packed_merged_rest", sf_dir), build)
+
+
+def q_bm25_topk_merged_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND over an index merged AT REST (file moves under a
+    side= layer, lazily namespaced shards, metadata-only dictionary
+    rewrite) — shares bm25_topk's full-corpus oracle, so a hash match
+    pins the entire on-disk fold end-to-end against DuckDB."""
+    from fastmorph_spark.search.wand import search_wand
+
+    return search_wand(_merged_rest_index(spark, sf_dir), FLAGSHIP_QUERY,
+                       k=10, round_score=True)
+
+
+def q_phrase_search_merged_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional decode over the at-rest merged index: the envelope
+    pruning + varbyte decode paths run over side-layered block files
+    with shard bases applied at scan time — shares the phrase oracle."""
+    from fastmorph_spark.search.packed import packed_phrase_search
+
+    return packed_phrase_search(_merged_rest_index(spark, sf_dir),
+                                PHRASE_QUERY)
+
+
 def q_phrase_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search over the PACKED index (pruned block scan + varbyte
     decode, search/packed.py) — no corpus re-tokenization at query time;
@@ -2383,6 +2433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # folded without repack; ranking + positional paths
         "bm25_topk_merged": q_bm25_topk_merged,
         "phrase_search_merged": q_phrase_search_merged,
+        # --- (b8) AT-REST segment merge (merge_index_dirs): file-move
+        # fold + lazy shard namespacing, read back through read_index
+        "bm25_topk_merged_rest": q_bm25_topk_merged_rest,
+        "phrase_search_merged_rest": q_phrase_search_merged_rest,
     }
 
 
@@ -2408,6 +2462,8 @@ def oracle_sqls() -> dict[str, str]:
         # stats/geometry differ, so hash matches prove the merge exact
         "bm25_topk_merged": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "phrase_search_merged": oracles.phrase_search_sql(PHRASE_QUERY),
+        "bm25_topk_merged_rest": oracles.bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "phrase_search_merged_rest": oracles.phrase_search_sql(PHRASE_QUERY),
         "bm25f_topk": oracles.bm25f_topk_sql(
             CODE_QUERY, FIELDED_PATH_SQL, CODE_TEXT_SQL,
             BM25F_W_PATH, BM25F_B_PATH, BM25F_W_CONTENT, BM25F_B_CONTENT,
