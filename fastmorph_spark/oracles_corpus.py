@@ -1010,3 +1010,52 @@ FROM s
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def parallel_search_sql(slots: list, dists: list, match_len: int,
+                        width: int, mod: int, offset: int) -> str:
+    """Mirror of search.parallel.parallel_search over the registry's
+    deterministic parallel fixture: the SOURCE side is the ``doc_id %
+    mod = 0`` slice of documents, the aligned target segment is the
+    reversed token stream with each token prefixed ``tr_`` at ``doc_id
+    + offset`` (both engines derive it from the same pinned tokenizer,
+    the slot_case fixture convention), and the alignment relation is
+    (pair_id = src doc_id, src_id, tgt_id = src + offset).
+
+    The node query (slot_search_sql) runs over the SOURCE side only —
+    the ``pos`` CTE filters before tokenizing, matching the Spark path
+    whose postings are built from the source frame; a term present only
+    in target segments (every ``tr_``-prefixed form) is unmatchable by
+    construction, which the tests pin.  array_to_string over an empty
+    list is NULL in DuckDB but '' in Spark's concat_ws — every joined
+    string is coalesced."""
+    from fastmorph_spark.oracles import TOK_CS, slot_search_sql
+
+    intro = f"""docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0),
+tokarr AS (SELECT doc_id, {TOK.format(col="text")} AS toks, {TOK_CS.format(col="text")} AS toks_cs FROM docs),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(toks_cs) AS term_cs,
+         unnest(range(len(toks)))::INT AS pos
+  FROM tokarr
+)"""
+    inner = slot_search_sql(slots, dists, pos_cte=intro).strip()
+    return f"""
+WITH m AS ({inner}),
+occ AS (SELECT doc_id, unnest(string_split(match_starts, ','))::INT AS pos FROM m),
+tk AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents WHERE doc_id % {mod} = 0),
+j AS (SELECT occ.doc_id, occ.pos, tk.toks FROM occ JOIN tk ON occ.doc_id = tk.doc_id),
+tgt AS (
+  SELECT doc_id AS pair_id, doc_id + {offset} AS tgt_id,
+         coalesce(array_to_string(list_transform(list_reverse(toks), x -> 'tr_' || x), ' '), '') AS tgt_text
+  FROM tk
+)
+SELECT tgt.pair_id, j.doc_id, j.pos::BIGINT AS pos,
+       coalesce(array_to_string(j.toks[greatest(j.pos + 1 - {width}, 1):j.pos], ' '), '') AS left_ctx,
+       array_to_string(j.toks[j.pos + 1:j.pos + {match_len}], ' ') AS keyword,
+       coalesce(array_to_string(
+         j.toks[j.pos + 1 + {match_len}:least(j.pos + {match_len} + {width}, len(j.toks))], ' '
+       ), '') AS right_ctx,
+       tgt.tgt_id, tgt.tgt_text
+FROM j JOIN tgt ON j.doc_id = tgt.pair_id
+ORDER BY j.doc_id, j.pos
+"""

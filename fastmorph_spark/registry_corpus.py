@@ -711,6 +711,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(read_documents(spark, sf_dir), STRATA)
 
 
+# parallel (aligned) corpus fixture: source side = even doc_ids; the
+# aligned "translation" segment is the REVERSED token stream with each
+# token prefixed tr_ at doc_id + PAR_OFFSET — deterministic from the
+# pinned tokenizer in BOTH engines (the slot_case fixture convention),
+# and token-disjoint from the source vocabulary so a match can only
+# ever come from the source side (pinned by tests/test_parallel.py).
+PAR_MOD, PAR_OFFSET = 2, 3_000_000
+PAR_SLOTS = [{"term": "order"}, {"term": "fast"}]
+PAR_DISTS = [(1, 1)]
+PAR_WIDTH = 4
+
+
+def _parallel_tables(spark: SparkSession, sf_dir: str):
+    def build():
+        from fastmorph_spark.tokenize import tokenize_expr
+
+        docs = read_documents(spark, sf_dir).select("doc_id", "text")
+        src = docs.filter(F.col("doc_id") % PAR_MOD == 0)
+        t = tokenize_expr("text")
+        tgt = src.select(
+            (F.col("doc_id") + F.lit(PAR_OFFSET)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.transform(F.reverse(t),
+                                 lambda x: F.concat(F.lit("tr_"), x))
+            ).alias("text"),
+        )
+        alignment = src.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("doc_id").alias("src_id"),
+            (F.col("doc_id") + F.lit(PAR_OFFSET)).alias("tgt_id"),
+        )
+        postings = build_postings(src).persist()
+        dictionary = build_dictionary(postings).persist()
+        return src, tgt, alignment, postings, dictionary
+
+    return _memo(spark, ("parallel", sf_dir), build)
+
+
+def q_parallel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-concordance search (search/parallel.parallel_search):
+    slot matches on the SOURCE side of the aligned fixture, one row per
+    occurrence with the source KWIC line and the aligned target segment
+    — the bilingual result unit of a national-corpus portal's parallel
+    subcorpus [PK-med]."""
+    from fastmorph_spark.search.parallel import parallel_search
+
+    src, tgt, alignment, postings, dictionary = _parallel_tables(spark, sf_dir)
+    return parallel_search(src, tgt, alignment, postings, dictionary,
+                           PAR_SLOTS, PAR_DISTS, width=PAR_WIDTH)
+
+
 QUERIES = {
     # wave-4 conc-filter/freq keys lead the extension so they land inside
     # the driver's 50-key window (new keys earn driver-green rows first)
@@ -766,6 +817,7 @@ QUERIES = {
     "slot_regex_packed": q_slot_regex_packed,
     "freq_spectrum": q_freq_spectrum,
     "vocab_growth": q_vocab_growth,
+    "parallel_search": q_parallel_search,
 }
 
 
@@ -877,4 +929,7 @@ def oracle_sqls() -> dict[str, str]:
         "slot_regex_packed": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
         "freq_spectrum": oracles_corpus.freq_spectrum_sql(),
         "vocab_growth": oracles_corpus.vocab_growth_sql(GROWTH_POINTS),
+        "parallel_search": oracles_corpus.parallel_search_sql(
+            PAR_SLOTS, PAR_DISTS, len(PAR_SLOTS), PAR_WIDTH,
+            PAR_MOD, PAR_OFFSET),
     }
