@@ -762,6 +762,27 @@ def q_parallel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                            PAR_SLOTS, PAR_DISTS, width=PAR_WIDTH)
 
 
+def q_parallel_search_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-backed twin: the node query runs over a packed index
+    built from the SOURCE side (pruned block scan + Arrow decode), same
+    KWIC + alignment assembly — must be result-identical to the corpus
+    path (shares its oracle)."""
+    from fastmorph_spark.index.io import build_index_frames
+    from fastmorph_spark.search.parallel import parallel_search_packed
+
+    src, tgt, alignment, *_ = _parallel_tables(spark, sf_dir)
+
+    def build():
+        idx = build_index_frames(src, doc_shard_size=1000, block_size=64)
+        idx.postings = idx.postings.persist()
+        idx.dictionary = idx.dictionary.persist()
+        return idx
+
+    idx = _memo(spark, ("parallel_packed", sf_dir), build)
+    return parallel_search_packed(idx, src, tgt, alignment,
+                                  PAR_SLOTS, PAR_DISTS, width=PAR_WIDTH)
+
+
 QUERIES = {
     # wave-4 conc-filter/freq keys lead the extension so they land inside
     # the driver's 50-key window (new keys earn driver-green rows first)
@@ -818,6 +839,7 @@ QUERIES = {
     "freq_spectrum": q_freq_spectrum,
     "vocab_growth": q_vocab_growth,
     "parallel_search": q_parallel_search,
+    "parallel_search_packed": q_parallel_search_packed,
 }
 
 
@@ -842,6 +864,9 @@ def oracle_sqls() -> dict[str, str]:
         CONCCOLL_SLOTS, CONCCOLL_DISTS, CONCCOLL_LEN, CONCCOLL_WINDOW,
         CONCCOLL_MIN, CONCCOLL_K)
     from fastmorph_spark.registry import COLLOC_TARGET as _ctgt
+    _parallel_oracle = oracles_corpus.parallel_search_sql(
+        PAR_SLOTS, PAR_DISTS, len(PAR_SLOTS), PAR_WIDTH,
+        PAR_MOD, PAR_OFFSET)
     _offsets = oracles_corpus.colloc_by_offset_sql(
         _ctgt, OFFSET_WINDOW, OFFSET_MIN, OFFSET_K)
     return {
@@ -929,7 +954,7 @@ def oracle_sqls() -> dict[str, str]:
         "slot_regex_packed": oracles.slot_search_sql(REGEX_SLOTS, REGEX_DISTS),
         "freq_spectrum": oracles_corpus.freq_spectrum_sql(),
         "vocab_growth": oracles_corpus.vocab_growth_sql(GROWTH_POINTS),
-        "parallel_search": oracles_corpus.parallel_search_sql(
-            PAR_SLOTS, PAR_DISTS, len(PAR_SLOTS), PAR_WIDTH,
-            PAR_MOD, PAR_OFFSET),
+        "parallel_search": _parallel_oracle,
+        # packed twin must be result-identical to the corpus path
+        "parallel_search_packed": _parallel_oracle,
     }

@@ -65,7 +65,39 @@ def parallel_search(
     matches = engine.slot_search(postings, dictionary, slots, dists,
                                  postings_cs=postings_cs,
                                  dictionary_cs=dictionary_cs)
-    lines = engine.kwic(documents_src, matches, match_len=len(slots),
+    return _assemble(documents_src, documents_tgt, alignment, matches,
+                     match_len=len(slots), width=width)
+
+
+def parallel_search_packed(
+    index,
+    documents_src: DataFrame,
+    documents_tgt: DataFrame,
+    alignment: DataFrame,
+    slots: list[dict],
+    dists: list[tuple[int, int]],
+    width: int = 5,
+    scope=None,
+) -> DataFrame:
+    """The index-backed twin: slot matching runs over a PACKED index
+    built from the source side (one pruned block scan + Arrow decode —
+    search/packed.py's block-skip machinery applies unchanged), then the
+    same KWIC + alignment assembly. Result-identical to the corpus path
+    (the registry key shares its oracle)."""
+    from fastmorph_spark.search.packed import packed_slot_search
+
+    matches = packed_slot_search(index, slots, dists, scope=scope)
+    return _assemble(documents_src, documents_tgt, alignment, matches,
+                     match_len=len(slots), width=width)
+
+
+def _assemble(documents_src: DataFrame, documents_tgt: DataFrame,
+              alignment: DataFrame, matches: DataFrame,
+              match_len: int, width: int) -> DataFrame:
+    """Shared result assembly: slot_search-shaped matches -> per-occurrence
+    source KWIC lines -> alignment + target-segment joins (both keyed,
+    match-set-bounded — AQE broadcasts the result side)."""
+    lines = engine.kwic(documents_src, matches, match_len=match_len,
                         width=width)
     tgt = documents_tgt.select(
         F.col("doc_id").alias("tgt_id"),

@@ -139,6 +139,14 @@ def test_absent_term_empty_schema(tables):
     assert got.count() == 0
 
 
+def test_packed_twin_identical(spark, tables):
+    """The index-backed path (packed_slot_search + shared assembly) must
+    be row-identical to the corpus path — the shared-oracle contract."""
+    corpus = registry_corpus.q_parallel_search(spark, SF0001).collect()
+    packed = registry_corpus.q_parallel_search_packed(spark, SF0001).collect()
+    assert packed == corpus and len(packed) > 0
+
+
 def test_occurrence_count_identity(tables):
     """One output row per occurrence: Σ n_matches of the underlying
     slot_search equals the parallel result's row count."""
