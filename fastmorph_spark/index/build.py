@@ -9,29 +9,60 @@ so tf counting never ships raw token rows across the shuffle unreduced.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Scale-adaptive input widening (guide §2.5 "input skew": one huge
+    unsplittable file -> repartition immediately after the read).
+
+    A corpus that arrives as FEWER scan partitions than the session has
+    cores (the driver fixture is a single-row-group parquet file — one
+    unsplittable split) serializes every downstream per-batch kernel:
+    tokenize, shingle+md5, varbyte encode all run on one task while the
+    other cores idle. Repartition by the deterministic id key ONLY in that
+    case; an at-scale scan already has >= cores partitions, so this adds
+    no shuffle at 100 TB. Streaming inputs and frames without the key are
+    returned unchanged.
+    """
+    try:
+        if df.isStreaming or key_col not in df.columns:
+            return df
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target, key_col)
+    except Exception:
+        pass
+    return df
+
+
+def doc_len_count(text_col: Column | str, tokenizer: str = "ascii") -> Column:
+    """Token count of a text column as ONE pure-JVM ``regexp_count`` —
+    no token array materialized, no Python pass. Equals the tokenizer's
+    ``len(tokens)`` for every tokenizer twin (parity pinned by
+    tests/test_tokenize + test_unicode + test_code_tokenizer); shared by
+    build_docs, corpus_stats and the index doc_lens path."""
+    from fastmorph_spark.constants import TOKEN_PATTERN_UNI_JAVA
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if tokenizer == "code":
+        from fastmorph_spark.constants import TOKEN_PATTERN_CODE
+        from fastmorph_spark.tokenize import code_boundaries_expr
+
+        counted = F.lower(code_boundaries_expr(c))
+        count_pattern = TOKEN_PATTERN_CODE
+    else:
+        counted = F.lower(F.coalesce(c, F.lit("")))
+        count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else r"[a-z0-9_]+"
+    return F.regexp_count(counted, F.lit(count_pattern)).cast("long")
 
 
 def build_docs(corpus: DataFrame, id_col: str = "doc_id", tokenizer: str = "ascii") -> DataFrame:
     """Doc registry: identity + the per-row sha256 invariant
     (BASELINE.json input_hint: content sha256 equality vs source)."""
-    from fastmorph_spark.constants import TOKEN_PATTERN_UNI_JAVA
-
     cols = [c for c in ("repo", "path", "commit", "lang") if c in corpus.columns]
     text_col = "content" if "content" in corpus.columns else "text"
-    if tokenizer == "code":
-        # subtoken count: boundary passes first (they only INSERT
-        # separators, so regexp_count over the transformed text == the
-        # code tokenization length)
-        from fastmorph_spark.constants import TOKEN_PATTERN_CODE
-        from fastmorph_spark.tokenize import code_boundaries_expr
-
-        counted = F.lower(code_boundaries_expr(F.col(text_col)))
-        count_pattern = TOKEN_PATTERN_CODE
-    else:
-        counted = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-        count_pattern = TOKEN_PATTERN_UNI_JAVA if tokenizer == "uni" else r"[a-z0-9_]+"
     return corpus.select(
         F.col(id_col),
         *cols,
@@ -40,8 +71,7 @@ def build_docs(corpus: DataFrame, id_col: str = "doc_id", tokenizer: str = "asci
         # materializing the token array (split() allocates ~len(doc)
         # UTF8Strings per row and turns the job GC-bound — measured flat
         # 15s at ANY core count on 100k docs vs <2s with regexp_count)
-        F.regexp_count(counted, F.lit(count_pattern))
-        .cast("long").alias("doc_len"),
+        doc_len_count(text_col, tokenizer).alias("doc_len"),
     )
 
 
@@ -172,7 +202,11 @@ def build_postings(documents: DataFrame, text_col: str = "text", id_col: str = "
         schema = POSTINGS_SCHEMA_VB
     else:
         schema = POSTINGS_SCHEMA if with_positions else POSTINGS_SCHEMA_NOPOS
-    return documents.select(F.col(id_col).alias(id_col), text_col).mapInPandas(_build, schema)
+    # widen a narrower-than-cores scan before the per-batch kernel (no-op
+    # at scale — guide §2.5; measured: the single-split fixture otherwise
+    # tokenizes the whole corpus on one task)
+    narrow = documents.select(F.col(id_col).alias(id_col), text_col)
+    return ensure_parallelism(narrow, id_col).mapInPandas(_build, schema)
 
 
 def build_dictionary(postings: DataFrame) -> DataFrame:

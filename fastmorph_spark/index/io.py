@@ -25,13 +25,11 @@ from pyspark.sql import functions as F
 
 from fastmorph_spark.constants import BLOCK_SIZE, DOC_SHARD_SIZE
 from fastmorph_spark.index.build import (
-    build_dictionary,
-    build_doc_lens,
     build_docs,
     build_postings,
     global_stats,
 )
-from fastmorph_spark.index.pack import dictionary_with_max_score, pack_postings
+from fastmorph_spark.index.pack import pack_postings
 
 
 @dataclass
@@ -109,29 +107,46 @@ def build_index_frames(
             "insertion passes are case-DRIVEN, so a case-preserving "
             "tokenization cannot share the folded twin's position space"
         )
+    from fastmorph_spark.index.build import doc_len_count
+    from fastmorph_spark.index.pack import dictionary_from_packed
+
     docs = build_docs(documents, id_col=id_col, tokenizer=tokenizer)
     # slim pre-encoded variant: dictionary/doc_lens need only (term, tf,
     # doc_id), and the pack shuffle carries bytes instead of int arrays
     postings = build_postings(documents, text_col=text_col, id_col=id_col,
                               positions_vb=True, tokenizer=tokenizer)
-    doc_lens = build_doc_lens(documents, postings, id_col=id_col)
-    dictionary = build_dictionary(postings)
+    # ONE tokenize pass for the whole build (optimization r06, guide §1.2
+    # step 1 / §2.4): doc_lens comes from a pure-JVM regexp_count scan
+    # (token-count parity with the kernel is pinned by tests), the
+    # dictionary from packed block METADATA (blocks partition each term's
+    # postings exactly, so df/cf/max_impact are exact) — so the postings
+    # kernel feeds ONLY the pack shuffle. Before: the build tokenized the
+    # corpus 3x (doc_lens groupBy, dictionary groupBy, pack) + a 4th pass
+    # for the eager avgdl collect.
+    doc_lens = documents.select(
+        F.col(id_col).alias("doc_id"),
+        doc_len_count(text_col, tokenizer).alias("dl"),
+    )
     stats = global_stats(doc_lens)
-    packed = pack_postings(postings, doc_lens, stats, doc_shard_size, block_size,
-                           n_partitions=pack_partitions)
-    dict_final = dictionary_with_max_score(dictionary, packed, stats)
+    # collect the 1-row stats ONCE (cheap scan — no tokenize, no shuffle);
+    # pack + every query-time stats_row() reuse it driver-side
+    srow = stats.collect()[0].asDict()
+    packed = pack_postings(postings, None, stats, doc_shard_size, block_size,
+                           n_partitions=pack_partitions, avgdl=float(srow["avgdl"]))
+    dict_final = dictionary_from_packed(packed, stats)
     packed_cs = dict_cs = None
     if case_sensitive:
-        from fastmorph_spark.index.pack import dictionary_from_packed
-
         postings_cs = build_postings(documents, text_col=text_col, id_col=id_col,
                                      fold_case=False, positions_vb=True,
                                      tokenizer=tokenizer)
-        packed_cs = pack_postings(postings_cs, doc_lens, stats, doc_shard_size,
-                                  block_size, n_partitions=pack_partitions)
+        packed_cs = pack_postings(postings_cs, None, stats, doc_shard_size,
+                                  block_size, n_partitions=pack_partitions,
+                                  avgdl=float(srow["avgdl"]))
         dict_cs = dictionary_from_packed(packed_cs, stats)
-    return Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats,
-                 postings=packed, postings_cs=packed_cs, dictionary_cs=dict_cs)
+    idx = Index(docs=docs, doc_lens=doc_lens, dictionary=dict_final, stats=stats,
+                postings=packed, postings_cs=packed_cs, dictionary_cs=dict_cs)
+    idx._stats_row = srow
+    return idx
 
 
 def build_lang_indexes(

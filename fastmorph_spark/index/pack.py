@@ -204,6 +204,7 @@ def pack_postings(
     doc_shard_size: int = DOC_SHARD_SIZE,
     block_size: int = BLOCK_SIZE,
     n_partitions: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Logical postings -> packed blocks.
 
@@ -215,8 +216,10 @@ def pack_postings(
     """
     # avgdl rides into the kernel via closure (ONE tiny driver-side job),
     # not as a crossJoin column repeated on every posting row — 8 bytes x
-    # 10^10 rows of redundant shuffle traffic otherwise
-    avgdl = float(stats.select("avgdl").collect()[0]["avgdl"])
+    # 10^10 rows of redundant shuffle traffic otherwise. Callers that
+    # already collected the stats row pass avgdl= to skip even that job.
+    if avgdl is None:
+        avgdl = float(stats.select("avgdl").collect()[0]["avgdl"])
     # postings from build_postings carry dl already (free in the worker) —
     # join doc_lens only for inputs that lack it
     enriched = (

@@ -30,8 +30,17 @@ from fastmorph_spark.tokenize import tokenize_expr
 
 def _shingles(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    from fastmorph_spark.index.build import ensure_parallelism
+
     toks = tokenize_expr(text_col)
-    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    # widen a narrower-than-cores scan BEFORE tokenize+explode (guide
+    # §2.5): the single-split fixture otherwise computes every shingle —
+    # and each downstream per-shingle md5 — on one task; no-op at scale,
+    # and repartitioning the compact doc rows beats shuffling the
+    # exploded shingle rows
+    df = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"),
+                                      F.col(text_col)), "doc_id")
+    out = df.select(F.col("doc_id"), toks.alias("t"))
     out = out.withColumn("n_tok", F.size("t")).filter(F.col("n_tok") >= n)
     idx = F.sequence(F.lit(0), F.col("n_tok") - n)
     shingle = F.transform(
@@ -181,6 +190,13 @@ def minhash_lsh_pairs(
     ]
     buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # pin the bucket table too (optimization r06): the self-join below
+    # broadcasts one side, and a broadcast exchange is never reused with
+    # the probe side's shuffle exchange — without the pin the whole
+    # 16-way md5 signature aggregation runs TWICE (measured ~2x the
+    # signature stage). Bounded: bands rows per doc (~100 B each), tiny
+    # next to the pinned shingle table.
+    buckets = pin(buckets, scope)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

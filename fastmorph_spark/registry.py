@@ -2061,9 +2061,17 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    # optimization r06 (guide §3.2 "reduce the big side before the join"):
+    # apply the selective customer-segment filter to orders FIRST, so the
+    # lineitem fact joins an already ~5x-smaller key set and only
+    # qualifying rows reach the aggregation exchange. Inner joins commute
+    # — identical rows, identical oracle hash.
+    qualifying = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey")
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(qualifying, li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -112,39 +112,71 @@ def bm25_scores(
     per repo). Plan shape at scale: the tf table is filtered to the
     (tiny) query-term set BEFORE any join, both per-term df aggs and the
     1-row global stats broadcast."""
+    import re as _re
+
     from fastmorph_spark.tokenize import tokenize_py_code, tokenize_py_uni
 
     tok_py = {"uni": tokenize_py_uni, "code": tokenize_py_code}.get(tokenizer, tokenize_py)
     qterms = sorted(set(tok_py(query_text)))
     docs = documents.filter(F.col("lang") == lang) if lang else documents
-    tf, doc_lens, global_stats = corpus_stats(docs, text_col=text_col, id_col=id_col,
-                                              tokenizer=tokenizer)
-
     if not qterms:
-        matched = tf.filter(F.lit(False))
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).filter(F.lit(False))
+
+    # Optimization r06 (guide §4.1 "prefer built-ins", §2.3/§2.4): the OR
+    # query needs only tf of the |q| query terms per doc — ONE pure-JVM
+    # regexp_count per term (term-as-token: the literal bounded by
+    # non-token-char lookarounds) replaces the full Arrow tokenize pass,
+    # its persist, and the per-doc score shuffle. Plan shape: scan ->
+    # 1-row agg (n_docs/avgdl/df per term, broadcast) -> scan -> project
+    # score -> filter. ZERO exchanges of per-doc rows, no Python, no
+    # cache pin (``scope`` kept for API compatibility — nothing to free).
+    #
+    # Bit-identity with the tokenize path (tested): tf/df/dl counts are
+    # exact integers (token-count parity pinned by the tokenizer tests);
+    # the score fold adds per-term scores in SORTED TERM ORDER exactly as
+    # sum_term_scores does, with absent terms contributing literal 0.0
+    # (x + 0.0 is bit-exact identity for the non-negative scores here).
+    from fastmorph_spark.index.build import doc_len_count
+    from fastmorph_spark.tokenize import code_boundaries_expr
+
+    if tokenizer == "code":
+        counted = F.lower(code_boundaries_expr(F.col(text_col)))
+        cls = "a-z0-9"
+    elif tokenizer == "uni":
+        counted = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        cls = r"\p{L}\p{N}_"
     else:
-        matched = tf.filter(F.col("term").isin(qterms))
-    # matched is tiny (<= |q| rows per matching doc) but COMPUTING it is a
-    # full corpus tokenization — and it feeds two subtrees (the broadcast
-    # df agg's job and the scoring join). Persist so the tokenizer kernel
-    # runs once per query, not twice. Cache lifetime: the persisted block
-    # backs the returned lazy plan, so unpersisting here would defeat the
-    # reuse — pass scope=CacheScope() to free it on scope close (VERDICT
-    # r03 #7), else the CALLER owns it (clearCache() between bursts).
-    from fastmorph_spark.cache import pin
+        counted = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        cls = "a-z0-9_"
 
-    matched = pin(matched, scope)
-    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+    def term_count(t: str) -> Column:
+        # tokens are maximal token-char runs, and query terms consist of
+        # token chars only, so occurrences-as-token == occurrences of the
+        # literal with non-token-char (or edge) on both sides
+        return F.regexp_count(counted, F.lit(f"(?<![{cls}]){_re.escape(t)}(?![{cls}])"))
 
-    scored = (
-        matched.join(F.broadcast(df_t), "term")  # tf rows carry dl already
-        .crossJoin(F.broadcast(global_stats))
-        .withColumn(
-            "term_score",
-            bm25_score_col(F.col("tf"), F.col("df"), F.col("n_docs"), F.col("dl"), F.col("avgdl")),
-        )
+    tf_cols = [term_count(t).alias(f"_tf{i}") for i, t in enumerate(qterms)]
+    base = docs.select(F.col(id_col), doc_len_count(text_col, tokenizer).alias("_dl"),
+                       *tf_cols)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+          for i in range(len(qterms))],
     )
-    return sum_term_scores(scored, id_col)
+    matched_any = None
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        tf_i = F.col(f"_tf{i}")
+        s_i = bm25_score_col(tf_i, F.col(f"_df{i}"), F.col("n_docs"),
+                             F.col("_dl"), F.col("avgdl"))
+        score = score + F.when(tf_i > 0, s_i).otherwise(F.lit(0.0))
+        matched_any = (tf_i > 0) if matched_any is None else (matched_any | (tf_i > 0))
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(matched_any)
+        .select(F.col(id_col), score.alias("score"))
+    )
 
 
 def bm25_topk_expression(
