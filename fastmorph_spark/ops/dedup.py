@@ -174,11 +174,22 @@ def minhash_lsh_pairs(
     from fastmorph_spark.cache import pin
 
     sh = pin(_shingles(df, n, text_col, id_col), scope)
+    # ONE per-doc aggregation for signatures AND set sizes (optimization
+    # r06, guide §2.3 "aggregate before you shuffle"): the old plan ran
+    # two separate groupBy(doc_id) passes over the shingle table (one for
+    # the 16 mins, one for count) — same key, same shuffle, fused here.
+    # Pinned: it feeds the bucket explode (both self-join sides — a
+    # broadcast build is never exchange-reused with the probe side, so
+    # without the pin the 16-way md5 agg runs TWICE) and both size joins.
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(*mins).select(
+    per_doc = pin(
+        sh.groupBy("doc_id").agg(*mins, F.count("*").cast("long").alias("n_sh")),
+        scope,
+    )
+    sigs = per_doc.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
     band_cols = [
@@ -190,26 +201,27 @@ def minhash_lsh_pairs(
     ]
     buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # pin the bucket table too (optimization r06): the self-join below
-    # broadcasts one side, and a broadcast exchange is never reused with
-    # the probe side's shuffle exchange — without the pin the whole
-    # 16-way md5 signature aggregation runs TWICE (measured ~2x the
-    # signature stage). Bounded: bands rows per doc (~100 B each), tiny
-    # next to the pinned shingle table.
-    buckets = pin(buckets, scope)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
+    cand = pin(
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .distinct(),
+        scope,
     )
-    # exact verify: intersection of shingle sets for candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    # exact verify: intersection of shingle sets for candidates only.
+    # Semi-join-reduce the second join's big side first (guide §3.2): only
+    # shingles of docs that actually appear as a candidate's b-side cross
+    # the (doc_b, shingle) exchange — the full shingle table never
+    # shuffles twice. cand is pinned above: it feeds this semi-join and
+    # the verify probe, and recomputing it would repeat the LSH self-join.
+    sizes = per_doc.select("doc_id", "n_sh")
+    sh_b = sh.join(cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+                   "doc_id", "left_semi").withColumnRenamed("doc_id", "doc_b")
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )

@@ -74,14 +74,15 @@ def test_scope_frees_bm25_expression(spark):
 
 
 def test_scope_none_keeps_caller_owned_contract(spark):
-    """scope=None (default) must behave exactly as before: the block
-    stays pinned until clearCache()."""
+    """The r06 expression path computes term tf with per-term
+    regexp_count columns — no matched-table cache exists anymore, so
+    scope=None must leak NOTHING (the old contract pinned the matched
+    table and relied on the caller's clearCache)."""
     docs = _tiny_docs(spark)
     base = pinned_rdd_count(spark)
     got = bm25_topk_expression(docs, "fast hash", k=3).collect()
     assert len(got) == 3
-    assert pinned_rdd_count(spark) > base
-    spark.catalog.clearCache()
+    assert pinned_rdd_count(spark) == base
 
 
 def test_scope_close_idempotent_and_try_finally(spark):
