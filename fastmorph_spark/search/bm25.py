@@ -158,6 +158,15 @@ def bm25_scores(
     tf_cols = [term_count(t).alias(f"_tf{i}") for i, t in enumerate(qterms)]
     base = docs.select(F.col(id_col), doc_len_count(text_col, tokenizer).alias("_dl"),
                        *tf_cols)
+    # the narrow (id, dl, tf...) frame feeds BOTH the 1-row stats agg and
+    # the scoring pass — pin it so the corpus text is scanned ONCE per
+    # query (the old tokenize path scanned it twice: kernel + dl count).
+    # Measured: pinned beats two regexp passes at 5k AND 100k docs.
+    # Lifetime contract unchanged from the historical matched-table pin:
+    # scope= frees on scope close, else the caller owns it (clearCache).
+    from fastmorph_spark.cache import pin
+
+    base = pin(base, scope)
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.avg("_dl").alias("avgdl"),

@@ -74,15 +74,14 @@ def test_scope_frees_bm25_expression(spark):
 
 
 def test_scope_none_keeps_caller_owned_contract(spark):
-    """The r06 expression path computes term tf with per-term
-    regexp_count columns — no matched-table cache exists anymore, so
-    scope=None must leak NOTHING (the old contract pinned the matched
-    table and relied on the caller's clearCache)."""
+    """scope=None (default) must behave exactly as before: the block
+    (r06: the narrow per-doc tf frame) stays pinned until clearCache()."""
     docs = _tiny_docs(spark)
     base = pinned_rdd_count(spark)
     got = bm25_topk_expression(docs, "fast hash", k=3).collect()
     assert len(got) == 3
-    assert pinned_rdd_count(spark) == base
+    assert pinned_rdd_count(spark) > base
+    spark.catalog.clearCache()
 
 
 def test_scope_close_idempotent_and_try_finally(spark):
