@@ -42,6 +42,7 @@ class CacheScope:
 
     def __init__(self) -> None:
         self._pinned: list[DataFrame] = []
+        self._rdd_ids: list[tuple] = []  # (SparkContext, rdd_id) pairs
         self._closed = False
 
     def pin(self, df: DataFrame) -> DataFrame:
@@ -57,6 +58,14 @@ class CacheScope:
         self._pinned.append(df)
         return df
 
+    def adopt_rdd_ids(self, sc, ids) -> None:
+        """Own the lifetime of JVM-side persistent RDDs by id — the only
+        way to free a ``localCheckpoint``'s backing blocks (PySpark's
+        ``Dataset.unpersist`` goes through the CacheManager, which never
+        saw them). Used by :func:`local_checkpoint`."""
+        for rid in ids:
+            self._rdd_ids.append((sc, int(rid)))
+
     def close(self) -> None:
         if self._closed:
             return
@@ -67,6 +76,14 @@ class CacheScope:
             except Exception:
                 pass  # session torn down first — nothing left to free
         self._pinned.clear()
+        for sc, rid in reversed(self._rdd_ids):
+            try:
+                rdd = sc._jsc.getPersistentRDDs().get(rid)
+                if rdd is not None:
+                    rdd.unpersist()
+            except Exception:
+                pass  # session torn down first — nothing left to free
+        self._rdd_ids.clear()
 
     def __enter__(self) -> "CacheScope":
         return self
@@ -86,6 +103,26 @@ def adopt(df: DataFrame, scope: CacheScope | None) -> DataFrame:
     """Register an already-persisted ``df`` with ``scope`` (no-op when
     scope is None — caller-owned)."""
     return df if scope is None else scope.adopt(df)
+
+
+def local_checkpoint(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` with lifetime tracking
+    (optimization r06): the checkpoint truncates an arbitrarily fat
+    lineage to one LogicalRDD node — the guide §3.3 "materialise an
+    intermediate" move for iterative loops whose analyzed plan otherwise
+    grows with every round. With ``scope=`` the backing blocks are freed
+    on scope close (tracked by JVM rdd id — see adopt_rdd_ids); with
+    scope=None they live until the ContextCleaner garbage-collects the
+    RDD (``clearCache()`` does NOT free them — bounded: one small RDD
+    per call, so long-lived sessions pay a few MB, not a leak-per-row)."""
+    sc = df.sparkSession.sparkContext
+    if scope is None:
+        return df.localCheckpoint(eager=True)
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    scope.adopt_rdd_ids(sc, sorted(after - before))
+    return out
 
 
 def pinned_rdd_count(spark: SparkSession) -> int:

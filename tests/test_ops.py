@@ -259,6 +259,24 @@ def test_dup_groups_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dup_groups_long_chain_checkpoint_rounds(spark):
+    """Diameter-12 chain: forces > CHECKPOINT_EVERY propagation rounds,
+    so the r06 lineage-truncation branch (localCheckpoint every 4th
+    round) executes — the converged labels must be identical to the
+    all-persist path, and the plan must stay analyzable (this test hangs
+    for minutes if the exponential-plan regression comes back)."""
+    from fastmorph_spark.ops.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)] + [(300, 301)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["group_rep"] for r in dup_groups(pairs).collect()}
+    want = {i: 100 for i in range(100, 113)}
+    want.update({300: 300, 301: 300})
+    assert got == want
+
+
 def test_drop_list_exact_precedence(spark):
     """Byte-identical docs are also near-dups; drop_list must label them
     'exact' and the merely-similar ones 'near', keeping one rep each."""
