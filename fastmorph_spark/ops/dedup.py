@@ -189,24 +189,28 @@ def minhash_lsh_pairs(
         sh.groupBy("doc_id").agg(*mins, F.count("*").cast("long").alias("n_sh")),
         scope,
     )
-    sigs = per_doc.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.concat_ws("|", *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("key"),
+            F.concat_ws("|", *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
         )
         for bi in range(bands)
     ]
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # carry the set size on the bucket rows (8 bytes/row) so the final
+    # Jaccard needs NO size joins — the candidate pair arrives with both
+    # sizes attached (the simhash_candidates carry pattern; optimization
+    # r06, guide §2.3 "shuffle keys and metadata instead of payloads":
+    # two whole join stages — and their exchanges — disappear)
+    buckets = per_doc.select(
+        "doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "n_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = pin(
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("sh_a"), F.col("b.n_sh").alias("sh_b"))
         .distinct(),
         scope,
     )
@@ -216,19 +220,16 @@ def minhash_lsh_pairs(
     # the (doc_b, shingle) exchange — the full shingle table never
     # shuffles twice. cand is pinned above: it feeds this semi-join and
     # the verify probe, and recomputing it would repeat the LSH self-join.
-    sizes = per_doc.select("doc_id", "n_sh")
     sh_b = sh.join(cand.select(F.col("doc_b").alias("doc_id")).distinct(),
                    "doc_id", "left_semi").withColumnRenamed("doc_id", "doc_b")
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
