@@ -334,8 +334,22 @@ def read_index(spark: SparkSession, path: str) -> Index:
     # schemes (a missing optional twin is not an error)
     if fs_is_dir(spark, f"{path}/postings_cs"):
         postings_cs = spark.read.parquet(f"{path}/postings_cs")
-        if bases is not None:
-            postings_cs = apply_shard_bases(postings_cs, bases)
+        # decide namespacing from the cs frame's OWN columns, not the
+        # folded twin's (ADVICE r05 #1): compact_postings processes the
+        # two directories in sequence, so a crash between them leaves one
+        # compacted (bases baked in, no side column) and the other still
+        # side-layered — keying on `bases` from the folded read would
+        # either skip the shift (colliding doc_shards, silently wrong
+        # case-sensitive results) or double-apply it. Each frame is
+        # shifted iff it still carries the side layer.
+        if "side" in postings_cs.columns:
+            cs_bases = bases if bases is not None else load_shard_bases(spark, path)
+            if cs_bases is None:
+                raise RuntimeError(
+                    f"{path}/postings_cs has a side= layer but no "
+                    "shard_bases table — at-rest merge metadata is missing"
+                )
+            postings_cs = apply_shard_bases(postings_cs, cs_bases)
         dictionary_cs = spark.read.parquet(f"{path}/dictionary_cs")
     from fastmorph_spark.index.tombstones import read_tombstones
 

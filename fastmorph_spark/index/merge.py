@@ -268,6 +268,23 @@ def merge_index_dirs(spark, src_paths, out_path: str) -> dict:
     src_paths = list(src_paths)
     if len(src_paths) < 2:
         raise ValueError("merge_index_dirs needs >= 2 source indexes")
+    # reject duplicate / overlapping paths BEFORE any journal or move
+    # (ADVICE r05 #3): a duplicated source passes every per-path check,
+    # then the second side's renames fail mid-move (source already
+    # moved), leaving a journaled half-state recover_merge cannot repair
+    # ('neither src nor dst exists'); a src nested in out (or vice
+    # versa) would be moved into itself.
+    norm = [p.rstrip("/") for p in src_paths]
+    if len(set(norm)) != len(norm):
+        raise ValueError(f"duplicate src_paths: {sorted(src_paths)}")
+    all_paths = norm + [out_path.rstrip("/")]
+    for i, a in enumerate(all_paths):
+        for j, b in enumerate(all_paths):
+            if i != j and (a == b or b.startswith(a + "/")):
+                raise ValueError(
+                    f"overlapping merge paths: {a!r} and {b!r} (sources "
+                    "and out_path must be distinct, non-nested trees)"
+                )
     journal = f"{out_path}/{MERGE_JOURNAL}"
     if fs_is_dir(spark, journal):
         # a prior attempt crashed mid-move: finish it instead of merging
@@ -364,8 +381,16 @@ def merge_index_dirs(spark, src_paths, out_path: str) -> dict:
         -4, "merging", int(crow["n_terms"]), int(crow["n_postings"]),
         int(crow["n_blocks"]), 0, snapshot, 1, 0, _now(),
     ))
+    # journal commit is ATOMIC (ADVICE r05 #2): write to a temp name and
+    # fs_rename into place — a crash mid-write leaves only a stale .tmp
+    # (overwritten by the next attempt), never a half-written journal
+    # directory that recover_merge (invoked by read_index and merge
+    # re-runs) would fail to parse, wedging out_path.
+    journal_tmp = f"{journal}.tmp"
+    fs_delete(spark, journal_tmp)
     spark.createDataFrame(moves, "src string, dst string") \
-        .coalesce(1).write.mode("overwrite").parquet(journal)
+        .coalesce(1).write.mode("overwrite").parquet(journal_tmp)
+    fs_rename(spark, journal_tmp, journal)
     for src, dst in moves:
         fs_mkdirs(spark, dst.rsplit("/", 1)[0])
         fs_rename(spark, src, dst)

@@ -202,13 +202,77 @@ def test_refusals(spark, fixture_docs, tmp_path_factory):
                 c, doc_shard_size=50, block_size=4)
     with pytest.raises(ValueError, match="at-rest merge"):
         merge_index_dirs(spark, [out, c], f"{base}/m2")
-    # occupied out
-    with pytest.raises(ValueError, match="already holds"):
-        merge_index_dirs(spark, [c, c], out)
+    # duplicate sources refused BEFORE any journal/move (ADVICE r05 #3:
+    # a duplicate used to pass every check, then wedge mid-move)
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_index_dirs(spark, [c, c], f"{base}/m4")
+    # overlapping/nested paths refused up front too
+    with pytest.raises(ValueError, match="overlapping"):
+        merge_index_dirs(spark, [c, f"{base}/e"], f"{c}/nested")
     # partial cs twin
     d = f"{base}/d"
     write_index(spark, fixture_docs.filter(F.col("doc_id") % 5 == 1)
                 .withColumn("doc_id", F.col("doc_id") + 300000),
                 d, doc_shard_size=50, block_size=4, case_sensitive=True)
+    # occupied out (checked with two DISTINCT sources so the duplicate
+    # guard doesn't shadow it)
+    with pytest.raises(ValueError, match="already holds"):
+        merge_index_dirs(spark, [c, d], out)
     with pytest.raises(ValueError, match="twin"):
         merge_index_dirs(spark, [c, d], f"{base}/m3")
+
+
+def test_merge_journal_commit_is_atomic(spark, fixture_docs, tmp_path_factory):
+    """ADVICE r05 #2: the journal is written to a temp name and renamed
+    into place — a stale half-written .tmp from a crashed prior attempt
+    must be swept, the merge must succeed, and no journal artifacts may
+    remain afterwards."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("atomicj"))
+    a, b = _write_halves(spark, fixture_docs, base)
+    out = f"{base}/merged"
+    stale = f"{out}/{merge_mod.MERGE_JOURNAL}.tmp"
+    os.makedirs(stale)
+    with open(f"{stale}/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file")  # torn mid-write artifact
+    merge_index_dirs(spark, [a, b], out)
+    assert not fs_is_dir(spark, f"{out}/{merge_mod.MERGE_JOURNAL}")
+    assert not fs_is_dir(spark, stale)
+    assert _rows(search_wand(read_index(spark, out), Q, k=10))
+
+
+def test_half_compacted_cs_reads_correctly(spark, fixture_docs,
+                                           tmp_path_factory, monkeypatch):
+    """ADVICE r05 #1: compact_postings crashing BETWEEN the folded and
+    the cs compaction passes leaves postings compacted (bases baked in,
+    no side column) while postings_cs still carries the side layer —
+    read_index must shift the cs twin from its OWN columns, not the
+    folded twin's, or case-sensitive queries silently collide shards."""
+    import fastmorph_spark.index.fs as fs_mod
+
+    base = str(tmp_path_factory.mktemp("halfcs"))
+    a, b = _write_halves(spark, fixture_docs, base, cs=True)
+    out = f"{base}/merged"
+    merge_index_dirs(spark, [a, b], out)
+    slots = [{"term": "the", "case": True}, {"pattern": "h*"}]
+    dists = [(1, 5)]
+    want = _rows(packed_slot_search(read_index(spark, out), slots, dists))
+    assert want  # non-vacuous
+
+    real_is_dir = fs_mod.fs_is_dir
+
+    def crash_before_cs_pass(spark_, path):
+        if path.endswith("/postings_cs"):
+            raise RuntimeError("simulated crash between compaction passes")
+        return real_is_dir(spark_, path)
+
+    monkeypatch.setattr(fs_mod, "fs_is_dir", crash_before_cs_pass)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_postings(spark, out)
+    monkeypatch.undo()
+
+    idx = read_index(spark, out)
+    assert "side" not in idx.postings.columns      # folded side: compacted
+    assert "side" not in idx.postings_cs.columns   # cs side: shifted at read
+    assert _rows(packed_slot_search(idx, slots, dists)) == want
