@@ -17,11 +17,13 @@ Spark-first shape:
 
 Scale notes: the benchmark set is tiny relative to the corpus (eval
 suites are ~10^4-10^5 docs vs 10^9+ training docs), so the distinct
-benchmark-shingle frame is broadcast when the benchmark is small enough
-(`broadcast_docs` gate, mirroring the collocation target gate); above
-the gate it falls back to a shuffle join partitioned on shingle. Either
-way the corpus is touched ONCE and no pairwise doc comparison exists —
-cost is one shingle explode + one join, exactly the dedup envelope.
+benchmark-shingle frame usually broadcasts — decided by AQE from the
+frame's ACTUAL post-distinct byte size at runtime (r06; the old
+row-count gate both ran an eager driver job and mis-proxied bytes for
+long-doc benchmarks); oversized benchmarks fall back to a shuffle join
+partitioned on shingle. Either way the corpus is touched ONCE and no
+pairwise doc comparison exists — cost is one shingle explode + one
+join, exactly the dedup envelope.
 """
 
 from __future__ import annotations
@@ -32,10 +34,9 @@ from pyspark.sql import functions as F
 from fastmorph_spark.constants import SCORE_DECIMALS
 from fastmorph_spark.ops.dedup import _shingles
 
-# benchmark row-count gate below which the distinct benchmark-shingle
-# frame is broadcast: 10^4 docs x ~10^3 shingles x ~50B is ~500 MB of
-# strings pre-dedup and far less after distinct — inside a comfortable
-# executor broadcast budget; bigger benchmarks shuffle-join instead
+# retained for API compatibility; since r06 the default join strategy is
+# decided by AQE from the distinct shingle frame's ACTUAL byte size at
+# runtime (see benchmark_contamination), not from this row-count proxy
 BROADCAST_DOCS = 10_000
 
 
@@ -58,22 +59,24 @@ def benchmark_contamination(
     (hash-comparable against the DuckDB oracle). Docs shorter than n
     tokens have no shingles and never appear.
 
-    ``broadcast`` overrides the gate (VERDICT r04 #9 / ADVICE r04): True
-    broadcasts the distinct benchmark-shingle frame WITHOUT running the
-    gate's count job (the plan stays fully lazy), False forces the
-    shuffle join. Default None keeps the row-count gate — note it counts
-    DOCS, a proxy for broadcast BYTES that scales with doc length:
-    callers with very long benchmark docs (>~10^3 tokens each) should
-    pass broadcast=False rather than trust the proxy.
+    ``broadcast`` (VERDICT r04 #9 / ADVICE r04 #1, closed r06): True
+    force-broadcasts the distinct benchmark-shingle frame, False forces
+    the shuffle join. Default None leaves the choice to AQE, which sees
+    the distinct frame's ACTUAL byte size after its shuffle and converts
+    the semi-join to a broadcast join iff it fits the executor broadcast
+    budget — the old default ran an eager row-count job inside this
+    otherwise-lazy builder and used benchmark DOCS as a proxy for
+    broadcast BYTES, which a ≤10k-row benchmark of very long documents
+    could blow past. No driver job, no proxy: the builder is now fully
+    lazy by default and the decision is made from real bytes.
+    ``broadcast_docs`` is retained for API compatibility and ignored
+    unless you pass ``broadcast=`` yourself.
 
     A pipeline drops docs above a threshold (e.g. overlap_frac >= 0.1 or
     any hit at n=13) — the caller picks the policy; this operator
     reports the evidence."""
     doc_sh = _shingles(docs, n, text_col, id_col)
     bench_sh = _shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
-    if broadcast is None:
-        broadcast = bool(broadcast_docs) and \
-            benchmark.limit(broadcast_docs + 1).count() <= broadcast_docs
     if broadcast:
         bench_sh = F.broadcast(bench_sh)
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))

@@ -363,6 +363,38 @@ def test_benchmark_contamination_semantics(spark):
     assert abs(rows[1]["overlap_frac"] - round(1 / 7, 6)) < 1e-9
 
 
+def test_benchmark_contamination_builder_is_lazy_and_handles_long_docs(spark):
+    """ADVICE r04 #1 (closed r06): the default gate must run ZERO driver
+    jobs at build time (the old row-count probe was an eager job inside
+    a lazy builder), and a long-document benchmark — few rows, many
+    bytes, the case the row-count proxy mis-gated — must produce the
+    same report on the default (AQE-decided) path as with broadcast
+    explicitly forced off."""
+    from fastmorph_spark.ops import decontam
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(200))),
+         (2, "completely different words entirely here now again")],
+        "doc_id long, text string",
+    )
+    # 3 rows, each ~4000 tokens: tiny row count, disproportionate bytes
+    long_bench = spark.createDataFrame(
+        [(j, " ".join(f"w{(i + j) % 500}" for i in range(4000)))
+         for j in range(3)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("decontam-lazy-gate", "builder laziness probe")
+    report = decontam.benchmark_contamination(corpus, long_bench, n=3)
+    jobs = sc.statusTracker().getJobIdsForGroup("decontam-lazy-gate")
+    sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"builder ran driver jobs: {jobs}"
+    got = sorted(tuple(r) for r in report.collect())
+    want = sorted(tuple(r) for r in decontam.benchmark_contamination(
+        corpus, long_bench, n=3, broadcast=False).collect())
+    assert got == want and got  # non-vacuous: doc 1 overlaps w-i shingles
+
+
 def test_benchmark_contamination_self_is_total(spark):
     """A doc checked against itself is 100% contaminated — the invariant
     a decontam pass relies on to catch verbatim eval leaks."""
