@@ -126,10 +126,10 @@ def bm25_scores(
     # query needs only tf of the |q| query terms per doc — ONE pure-JVM
     # regexp_count per term (term-as-token: the literal bounded by
     # non-token-char lookarounds) replaces the full Arrow tokenize pass,
-    # its persist, and the per-doc score shuffle. Plan shape: scan ->
-    # 1-row agg (n_docs/avgdl/df per term, broadcast) -> scan -> project
-    # score -> filter. ZERO exchanges of per-doc rows, no Python, no
-    # cache pin (``scope`` kept for API compatibility — nothing to free).
+    # its positions machinery, and the per-doc score shuffle. Plan shape:
+    # pinned narrow scan -> 1-row agg (n_docs/avgdl/df per term,
+    # broadcast) -> score projection -> filter. ZERO exchanges of
+    # per-doc rows, no Python.
     #
     # Bit-identity with the tokenize path (tested): tf/df/dl counts are
     # exact integers (token-count parity pinned by the tokenizer tests);
