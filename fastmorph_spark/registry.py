@@ -2284,8 +2284,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Every casualty is oracle-verified this round anyway:
     jobs/check_queries.py re-runs EVERY key locally before the driver
     run — BENCH/check_all_r05_final2.txt attests all 158 keys green
-    (rows+schema+hash vs DuckDB, sf0.01) under this exact dict."""
-    return {
+    (rows+schema+hash vs DuckDB, sf0.01) under this exact dict.
+
+    ROUND-6 WINDOW (applied at the end of this function — the literal
+    below keeps the historical r05 grouping for readability): VERDICT
+    r05 "Next round #1" asks the never-driver-verified keys to rotate
+    into the recorded 50. The r06 head is therefore (1) the 11 keys
+    whose CODE PATHS this optimization round rewired (regexp BM25,
+    single-pass packed build, widened phrase tables, restructured
+    minhash, checkpointed components, reordered top_orders, AQE-gated
+    decontam, the uni/code tokenizer twins of the new paths) — the
+    claims the driver should re-verify directly; then (2) 39 of the 71
+    keys that have NEVER earned a driver CORRECTNESS row, flagships
+    first (NRT, federated, BM25F, merged frame+at-rest, parallel, graph,
+    CQL, keyness), then the concordance/analytics panel. The remaining
+    32 debt keys stay in the tail for the next rotation; all 171 keys
+    remain declared with byte-identical oracles (verified against the
+    round-start fingerprints) — only the recording ORDER changes, as in
+    every prior round."""
+    full = {
         # --- (a) r04 cap casualties: re-earn driver-green rows first
         "ann_cosine_topk_arrow": q_ann_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2446,6 +2463,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_merged_rest": q_bm25_topk_merged_rest,
         "phrase_search_merged_rest": q_phrase_search_merged_rest,
     }
+    window_r06 = [
+        # (1) code paths rewired this round — direct driver re-verification
+        "bm25_topk", "bm25_topk_wand", "phrase_search", "dedup_minhash_lsh",
+        "dedup_groups", "dedup_drop_list", "pipeline_drop_list_spans",
+        "top_orders", "decontam_overlap", "bm25_topk_uni",
+        "bm25_topk_wand_code",
+        # (2a) never-driver-verified flagships (VERDICT r05 next #1)
+        "bm25_topk_nrt", "bm25_topk_federated", "bm25f_topk",
+        "bm25_topk_merged", "bm25_topk_merged_rest", "phrase_search_merged",
+        "phrase_search_merged_rest", "parallel_search",
+        "parallel_search_packed", "repo_pagerank", "dependents_closure",
+        "cql_search", "keyness",
+        # (2b) never-driver-verified analytics/panel tail
+        "import_edges", "import_degree", "cql_within_sentence", "thesaurus",
+        "sketch_diff", "c4_clean", "bm25_expanded", "unigram_ppl",
+        "slot_regex_packed", "slot_regex_search", "regex_terms",
+        "kwic_gdex", "kwic_sorted", "kwic_sample", "conc_filter_positive",
+        "conc_filter_negative", "conc_filter_packed", "conc_collocations",
+        "conc_collocations_packed", "conc_freq_node", "conc_freq_lang",
+        "mwe_bigrams", "colloc_by_offset", "colloc_by_offset_packed",
+        "doc_keywords", "term_position_dist",
+    ]
+    assert len(window_r06) == 50 and len(set(window_r06)) == 50
+    out = {k: full[k] for k in window_r06}
+    out.update((k, v) for k, v in full.items() if k not in out)
+    assert len(out) == len(full)
+    return out
 
 
 def oracle_sqls() -> dict[str, str]:
